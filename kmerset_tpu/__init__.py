@@ -1,0 +1,25 @@
+"""kmerset_tpu — a TPU-native k-mer set engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+kkty/kmer-sets-compression (reference layout: lib/core/*.h, src/*.cc):
+
+- 2-bit packed k-mer codec (reference: lib/core/kmer.h)
+- k-mer sets as sorted packed-integer arrays instead of bucketed hash sets
+  (reference: lib/core/kmer_set.h)
+- sort-based k-mer counting from FASTA (reference: lib/core/kmer_counter.h)
+- SPSS (spectrum-preserving string set) construction via vectorized unitig
+  compaction + greedy path cover with pointer-doubling path walks
+  (reference: lib/core/spss.h)
+- compact storage + text dump format compatible with the reference
+  (reference: lib/core/kmer_set_compact.h)
+- joint compression of many related k-mer sets (reference:
+  lib/core/kmer_set_set.h)
+
+The universal data decomposition carried over from the reference: a k-mer is
+2K bits; the top N bits select a bucket and the low 2K-N bits are a key
+(reference: lib/core/kmer_set.h:20-43).  In this package a k-mer set is a
+*sorted* int64 array, so buckets are contiguous slices for free and the bucket
+axis is the shard axis for multi-device meshes.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,135 @@
+"""KmerCounter: sort-based k-mer counting.
+
+The reference counts k-mers into 1<<N hash-map buckets with per-thread
+buffers and try_lock merges (reference: lib/core/kmer_counter.h:40-133).
+The TPU-native formulation: extract every window, canonicalize, then
+sort + segment-count — no hash tables, no locks, and the hot loop is a
+fixed-shape vector program (see kmerset_tpu.ops.count for the device path).
+
+Counts saturate at a maximum value exactly like the reference's AddWithMax
+with its uint8 default ValueType (reference: lib/core/kmer_counter.h:28-38,48).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from . import io as core_io
+from . import kmer as kmer_ops
+from .kmer_set import KmerSet
+
+DEFAULT_VALUE_MAX = 255  # uint8 ValueType default (reference: kmer_counter.h:48)
+
+
+def extract_kmers(
+    codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool
+) -> np.ndarray:
+    """All k-mers from concatenated fragments, canonicalized if asked.
+
+    codes: flat 2-bit codes; offsets: fragment boundaries (windows never
+    cross a fragment boundary, replicating the split-at-'N' behavior,
+    reference: lib/core/kmer_counter.h:78-96).
+    """
+    n_pos = codes.shape[0] - k + 1
+    if n_pos <= 0:
+        return np.empty(0, dtype=np.int64)
+    windows = kmer_ops.kmers_from_codes(codes, k)
+    # Window at p is valid iff p and p+k-1 fall in the same fragment.
+    frag_of_start = np.searchsorted(offsets, np.arange(n_pos), side="right")
+    frag_of_end = np.searchsorted(offsets, np.arange(k - 1, codes.shape[0]), side="right")
+    kmers = windows[frag_of_start == frag_of_end]
+    if canonical:
+        kmers = kmer_ops.canonical(kmers, k)
+    return kmers
+
+
+class KmerCounter:
+    """Sorted-array multiset of k-mers with saturating counts."""
+
+    def __init__(
+        self,
+        k: int,
+        kmers: np.ndarray | None = None,
+        counts: np.ndarray | None = None,
+        value_max: int = DEFAULT_VALUE_MAX,
+    ):
+        self.k = k
+        self.value_max = value_max
+        self.kmers = (
+            np.asarray(kmers, dtype=np.int64) if kmers is not None else np.empty(0, np.int64)
+        )
+        self.counts = (
+            np.asarray(counts, dtype=np.int64) if counts is not None else np.empty(0, np.int64)
+        )
+        self._pending: List[Tuple[int, int]] = []
+
+    # -- construction (reference: lib/core/kmer_counter.h:62-209) ----------
+
+    @classmethod
+    def from_fasta(
+        cls, k: int, file_name: str, decompressor: str, canonical: bool,
+        value_max: int = DEFAULT_VALUE_MAX,
+    ) -> "KmerCounter":
+        lines = core_io.read_lines(file_name, decompressor)
+        return cls.from_fasta_lines(k, lines, canonical, value_max)
+
+    @classmethod
+    def from_fasta_lines(
+        cls, k: int, lines: List[str], canonical: bool,
+        value_max: int = DEFAULT_VALUE_MAX,
+    ) -> "KmerCounter":
+        reads = core_io.parse_fasta_lines(lines)
+        return cls.from_reads(k, reads, canonical, value_max)
+
+    @classmethod
+    def from_reads(
+        cls, k: int, reads: List[str], canonical: bool,
+        value_max: int = DEFAULT_VALUE_MAX,
+    ) -> "KmerCounter":
+        codes, offsets = core_io.reads_to_codes(reads)
+        kmers = extract_kmers(codes, offsets, k, canonical)
+        uniq, counts = np.unique(kmers, return_counts=True)
+        return cls(k, uniq, np.minimum(counts, value_max), value_max)
+
+    # -- incremental adds (reference Add, lib/core/kmer_counter.h:257-264) --
+
+    def add(self, kmer: int, v: int = 1) -> "KmerCounter":
+        self._pending.append((int(kmer), int(v)))
+        return self
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        pend = np.array(self._pending, dtype=np.int64)
+        self._pending.clear()
+        all_k = np.concatenate([self.kmers, pend[:, 0]])
+        all_v = np.concatenate([self.counts, pend[:, 1]])
+        order = np.argsort(all_k, kind="stable")
+        all_k, all_v = all_k[order], all_v[order]
+        uniq, start = np.unique(all_k, return_index=True)
+        sums = np.add.reduceat(all_v, start) if all_k.size else all_v
+        self.kmers = uniq
+        self.counts = np.minimum(sums, self.value_max)
+
+    # -- queries -----------------------------------------------------------
+
+    def size(self) -> int:
+        self._flush()
+        return int(self.kmers.shape[0])
+
+    def get(self, kmer: int) -> int:
+        self._flush()
+        idx = np.searchsorted(self.kmers, kmer)
+        if idx < self.kmers.shape[0] and self.kmers[idx] == kmer:
+            return int(self.counts[idx])
+        return 0
+
+    def to_kmer_set(self, cutoff: int) -> Tuple[KmerSet, int]:
+        """Filters out k-mers with count < cutoff; returns (set, n_cut)
+        (reference: lib/core/kmer_counter.h:211-243)."""
+        self._flush()
+        keep = self.counts >= cutoff
+        n_cut = int(np.count_nonzero(~keep))
+        return KmerSet(self.k, self.kmers[keep], _sorted=True), n_cut
