@@ -1,0 +1,125 @@
+"""Data-parallel graph primitives: pointer doubling and handshake matching.
+
+These replace the reference's three inherently sequential/lock-based
+mechanisms with log-depth, vectorizable iterations:
+
+- sequential path walks (reference: lib/core/spss.h:394-423,1159-1183)
+  -> pointer doubling over a successor array;
+- wait-free CAS union-find for cycle detection
+  (reference: lib/core/parallel_disjoint_set.h:24-78)
+  -> min-label propagation fused into the same doubling loop;
+- try_lock opportunistic greedy edge selection
+  (reference: lib/core/spss.h:796-817,1445-1498)
+  -> deterministic handshake matching rounds (each free port proposes its
+  best candidate edge; an edge is accepted iff it is the best proposal at
+  both of its ports).  At least the globally best live edge is accepted
+  every round, so the result is a maximal matching in O(log) expected
+  rounds, and — unlike the reference, whose matching depends on thread
+  interleaving — it is deterministic.
+
+Everything is NumPy here (host orchestration); the same access patterns
+map to jnp/Pallas for on-device execution (kmerset_tpu.ops).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def pointer_double(succ: np.ndarray, labels: np.ndarray | None = None
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
+    """Resolves chains and cycles of a functional successor graph.
+
+    succ: int64 array, succ[u] in [0, n) or -1 (chain end).  Every node has
+    at most one successor and (by construction in this package) at most one
+    predecessor, so components are simple chains or simple cycles.
+
+    Returns (end, dist, is_chain, min_label):
+      end[u]      — the chain end reached from u (valid where is_chain);
+      dist[u]     — number of steps from u to end[u];
+      is_chain[u] — True iff u's walk terminates;
+      min_label   — if labels given: min label over all nodes reachable
+                    from u; for cycle nodes this is the min over the whole
+                    cycle (the leader-election primitive replacing
+                    union-find roots).
+    """
+    n = succ.shape[0]
+    if n == 0:
+        e = np.empty(0, np.int64)
+        return e, e.copy(), np.empty(0, bool), (labels.copy() if labels is not None else None)
+    p = np.where(succ < 0, np.arange(n, dtype=np.int64), succ)
+    d = np.where(succ < 0, 0, 1).astype(np.int64)
+    m = labels.copy() if labels is not None else None
+    done_mask = succ < 0
+    rounds = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+    for _ in range(rounds):
+        if m is not None:
+            m = np.minimum(m, m[p])
+        d_next = d + np.where(done_mask[p], 0, d[p])
+        p_next = np.where(done_mask[p], p, p[p])
+        d, p = d_next, p_next
+        # done_mask stays: a node is resolved when p points at a chain end.
+    is_chain = succ[p] < 0
+    return p, d, is_chain, m
+
+
+def handshake_matching(
+    pa: np.ndarray, pb: np.ndarray, n_ports: int
+) -> np.ndarray:
+    """Deterministic maximal matching over ports.
+
+    pa, pb: endpoints (port ids) of candidate edges, ordered by priority
+    (index 0 = highest priority — the order the reference would have
+    considered them on one thread).  Each port may be matched at most once.
+
+    Returns match[port] = partner port, or -1 if unmatched.
+
+    This is the data-parallel stand-in for the reference's bucket-locked
+    greedy `if (!HasEdge(i) && !HasEdge(j)) AddEdge(...)` scans
+    (reference: lib/core/spss.h:796-817 directed, 1445-1498 bidirected).
+    """
+    match = np.full(n_ports, -1, dtype=np.int64)
+    n_e = pa.shape[0]
+    if n_e == 0:
+        return match
+    prio = np.arange(n_e, dtype=np.int64)
+    alive = np.ones(n_e, dtype=bool)
+    free = np.ones(n_ports, dtype=bool)
+    sentinel = np.int64(n_e)
+    for _ in range(n_e + 1):
+        alive &= free[pa] & free[pb]
+        if not alive.any():
+            break
+        live = np.flatnonzero(alive)
+        best = np.full(n_ports, sentinel, dtype=np.int64)
+        np.minimum.at(best, pa[live], prio[live])
+        np.minimum.at(best, pb[live], prio[live])
+        win = live[(best[pa[live]] == prio[live]) & (best[pb[live]] == prio[live])]
+        if win.size == 0:  # cannot happen: the min live edge always wins
+            break
+        wa, wb = pa[win], pb[win]
+        match[wa] = wb
+        match[wb] = wa
+        free[wa] = False
+        free[wb] = False
+    return match
+
+
+def expand_ranges(lo: np.ndarray, hi: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Expands per-query index ranges [lo, hi) into flat (row, index) pairs.
+
+    Used to enumerate all matches of a searchsorted range query (the
+    sorted-join replacing the reference's hash-multimap prefix/suffix
+    lookups, reference: lib/core/spss.h:619-695).
+    """
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    rows = np.repeat(np.arange(lo.shape[0], dtype=np.int64), counts)
+    starts = np.zeros(lo.shape[0], dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    idx = np.arange(total, dtype=np.int64) - starts[rows] + lo[rows]
+    return rows, idx

@@ -1,0 +1,612 @@
+"""SPSS construction: unitigs + greedy path cover, fully vectorized.
+
+Re-designs the reference's spss.h (reference: lib/core/spss.h, 1942 lines of
+hash lookups, lock-based greedy matching, and sequential pointer walks) as
+array programs:
+
+- neighbor/degree discovery: 8 vectorized binary searches per k-mer into the
+  sorted set (replacing 8 hash Contains() per k-mer,
+  reference: lib/core/spss.h:238-273);
+- unitig path extraction: pointer doubling over an oriented successor array
+  (replacing FindPath walks, reference: lib/core/spss.h:394-423);
+- greedy path cover: deterministic handshake matching over node ports
+  (replacing try_lock greedy, reference: lib/core/spss.h:1445-1498);
+- cycle breaking: min-label election fused into pointer doubling
+  (replacing union-find, reference: lib/core/spss.h:1541-1647).
+
+Orientation convention for the bidirected (canonical) graphs: an oriented
+node id u encodes (entity << 1) | o where o=0 means "read forward, exit the
+right side" and o=1 means "read reverse-complemented, exit the left side".
+The mirror of u is u ^ 1.  Directed (non-canonical) graphs use plain entity
+ids with no orientation bit (`oriented=False` below).
+
+The output is only required to be a valid SPSS of the input set (every
+k-mer appears exactly once across all strings and reconstruction equals the
+input — the invariants pinned by the reference's tests,
+reference: test/spss.cc:33-124); exact strings may differ from the
+reference, whose results are thread-interleaving-dependent anyway.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from . import kmer as kmer_ops
+from .graph import expand_ranges, handshake_matching, pointer_double
+from .kmer_set import KmerSet
+from .strings import PackedStrings
+
+
+# ---------------------------------------------------------------------------
+# Neighbor tables
+# ---------------------------------------------------------------------------
+
+
+def _lookup(A: np.ndarray, q: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(found, index) of queries in sorted-unique A."""
+    if A.shape[0] == 0:
+        return np.zeros(q.shape, bool), np.zeros(q.shape, np.int64)
+    idx = np.searchsorted(A, q)
+    idx_c = np.minimum(idx, A.shape[0] - 1)
+    found = A[idx_c] == q
+    return found, idx_c
+
+
+def _side_table_canonical(A: np.ndarray, k: int, right: bool):
+    """Degree / unique-neighbor tables for one side of every canonical k-mer.
+
+    For the right side, candidates are next(x, c); for the left, prev(x, c).
+    The stored neighbor is canonical(candidate); the edge exists iff that
+    canonical form is in the set and differs from x; is_same_side is true
+    iff the candidate itself was not canonical
+    (reference: lib/core/spss.h:238-273, unified over the next /
+    next.Complement() branches — for odd k exactly one of the pair is
+    canonical, so each base extension yields at most one edge).
+    """
+    n = A.shape[0]
+    deg = np.zeros(n, dtype=np.int64)
+    nbr = np.zeros(n, dtype=np.int64)
+    same = np.zeros(n, dtype=bool)
+    for c in range(4):
+        cand = kmer_ops.next_kmer(A, k, c) if right else kmer_ops.prev_kmer(A, k, c)
+        ncan = kmer_ops.canonical(cand, k)
+        found, idx = _lookup(A, ncan)
+        found &= ncan != A
+        first = found & (deg == 0)
+        nbr = np.where(first, idx, nbr)
+        same = np.where(first, cand != ncan, same)
+        deg += found
+    return deg, nbr, same
+
+
+def _side_table_plain(A: np.ndarray, k: int, right: bool):
+    """Directed-graph degree / unique-neighbor tables
+    (reference: lib/core/spss.h:76-94)."""
+    n = A.shape[0]
+    deg = np.zeros(n, dtype=np.int64)
+    nbr = np.zeros(n, dtype=np.int64)
+    for c in range(4):
+        cand = kmer_ops.next_kmer(A, k, c) if right else kmer_ops.prev_kmer(A, k, c)
+        found, idx = _lookup(A, cand)
+        found &= cand != A
+        first = found & (deg == 0)
+        nbr = np.where(first, idx, nbr)
+        deg += found
+    return deg, nbr
+
+
+# ---------------------------------------------------------------------------
+# Chain machinery (shared by the k-mer level and the unitig level)
+# ---------------------------------------------------------------------------
+
+
+def _entity_flip(nodes: np.ndarray, oriented: bool) -> Tuple[np.ndarray, np.ndarray]:
+    if oriented:
+        return nodes >> 1, (nodes & 1).astype(bool)
+    return nodes, np.zeros(nodes.shape, dtype=bool)
+
+
+def _chains_from_starts(
+    succ: np.ndarray, starts: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pointer-doubles succ and groups the nodes of the chains led by
+    `starts` in (chain, position) order.
+
+    Returns (nodes_sorted, group_starts, is_chain).  Chains have in-degree
+    <= 1 by construction, so {v : end(v) == e} is exactly the path ending
+    at e, and sorting by (end, -dist) lays every chain out contiguously.
+    """
+    end, dist, is_chain, _ = pointer_double(succ)
+    keep_end = np.zeros(succ.shape[0], dtype=bool)
+    if starts.size:
+        keep_end[end[starts]] = True
+    sel = np.flatnonzero(is_chain & keep_end[end])
+    if sel.size == 0:
+        return sel, np.zeros(1, np.int64), is_chain
+    order = np.lexsort((-dist[sel], end[sel]))
+    nodes_sorted = sel[order]
+    ends_sorted = end[nodes_sorted]
+    boundaries = np.flatnonzero(np.diff(ends_sorted)) + 1
+    group_starts = np.concatenate(
+        ([0], boundaries, [nodes_sorted.shape[0]])
+    ).astype(np.int64)
+    return nodes_sorted, group_starts, is_chain
+
+
+def _oriented_kmers(A: np.ndarray, k: int, entity: np.ndarray, flip: np.ndarray) -> np.ndarray:
+    vals = A[entity]
+    rc = kmer_ops.reverse_complement(vals, k)
+    return np.where(flip, rc, vals)
+
+
+def _emit_kmer_chains(
+    A: np.ndarray,
+    k: int,
+    nodes_sorted: np.ndarray,
+    group_starts: np.ndarray,
+    oriented: bool,
+) -> PackedStrings:
+    """Builds unitig strings from chain-grouped nodes: the first node of a
+    chain contributes k bases, every following node one base
+    (reference ConcatenateKmers, lib/core/spss.h:25-41)."""
+    n_chains = group_starts.shape[0] - 1
+    if nodes_sorted.size == 0:
+        return PackedStrings.empty()
+    counts = np.diff(group_starts)
+    str_lens = counts + k - 1
+    offsets = np.zeros(n_chains + 1, dtype=np.int64)
+    np.cumsum(str_lens, out=offsets[1:])
+    codes = np.zeros(int(offsets[-1]), dtype=np.uint8)
+
+    entity, flip = _entity_flip(nodes_sorted, oriented)
+    ov = _oriented_kmers(A, k, entity, flip)
+    group_of = np.repeat(np.arange(n_chains, dtype=np.int64), counts)
+    t = np.arange(nodes_sorted.shape[0], dtype=np.int64) - group_starts[group_of]
+
+    first_vals = ov[group_starts[:-1]]
+    codes_first = kmer_ops.codes_from_kmer(first_vals, k)  # (n_chains, k)
+    first_pos = offsets[:-1, None] + np.arange(k)
+    codes[first_pos.ravel()] = codes_first.ravel().astype(np.uint8)
+
+    rest = t > 0
+    pos = offsets[group_of[rest]] + k - 1 + t[rest]
+    codes[pos] = (ov[rest] & 3).astype(np.uint8)
+    return PackedStrings(codes, offsets)
+
+
+def _walk_cycles(
+    A: np.ndarray, k: int, succ: np.ndarray, visited: np.ndarray, oriented: bool
+) -> PackedStrings:
+    """Sequential walk of leftover pure cycles, in ascending k-mer order,
+    stopping at the first already-visited k-mer (reference:
+    lib/core/spss.h:203-224,583-612).  Cycles are rare; chains take the
+    vectorized path."""
+    out: List[np.ndarray] = []
+    for i0 in np.flatnonzero(~visited):
+        if visited[i0]:
+            continue
+        u = 2 * int(i0) if oriented else int(i0)
+        codes: List[int] = []
+        first = True
+        while True:
+            ent = (u >> 1) if oriented else u
+            if visited[ent]:
+                break
+            visited[ent] = True
+            val = int(A[ent])
+            if oriented and (u & 1):
+                val = int(kmer_ops.reverse_complement(np.int64(val), k))
+            if first:
+                codes.extend(int(x) for x in kmer_ops.codes_from_kmer(np.int64(val), k))
+                first = False
+            else:
+                codes.append(val & 3)
+            u = int(succ[u])
+        out.append(np.array(codes, dtype=np.uint8))
+    return PackedStrings.from_code_lists(out)
+
+
+def _concat_packed(parts: List[PackedStrings]) -> PackedStrings:
+    parts = [p for p in parts if len(p) > 0]
+    if not parts:
+        return PackedStrings.empty()
+    if len(parts) == 1:
+        return parts[0]
+    codes = np.concatenate([p.codes for p in parts])
+    lens = np.concatenate([p.lengths() for p in parts])
+    offsets = np.zeros(lens.shape[0] + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return PackedStrings(codes, offsets)
+
+
+# ---------------------------------------------------------------------------
+# Unitigs
+# ---------------------------------------------------------------------------
+
+
+def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
+    """Maximal non-branching paths of the bidirected de Bruijn graph
+    (reference: lib/core/spss.h:231-615)."""
+    A = kmer_set.kmers
+    k = kmer_set.k
+    n = A.shape[0]
+    if n == 0:
+        return PackedStrings.empty()
+
+    rdeg, rnbr, rsame = _side_table_canonical(A, k, right=True)
+    ldeg, lnbr, lsame = _side_table_canonical(A, k, right=False)
+
+    # Terminal tests (reference: lib/core/spss.h:276-313): a side is
+    # terminal unless it has exactly one mate whose corresponding side also
+    # has exactly one mate.
+    mate_r = np.where(rsame, rdeg[rnbr], ldeg[rnbr])
+    term_r = (rdeg != 1) | (mate_r != 1)
+    mate_l = np.where(lsame, ldeg[lnbr], rdeg[lnbr])
+    term_l = (ldeg != 1) | (mate_l != 1)
+
+    # Oriented successor: u = 2i+0 exits right, u = 2i+1 exits left.  After
+    # a same-side step the orientation flips (reference FindPath,
+    # lib/core/spss.h:394-423).
+    succ = np.empty(2 * n, dtype=np.int64)
+    succ[0::2] = np.where(term_r, -1, 2 * rnbr + rsame)
+    succ[1::2] = np.where(term_l, -1, 2 * lnbr + (~lsame).astype(np.int64))
+
+    both = term_l & term_r
+    starts_r_exit = np.flatnonzero(term_l & ~term_r & ~both) * 2
+    starts_l_exit = np.flatnonzero(term_r & ~term_l) * 2 + 1
+    starts = np.concatenate([starts_r_exit, starts_l_exit])
+
+    # Dedup: each chain exists once per orientation; keep the one whose
+    # start k-mer is >= its end k-mer (reference skip rule,
+    # lib/core/spss.h:511,555).
+    end, _, _, _ = pointer_double(succ)
+    keep = A[starts >> 1] >= A[end[starts] >> 1]
+    starts = starts[keep]
+
+    nodes_sorted, group_starts, is_chain = _chains_from_starts(succ, starts)
+    chains = _emit_kmer_chains(A, k, nodes_sorted, group_starts, oriented=True)
+
+    parts: List[PackedStrings] = [chains]
+
+    # Isolated k-mers (terminals on both sides), one string each
+    # (reference: lib/core/spss.h:459-493).
+    both_idx = np.flatnonzero(both)
+    if both_idx.size:
+        codes = kmer_ops.codes_from_kmer(A[both_idx], k).astype(np.uint8)
+        offsets = np.arange(both_idx.size + 1, dtype=np.int64) * k
+        parts.append(PackedStrings(codes.ravel(), offsets))
+
+    # Non-branching loops (reference: lib/core/spss.h:583-612).
+    visited = np.zeros(n, dtype=bool)
+    visited[np.flatnonzero(is_chain) >> 1] = True
+    visited[both_idx] = True
+    parts.append(_walk_cycles(A, k, succ, visited, oriented=True))
+
+    return _concat_packed(parts)
+
+
+def get_unitigs(kmer_set: KmerSet) -> PackedStrings:
+    """Maximal non-branching paths of the directed de Bruijn graph
+    (reference: lib/core/spss.h:74-227)."""
+    A = kmer_set.kmers
+    k = kmer_set.k
+    n = A.shape[0]
+    if n == 0:
+        return PackedStrings.empty()
+
+    outdeg, nxt = _side_table_plain(A, k, right=True)
+    indeg, prv = _side_table_plain(A, k, right=False)
+
+    # Start/end tests (reference: lib/core/spss.h:96-146).
+    is_start = (indeg != 1) | (outdeg[prv] != 1)
+    is_end = (outdeg != 1) | (indeg[nxt] != 1)
+
+    succ = np.where(is_end, -1, nxt)
+    starts = np.flatnonzero(is_start)
+
+    nodes_sorted, group_starts, is_chain = _chains_from_starts(succ, starts)
+    chains = _emit_kmer_chains(A, k, nodes_sorted, group_starts, oriented=False)
+
+    visited = np.zeros(n, dtype=bool)
+    visited[np.flatnonzero(is_chain)] = True
+    cycles = _walk_cycles(A, k, succ, visited, oriented=False)
+    return _concat_packed([chains, cycles])
+
+
+# ---------------------------------------------------------------------------
+# Greedy path cover over the unitig graph (SPSS proper)
+# ---------------------------------------------------------------------------
+
+
+def _candidate_port_edges_canonical(
+    unitigs: PackedStrings, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """All (k-1)-overlap port edges of the bidirected unitig graph.
+
+    Ports: 2i = right side of unitig i, 2i+1 = left side.  An edge between
+    ports p, q means the two sides can be glued with k-1 overlap
+    (reference GetEdgesRight/GetEdgesLeft, lib/core/spss.h:1057-1145).
+    The reference looks candidates up in hash multimaps of unitig
+    prefixes/suffixes (lib/core/spss.h:619-695); here it is a sorted join.
+    Returned deduplicated, ordered by first-discovery priority.
+    """
+    n = len(unitigs)
+    P = unitigs.first_kmers(k)
+    S = unitigs.last_kmers(k)
+    p_order = np.argsort(P, kind="stable")
+    s_order = np.argsort(S, kind="stable")
+    P_sorted, S_sorted = P[p_order], S[s_order]
+
+    all_a: List[np.ndarray] = []
+    all_b: List[np.ndarray] = []
+
+    def _join(queries, sorted_vals, order, src_ports, dst_side_bit):
+        lo = np.searchsorted(sorted_vals, queries, side="left")
+        hi = np.searchsorted(sorted_vals, queries, side="right")
+        rows, idx = expand_ranges(lo, hi)
+        j = order[idx]
+        a = src_ports[rows]
+        b = 2 * j + dst_side_bit
+        ok = (a >> 1) != j
+        all_a.append(a[ok])
+        all_b.append(b[ok])
+
+    ar = np.arange(n, dtype=np.int64)
+    for c in range(4):
+        q = kmer_ops.next_kmer(S, k, c)
+        # right(i) -- left(j): suffix_next == prefix(j)
+        _join(q, P_sorted, p_order, 2 * ar, 1)
+        # right(i) -- right(j): revcomp(suffix_next) == suffix(j)
+        _join(kmer_ops.reverse_complement(q, k), S_sorted, s_order, 2 * ar, 0)
+    for c in range(4):
+        r = kmer_ops.prev_kmer(P, k, c)
+        # left(i) -- right(j): prefix_prev == suffix(j)
+        _join(r, S_sorted, s_order, 2 * ar + 1, 0)
+        # left(i) -- left(j): revcomp(prefix_prev) == prefix(j)
+        _join(kmer_ops.reverse_complement(r, k), P_sorted, p_order, 2 * ar + 1, 1)
+
+    a = np.concatenate(all_a) if all_a else np.empty(0, np.int64)
+    b = np.concatenate(all_b) if all_b else np.empty(0, np.int64)
+    # Each undirected edge is discovered from both endpoints; keep the
+    # first-priority occurrence.
+    key = np.minimum(a, b) * (2 * n) + np.maximum(a, b)
+    _, first_idx = np.unique(key, return_index=True)
+    first_idx.sort()
+    return a[first_idx], b[first_idx]
+
+
+def _candidate_edges_directed(
+    unitigs: PackedStrings, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Directed overlap edges i -> j (suffix(i).next == prefix(j), i != j),
+    in discovery order (reference GetEdgesOut, lib/core/spss.h:707-727)."""
+    P = unitigs.first_kmers(k)
+    S = unitigs.last_kmers(k)
+    p_order = np.argsort(P, kind="stable")
+    P_sorted = P[p_order]
+    outs: List[np.ndarray] = []
+    ins: List[np.ndarray] = []
+    for c in range(4):
+        q = kmer_ops.next_kmer(S, k, c)
+        lo = np.searchsorted(P_sorted, q, side="left")
+        hi = np.searchsorted(P_sorted, q, side="right")
+        rows, idx = expand_ranges(lo, hi)
+        j = p_order[idx]
+        ok = rows != j
+        outs.append(rows[ok])
+        ins.append(j[ok])
+    a = np.concatenate(outs) if outs else np.empty(0, np.int64)
+    b = np.concatenate(ins) if ins else np.empty(0, np.int64)
+    return a, b
+
+
+def _break_cycles(succ: np.ndarray, match: np.ndarray | None, oriented: bool) -> np.ndarray:
+    """Detects succ-cycles, elects the min-entity leader of each, and cuts
+    one edge so every component becomes a chain (replacing union-find
+    loop-removal, reference: lib/core/spss.h:877-933,1541-1647)."""
+    ids = np.arange(succ.shape[0], dtype=np.int64)
+    labels = (ids >> 1) if oriented else ids
+    _, _, is_chain, mins = pointer_double(succ, labels)
+    cyc = ~is_chain
+    if not cyc.any():
+        return succ
+    succ = succ.copy()
+    leaders = np.unique(mins[cyc])
+    for r in leaders:
+        if oriented:
+            # Cut the match at the leader's left port (reference removes
+            # edge_left of the group leader, lib/core/spss.h:1626-1643).
+            a = 2 * int(r) + 1
+            b = int(match[a])
+            succ[a] = -1
+            succ[b] = -1
+        else:
+            # Cut the leader's outgoing edge (reference:
+            # lib/core/spss.h:924-930).
+            succ[int(r)] = -1
+    return succ
+
+
+def _emit_string_chains(
+    unitigs: PackedStrings,
+    k: int,
+    nodes_sorted: np.ndarray,
+    group_starts: np.ndarray,
+    oriented: bool,
+) -> PackedStrings:
+    """Concatenates oriented unitigs along each chain with (k-1)-overlap
+    elision (reference GetStringFromPath, lib/core/spss.h:1186-1206)."""
+    if nodes_sorted.size == 0:
+        return PackedStrings.empty()
+    n_chains = group_starts.shape[0] - 1
+    counts = np.diff(group_starts)
+    entity, flip = _entity_flip(nodes_sorted, oriented)
+    ulens = unitigs.lengths()[entity]
+    group_of = np.repeat(np.arange(n_chains, dtype=np.int64), counts)
+    t = np.arange(nodes_sorted.shape[0], dtype=np.int64) - group_starts[group_of]
+    contrib = np.where(t == 0, ulens, ulens - (k - 1))
+
+    out_lens = np.zeros(n_chains, dtype=np.int64)
+    np.add.at(out_lens, group_of, contrib)
+    offsets = np.zeros(n_chains + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=offsets[1:])
+
+    contrib_cum = np.cumsum(contrib) - contrib
+    chain_base = contrib_cum[group_starts[:-1]]
+    node_out_start = offsets[group_of] + (contrib_cum - chain_base[group_of])
+
+    total = int(offsets[-1])
+    node_of_char = np.repeat(np.arange(nodes_sorted.shape[0]), contrib)
+    within = np.arange(total, dtype=np.int64) - node_out_start[node_of_char]
+    skip = np.where(t[node_of_char] == 0, 0, k - 1)
+    src = within + skip
+    ent_c = entity[node_of_char]
+    fwd_idx = unitigs.offsets[ent_c] + src
+    rev_idx = unitigs.offsets[ent_c + 1] - 1 - src
+    use_rev = flip[node_of_char]
+    gather_idx = np.where(use_rev, rev_idx, fwd_idx)
+    vals = unitigs.codes[gather_idx].astype(np.int64)
+    vals = np.where(use_rev, 3 - vals, vals)
+    return PackedStrings(vals.astype(np.uint8), offsets)
+
+
+def _take_strings(ps: PackedStrings, idx: np.ndarray) -> PackedStrings:
+    if idx.size == 0:
+        return PackedStrings.empty()
+    lens = ps.lengths()[idx]
+    offsets = np.zeros(idx.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    _, within = expand_ranges(ps.offsets[idx], ps.offsets[idx + 1])
+    return PackedStrings(ps.codes[within], offsets)
+
+
+def _emit_matched_paths(
+    unitigs: PackedStrings, k: int, succ: np.ndarray
+) -> PackedStrings:
+    """Emits all maximal paths of a bidirected matched graph, with the
+    start-index <= end-index dedup rule (reference:
+    lib/core/spss.h:1649-1831)."""
+    matched = succ >= 0
+    has_right = matched[0::2]
+    has_left = matched[1::2]
+    both_free = ~has_left & ~has_right
+    starts_r = np.flatnonzero(~has_left & has_right) * 2
+    starts_l = np.flatnonzero(~has_right & has_left) * 2 + 1
+    starts = np.concatenate([starts_r, starts_l])
+    end, _, _, _ = pointer_double(succ)
+    if starts.size:
+        keep = (starts >> 1) <= (end[starts] >> 1)
+        starts = starts[keep]
+    nodes_sorted, group_starts, _ = _chains_from_starts(succ, starts)
+    chains = _emit_string_chains(unitigs, k, nodes_sorted, group_starts, oriented=True)
+    solo = _take_strings(unitigs, np.flatnonzero(both_free))
+    return _concat_packed([chains, solo])
+
+
+def get_spss_canonical_from_unitigs(
+    unitigs: PackedStrings, k: int, fast: bool = True
+) -> PackedStrings:
+    """Greedy path cover of the bidirected unitig graph
+    (reference: lib/core/spss.h:1039-1858)."""
+    n = len(unitigs)
+    if n == 0:
+        return PackedStrings.empty()
+    pa, pb = _candidate_port_edges_canonical(unitigs, k)
+    if not fast:
+        match = _sequential_matching(n, pa, pb)
+    else:
+        match = handshake_matching(pa, pb, 2 * n)
+
+    # Exiting port u continues through the matched partner port and leaves
+    # by that node's other side: succ[u] = match[u] ^ 1.
+    succ = np.where(match >= 0, match ^ 1, -1)
+    if fast:
+        succ = _break_cycles(succ, match, oriented=True)
+    return _emit_matched_paths(unitigs, k, succ)
+
+
+def get_spss_from_unitigs(unitigs: PackedStrings, k: int) -> PackedStrings:
+    """Greedy path cover of the directed unitig graph
+    (reference: lib/core/spss.h:697-1016)."""
+    n = len(unitigs)
+    if n == 0:
+        return PackedStrings.empty()
+    ea, eb = _candidate_edges_directed(unitigs, k)
+    # Ports: out-port of i = 2i, in-port of j = 2j+1; the matching enforces
+    # <=1 selected out- and in-edge per node (reference:
+    # lib/core/spss.h:796-817).
+    match = handshake_matching(2 * ea, 2 * eb + 1, 2 * n)
+    succ = np.where(match[0::2] >= 0, match[0::2] >> 1, -1)
+    succ = _break_cycles(succ, None, oriented=False)
+
+    has_in = np.zeros(n, dtype=bool)
+    has_in[succ[succ >= 0]] = True
+    starts = np.flatnonzero(~has_in)
+    nodes_sorted, group_starts, _ = _chains_from_starts(succ, starts)
+    return _emit_string_chains(unitigs, k, nodes_sorted, group_starts, oriented=False)
+
+
+# ---------------------------------------------------------------------------
+# Top-level entry points (reference: lib/core/spss.h:1018-1036,1834-1858)
+# ---------------------------------------------------------------------------
+
+
+def get_spss(kmer_set: KmerSet) -> PackedStrings:
+    unitigs = get_unitigs(kmer_set)
+    return get_spss_from_unitigs(unitigs, kmer_set.k)
+
+
+def get_spss_canonical(kmer_set: KmerSet, fast: bool = True) -> PackedStrings:
+    unitigs = get_unitigs_canonical(kmer_set)
+    return get_spss_canonical_from_unitigs(unitigs, kmer_set.k, fast)
+
+
+def get_kmer_set_from_spss(spss: PackedStrings, k: int, canonical: bool) -> KmerSet:
+    """Decode: sliding k-windows over every string
+    (reference: lib/core/spss.h:1862-1941)."""
+    return KmerSet(k, spss.all_kmers(k, canonical))
+
+
+# ---------------------------------------------------------------------------
+# Sequential reference-quality matching (fast=false) for spss-benchmark
+# ---------------------------------------------------------------------------
+
+
+def _sequential_matching(n: int, pa: np.ndarray, pb: np.ndarray) -> np.ndarray:
+    """Single-threaded greedy path extension, the reference's
+    higher-quality mode (reference: lib/core/spss.h:1208-1356).  Exists for
+    the spss-benchmark A/B comparison; not a production path."""
+    adj: List[List[int]] = [[] for _ in range(2 * n)]
+    for a, b in zip(pa.tolist(), pb.tolist()):
+        adj[a].append(b)
+        adj[b].append(a)
+    match = np.full(2 * n, -1, dtype=np.int64)
+
+    for i in range(n):
+        if match[2 * i] >= 0 or match[2 * i + 1] >= 0:
+            continue
+        if adj[2 * i]:
+            port = 2 * i
+        elif adj[2 * i + 1]:
+            port = 2 * i + 1
+        else:
+            continue
+        while True:
+            if match[port] >= 0:
+                break
+            nxt = -1
+            for q in adj[port]:
+                if (q >> 1) == i:  # would close a loop with the path start
+                    continue
+                if match[q] >= 0:
+                    continue
+                nxt = q
+                break
+            if nxt < 0:
+                break
+            match[port] = nxt
+            match[nxt] = port
+            port = nxt ^ 1
+    return match

@@ -1,0 +1,113 @@
+"""PackedStrings: a ragged set of DNA strings as flat 2-bit codes + offsets.
+
+The reference passes std::vector<std::string> of ACGT text between SPSS
+phases (reference: lib/core/spss.h).  The TPU-native layout is structure-of-
+arrays: one flat array of 2-bit base codes plus an offsets array, so
+whole-set operations (complement, k-mer window extraction, concatenation)
+are single vectorized passes instead of per-string loops.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List
+
+import numpy as np
+
+from . import kmer as kmer_ops
+
+
+class PackedStrings:
+    """Flat code array + offsets; string i is codes[offsets[i]:offsets[i+1]]."""
+
+    __slots__ = ("codes", "offsets")
+
+    def __init__(self, codes: np.ndarray, offsets: np.ndarray):
+        self.codes = np.asarray(codes, dtype=np.uint8)
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+
+    @classmethod
+    def empty(cls) -> "PackedStrings":
+        return cls(np.empty(0, np.uint8), np.zeros(1, np.int64))
+
+    @classmethod
+    def from_strings(cls, strings: Iterable[str]) -> "PackedStrings":
+        strings = list(strings)
+        blob = "".join(strings).encode()
+        codes = kmer_ops.BASE_TO_CODE[np.frombuffer(blob, dtype=np.uint8)]
+        if codes.size and (codes > 3).any():
+            raise ValueError("strings must contain only A/C/G/T")
+        lengths = np.fromiter((len(s) for s in strings), dtype=np.int64, count=len(strings))
+        offsets = np.zeros(len(strings) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        return cls(codes, offsets)
+
+    @classmethod
+    def from_code_lists(cls, code_lists: List[np.ndarray]) -> "PackedStrings":
+        if not code_lists:
+            return cls.empty()
+        codes = np.concatenate([np.asarray(c, dtype=np.uint8) for c in code_lists])
+        lengths = np.fromiter((len(c) for c in code_lists), dtype=np.int64, count=len(code_lists))
+        offsets = np.zeros(len(code_lists) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        return cls(codes, offsets)
+
+    def __len__(self) -> int:
+        return self.offsets.shape[0] - 1
+
+    @property
+    def n(self) -> int:
+        return len(self)
+
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    def weight(self) -> int:
+        """Sum of string lengths (reference Weight,
+        lib/core/kmer_set_compact.h:115)."""
+        return int(self.offsets[-1])
+
+    def size_kmers(self, k: int) -> int:
+        """Sum of (len - k + 1) (reference Size,
+        lib/core/kmer_set_compact.h:90-112)."""
+        return int(np.sum(self.lengths() - k + 1))
+
+    def get_codes(self, i: int) -> np.ndarray:
+        return self.codes[self.offsets[i] : self.offsets[i + 1]]
+
+    def to_strings(self) -> List[str]:
+        blob = kmer_ops.CODE_TO_BASE[self.codes].tobytes().decode()
+        offs = self.offsets
+        return [blob[offs[i] : offs[i + 1]] for i in range(len(self))]
+
+    # -- whole-set transforms ---------------------------------------------
+
+    def first_kmers(self, k: int) -> np.ndarray:
+        """Packed k-prefix of every string (all lengths must be >= k)."""
+        idx = self.offsets[:-1, None] + np.arange(k)
+        return _pack(self.codes, idx, k)
+
+    def last_kmers(self, k: int) -> np.ndarray:
+        """Packed k-suffix of every string."""
+        idx = self.offsets[1:, None] - k + np.arange(k)
+        return _pack(self.codes, idx, k)
+
+    def all_kmers(self, k: int, canonical: bool) -> np.ndarray:
+        """Every k-window of every string, with duplicates — the decode
+        direction (reference GetKmerSetFromSPSS, lib/core/spss.h:1862-1941)."""
+        from .kmer_counter import extract_kmers
+
+        return extract_kmers(self.codes, self.offsets, k, canonical)
+
+
+def _pack(codes: np.ndarray, idx: np.ndarray, k: int) -> np.ndarray:
+    vals = codes[idx].astype(np.int64)
+    out = np.zeros(idx.shape[0], dtype=np.int64)
+    for j in range(k):
+        out = (out << 2) | vals[:, j]
+    return out
+
+
+def complement_codes(codes: np.ndarray) -> np.ndarray:
+    """Reverse complement of a code string (reference internal::Complement,
+    lib/core/spss.h:43-68)."""
+    return (3 - codes[::-1]).astype(np.uint8)

@@ -1,0 +1,123 @@
+"""SPSS property tests, mirroring the reference's randomized invariants
+(reference: test/spss.cc): every output string has length >= k, every k-mer
+of the input appears exactly once across the whole output, and decoding
+reproduces the input set exactly."""
+
+import numpy as np
+import pytest
+
+from kmerset_tpu.core import kmer as kc
+from kmerset_tpu.core import spss
+from kmerset_tpu.core.kmer_set import KmerSet
+from kmerset_tpu.core.strings import PackedStrings
+from kmerset_tpu.utils.random import get_random_kmer_set
+
+K = 9
+
+
+def _check_spss_invariants(kmer_set: KmerSet, out: PackedStrings, canonical: bool):
+    k = kmer_set.k
+    lens = out.lengths()
+    assert (lens >= k).all()
+    kmers = out.all_kmers(k, canonical)
+    # Freshness: every k-mer appears exactly once across the whole output
+    # (reference: test/spss.cc:33-37,62-66,117-122).
+    uniq, counts = np.unique(kmers, return_counts=True)
+    assert (counts == 1).all(), f"{np.count_nonzero(counts > 1)} duplicated k-mers"
+    # Reconstruction equality (reference: test/spss.cc:40,68,96,124).
+    np.testing.assert_array_equal(uniq, kmer_set.kmers)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_unitigs_canonical_random(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 1 << 12))
+    s = get_random_kmer_set(K, n, True, rng)
+    out = spss.get_unitigs_canonical(s)
+    _check_spss_invariants(s, out, canonical=True)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_unitigs_random(seed):
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(1, 1 << 12))
+    s = get_random_kmer_set(K, n, False, rng)
+    out = spss.get_unitigs(s)
+    _check_spss_invariants(s, out, canonical=False)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_spss_canonical_fast_random(seed):
+    rng = np.random.default_rng(200 + seed)
+    n = int(rng.integers(1, 1 << 12))
+    s = get_random_kmer_set(K, n, True, rng)
+    out = spss.get_spss_canonical(s, fast=True)
+    _check_spss_invariants(s, out, canonical=True)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_spss_canonical_slow_random(seed):
+    rng = np.random.default_rng(300 + seed)
+    n = int(rng.integers(1, 1 << 11))
+    s = get_random_kmer_set(K, n, True, rng)
+    out = spss.get_spss_canonical(s, fast=False)
+    _check_spss_invariants(s, out, canonical=True)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_spss_random(seed):
+    rng = np.random.default_rng(400 + seed)
+    n = int(rng.integers(1, 1 << 12))
+    s = get_random_kmer_set(K, n, False, rng)
+    out = spss.get_spss(s)
+    _check_spss_invariants(s, out, canonical=False)
+
+
+def test_spss_weight_not_worse_than_unitigs():
+    # The path cover must not increase total weight.
+    rng = np.random.default_rng(7)
+    s = get_random_kmer_set(K, 3000, True, rng)
+    unitigs = spss.get_unitigs_canonical(s)
+    out = spss.get_spss_canonical(s, fast=True)
+    assert out.weight() <= unitigs.weight()
+    assert len(out) <= len(unitigs)
+
+
+def test_single_kmer():
+    x = kc.string_to_kmer("ACGTACGTA")
+    can = int(kc.canonical(np.int64(x), K))
+    s = KmerSet(K, np.array([can]))
+    out = spss.get_spss_canonical(s)
+    assert len(out) == 1
+    _check_spss_invariants(s, out, canonical=True)
+
+
+def test_simple_path():
+    # One linear path: ACGTACGTAC + shifts.
+    read = "ACGTAACCGGTTACGT"
+    codes = kc.string_to_codes(read)
+    kmers = kc.canonical(kc.kmers_from_codes(codes, K), K)
+    s = KmerSet(K, kmers)
+    out = spss.get_unitigs_canonical(s)
+    _check_spss_invariants(s, out, canonical=True)
+    out2 = spss.get_spss_canonical(s)
+    _check_spss_invariants(s, out2, canonical=True)
+
+
+def test_pure_cycle():
+    # A cyclic sequence: every node has in/out degree 1.
+    base = "ACGGTCAGTT"
+    read = base * 3  # wraps around with k=9 < len(base)*2
+    codes = kc.string_to_codes(read)
+    kmers = kc.kmers_from_codes(codes, K)
+    s = KmerSet(K, kmers)
+    out = spss.get_unitigs(s)
+    _check_spss_invariants(s, out, canonical=False)
+
+
+def test_reconstruction_round_trip():
+    rng = np.random.default_rng(11)
+    s = get_random_kmer_set(K, 2000, True, rng)
+    out = spss.get_spss_canonical(s)
+    back = spss.get_kmer_set_from_spss(out, K, True)
+    assert back.equals(s)
