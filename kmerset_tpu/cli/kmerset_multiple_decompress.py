@@ -1,0 +1,63 @@
+"""kmerset-multiple-decompress: reconstruct and log each original set from
+a compressed directory (reference: src/kmerset-multiple-decompress.cc).
+
+Verification protocol (reference README.md:120-135): the logged
+Hash()/Size() per set must match the `kmerset-stat` output for the original
+inputs."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..core.config import get_config
+from ..core.kmer_set_set import KmerSetSetReader
+from ..utils import flags as flag_util
+from ..utils.log import enable_debug_logs, init_default_logger
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        description=(
+            'Decompresses the output of "kmerset-multiple-compress". '
+            "Usage: kmerset-multiple-decompress [options] <path to directory>"
+        )
+    )
+    flag_util.add_common_flags(parser)
+    parser.add_argument(
+        "--extension", default="txt", help="extension of files in folder"
+    )
+    parser.add_argument("directory", help="path to directory")
+    args = parser.parse_args(argv)
+
+    logger = init_default_logger()
+    if args.debug:
+        enable_debug_logs()
+    flag_util.check_k(args.k)
+    cfg = get_config(args.k)
+
+    logger.info("loading kmer_set_set_reader")
+    try:
+        reader = KmerSetSetReader.from_directory(
+            cfg, args.directory, args.extension, args.decompressor, args.canonical
+        )
+    except Exception as e:  # noqa: BLE001
+        logger.error("failed to load data: %s", e)
+        sys.exit(1)
+    logger.info("loaded kmer_set_set_reader")
+    logger.info("kmer_set_set_reader.Size() = %d", reader.size())
+
+    for i in range(reader.size()):
+        logger.info("constructing kmer_set: i = %d", i)
+        try:
+            kmer_set = reader.get(i)
+        except Exception as e:  # noqa: BLE001
+            logger.error("failed to construct kmer_set: %s", e)
+            sys.exit(1)
+        logger.info("constructed kmer_set: i = %d", i)
+        logger.info("kmer_set.Hash() = %d", kmer_set.hash())
+        logger.info("kmer_set.Size() = %d", kmer_set.size())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""KmerSetCompact: immutable compressed k-mer set = its SPSS strings.
+
+Mirrors the reference KmerSetCompact (reference:
+lib/core/kmer_set_compact.h:25-348).  The on-disk format is byte-compatible
+with the reference: one ACGT string per line, optionally piped through an
+external compressor (reference: kmer_set_compact.h:62-87 — Dump/Load are
+just WriteLines/ReadLines of the SPSS).
+
+In memory, strings live as a PackedStrings (flat 2-bit-code array +
+offsets) — the same information the reference packs into a vector<bool> +
+streamvbyte-compressed lengths (reference: kmer_set_compact.h:230-265);
+the sorted decoded k-mer array is cached because sampling buckets and set
+algebra are pure slicing/merging on it.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from . import io as core_io
+from . import spss as spss_mod
+from .config import KConfig
+from .kmer_set import KmerSet
+from .strings import PackedStrings
+
+
+class KmerSetCompact:
+    __slots__ = ("k", "spss", "_kmers_cache", "_cache_canonical")
+
+    def __init__(self, k: int, spss: PackedStrings):
+        self.k = k
+        self.spss = spss
+        self._kmers_cache: Optional[np.ndarray] = None
+        self._cache_canonical: Optional[bool] = None
+
+    # -- conversions (reference: kmer_set_compact.h:36-55) -----------------
+
+    @classmethod
+    def from_kmer_set(
+        cls, kmer_set: KmerSet, canonical: bool, fast: bool = True
+    ) -> "KmerSetCompact":
+        if canonical:
+            spss = spss_mod.get_spss_canonical(kmer_set, fast)
+        else:
+            spss = spss_mod.get_spss(kmer_set)
+        obj = cls(kmer_set.k, spss)
+        obj._kmers_cache = kmer_set.kmers
+        obj._cache_canonical = canonical
+        return obj
+
+    def to_kmer_set(self, canonical: bool) -> KmerSet:
+        return KmerSet(self.k, self.kmers(canonical), _sorted=True)
+
+    def kmers(self, canonical: bool) -> np.ndarray:
+        """Sorted unique decoded k-mers (cached)."""
+        if self._kmers_cache is None or self._cache_canonical != canonical:
+            raw = self.spss.all_kmers(self.k, canonical)
+            self._kmers_cache = np.unique(raw)
+            self._cache_canonical = canonical
+        return self._kmers_cache
+
+    # -- persistence (reference: kmer_set_compact.h:57-87) -----------------
+
+    def dump(self, file_name: str, compressor: str = "") -> None:
+        core_io.write_lines(file_name, compressor, self.spss.to_strings())
+
+    @classmethod
+    def load(cls, k: int, file_name: str, decompressor: str = "") -> "KmerSetCompact":
+        lines = core_io.read_lines(file_name, decompressor)
+        if lines == [""]:
+            lines = []
+        return cls(k, PackedStrings.from_strings(lines))
+
+    # -- metrics (reference: kmer_set_compact.h:89-115) --------------------
+
+    def size(self) -> int:
+        """Number of stored k-mers: sum of (len - k + 1)."""
+        return self.spss.size_kmers(self.k)
+
+    def weight(self) -> int:
+        """Sum of string lengths (pre-compression byte estimate)."""
+        return self.spss.weight()
+
+    # -- similarity sketch (reference: kmer_set_compact.h:117-203) ---------
+
+    def sampled_kmers(
+        self, config: KConfig, bucket_ids: np.ndarray, canonical: bool
+    ) -> np.ndarray:
+        """Sorted k-mers whose bucket id (high N bits) is in bucket_ids.
+
+        The reference materializes per-bucket sorted key vectors; with a
+        sorted array representation the sample is contiguous slicing."""
+        return self.to_kmer_set(canonical).sample_buckets(config, bucket_ids)

@@ -1,0 +1,81 @@
+"""Shared CLI flag plumbing (reference: lib/flags.h:12-53).
+
+argparse stand-in for absl::flags with the same flag surface and help
+strings; boolean flags accept --flag / --noflag / --flag=true|false like
+absl.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List
+
+from ..core.config import CLI_SUPPORTED_K
+
+FLAG_MESSAGES = {
+    "k": "the length of k-mers",
+    "debug": "enable debugging messages",
+    "compressor": (
+        'a program to compress output files; e.g., "bzip2" for bzip2, '
+        '"gzip" for gzip, and "" for no compression'
+    ),
+    "decompressor": (
+        'a program to decompress input files; e.g., "bzip2 -d" for bzip2, '
+        '"gzip -d" for gzip, and "" for no decompression'
+    ),
+    "workers": "number of threads to use",
+    "canonical": "set this flag when handling canonical k-mers",
+}
+
+
+def get_flag_message(name: str) -> str:
+    return FLAG_MESSAGES.get(name, "")
+
+
+def _str2bool(v: str) -> bool:
+    if v.lower() in ("true", "t", "1", "yes"):
+        return True
+    if v.lower() in ("false", "f", "0", "no"):
+        return False
+    raise argparse.ArgumentTypeError(f"invalid boolean: {v}")
+
+
+def add_bool_flag(parser: argparse.ArgumentParser, name: str, default: bool, help_: str):
+    parser.add_argument(
+        f"--{name}",
+        nargs="?",
+        const=True,
+        default=default,
+        type=_str2bool,
+        help=help_,
+    )
+    parser.add_argument(
+        f"--no{name}", dest=name, action="store_false", help=argparse.SUPPRESS
+    )
+
+
+def add_common_flags(
+    parser: argparse.ArgumentParser,
+    *,
+    compressor: bool = False,
+    canonical: bool = True,
+) -> None:
+    parser.add_argument("--k", type=int, default=15, help=get_flag_message("k"))
+    add_bool_flag(parser, "debug", False, get_flag_message("debug"))
+    parser.add_argument(
+        "--decompressor", default="", help=get_flag_message("decompressor")
+    )
+    if compressor:
+        parser.add_argument(
+            "--compressor", default="", help=get_flag_message("compressor")
+        )
+    parser.add_argument(
+        "--workers", type=int, default=1, help=get_flag_message("workers")
+    )
+    if canonical:
+        add_bool_flag(parser, "canonical", True, get_flag_message("canonical"))
+
+
+def check_k(k: int) -> None:
+    if k not in CLI_SUPPORTED_K:
+        raise SystemExit(f"unsupported k value: {k}")

@@ -1,0 +1,150 @@
+"""End-to-end CLI tests: the full build -> stat -> multiple-compress ->
+multiple-decompress round trip, with hash verification exactly as the
+reference README prescribes (reference: README.md:42-163)."""
+
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from kmerset_tpu.core import kmer as kc
+from kmerset_tpu.utils.random import get_random_read
+
+
+def _run(args, **kw):
+    return subprocess.run(
+        [sys.executable, "-m", args[0], *args[1:]],
+        capture_output=True,
+        text=True,
+        **kw,
+    )
+
+
+def _write_fasta(path, reads):
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">{i}\n{r}\n")
+
+
+@pytest.fixture(scope="module")
+def genome_reads():
+    rng = np.random.default_rng(0)
+    genome = kc.codes_to_string(rng.integers(0, 4, size=3000).astype(np.uint8))
+    reads = [genome[i : i + 120] for i in range(0, len(genome) - 120, 37)]
+    return genome, reads
+
+
+def test_build_stat_roundtrip(tmp_path, genome_reads):
+    genome, reads = genome_reads
+    fasta = str(tmp_path / "reads.fasta")
+    _write_fasta(fasta, reads)
+    out = str(tmp_path / "set.txt")
+
+    r = _run(
+        ["kmerset_tpu.cli.kmerset_build", "--k", "15", "--check", "--out", out, fasta]
+    )
+    assert r.returncode == 0, r.stderr
+    assert "kmer_set_compact -> KmerSet: ok" in r.stderr
+
+    r2 = _run(["kmerset_tpu.cli.kmerset_stat", "--k", "15", out])
+    assert r2.returncode == 0, r2.stderr
+    i, f, size, hash_ = r2.stdout.strip().split("\t")
+    assert i == "0" and f == out
+    assert int(size) > 0
+
+    # Hash printed by build must equal hash printed by stat.
+    m = re.search(r"kmer_set\.Hash\(\) = (\d+)", r.stderr)
+    assert m and m.group(1) == hash_
+
+
+def test_build_gzip_and_cutoff(tmp_path, genome_reads):
+    genome, reads = genome_reads
+    fasta = str(tmp_path / "reads.fasta.gz")
+    data = "".join(f">{i}\n{r}\n" for i, r in enumerate(reads))
+    subprocess.run(f"gzip > {fasta}", shell=True, input=data.encode(), check=True)
+    out = str(tmp_path / "set.txt.gz")
+    r = _run(
+        [
+            "kmerset_tpu.cli.kmerset_build",
+            "--k", "23",
+            "--decompressor", "gzip -d",
+            "--compressor", "gzip",
+            "--cutoff", "2",
+            "--check",
+            "--out", out,
+            fasta,
+        ]
+    )
+    assert r.returncode == 0, r.stderr
+    r2 = _run(
+        ["kmerset_tpu.cli.kmerset_stat", "--k", "23", "--decompressor", "gzip -d", out]
+    )
+    assert r2.returncode == 0, r2.stderr
+
+
+def test_multiple_compress_decompress(tmp_path, genome_reads):
+    genome, reads = genome_reads
+    # 4 related sets: shared genome core + private mutations.
+    rng = np.random.default_rng(1)
+    set_files = []
+    stat_lines = []
+    for s in range(4):
+        extra = kc.codes_to_string(rng.integers(0, 4, size=400).astype(np.uint8))
+        fasta = str(tmp_path / f"r{s}.fasta")
+        _write_fasta(fasta, reads + [extra])
+        out = str(tmp_path / f"s{s}.txt")
+        r = _run(["kmerset_tpu.cli.kmerset_build", "--k", "15", "--out", out, fasta])
+        assert r.returncode == 0, r.stderr
+        set_files.append(out)
+    r = _run(["kmerset_tpu.cli.kmerset_stat", "--k", "15", *set_files])
+    assert r.returncode == 0
+    stats = [line.split("\t") for line in r.stdout.strip().splitlines()]
+
+    outdir = str(tmp_path / "compressed")
+    dot = str(tmp_path / "g.dot")
+    r = _run(
+        [
+            "kmerset_tpu.cli.kmerset_multiple_compress",
+            "--k", "15",
+            "--out", outdir,
+            "--out_graph", dot,
+            *set_files,
+        ]
+    )
+    assert r.returncode == 0, r.stderr
+    dot_text = open(dot).read()
+    assert dot_text.startswith("digraph G {")
+
+    r = _run(
+        ["kmerset_tpu.cli.kmerset_multiple_decompress", "--k", "15", outdir]
+    )
+    assert r.returncode == 0, r.stderr
+    hashes = re.findall(r"kmer_set\.Hash\(\) = (\d+)", r.stderr)
+    sizes = re.findall(r"kmer_set\.Size\(\) = (\d+)", r.stderr)
+    # First 4 reconstructed sets must match the stat output of the originals.
+    for i in range(4):
+        assert hashes[i] == stats[i][3], f"hash mismatch for set {i}"
+        assert sizes[i] == stats[i][2], f"size mismatch for set {i}"
+
+
+def test_spss_benchmark(tmp_path, genome_reads):
+    genome, reads = genome_reads
+    fasta = str(tmp_path / "reads.fasta")
+    _write_fasta(fasta, reads)
+    out = str(tmp_path / "set.txt")
+    r = _run(["kmerset_tpu.cli.kmerset_build", "--k", "15", "--out", out, fasta])
+    assert r.returncode == 0
+    r = _run(["kmerset_tpu.cli.spss_benchmark", "--k", "15", "--repeats", "1", out])
+    assert r.returncode == 0, r.stderr
+    fields = r.stdout.strip().split()
+    # t1 w1 t1' ok1 t2 w2 t2' ok2
+    assert len(fields) == 8
+    assert fields[3] == "1" and fields[7] == "1"
+
+
+def test_unsupported_k():
+    r = _run(["kmerset_tpu.cli.kmerset_build", "--k", "14", "/dev/null"])
+    assert r.returncode != 0
+    assert "unsupported k value" in (r.stderr + r.stdout)

@@ -1,0 +1,67 @@
+"""KmerSetCompact round-trip tests (reference: test/kmer_set_compact.cc)."""
+
+import numpy as np
+import pytest
+
+from kmerset_tpu.core.config import get_config
+from kmerset_tpu.core.kmer_set_compact import KmerSetCompact
+from kmerset_tpu.utils.random import get_random_kmer_set
+
+K = 9
+
+
+@pytest.mark.parametrize("canonical", [True, False])
+def test_round_trip_memory(canonical):
+    rng = np.random.default_rng(0 if canonical else 1)
+    s = get_random_kmer_set(K, 2000, canonical, rng)
+    compact = KmerSetCompact.from_kmer_set(s, canonical)
+    back = compact.to_kmer_set(canonical)
+    assert back.equals(s)
+    assert compact.size() == s.size()
+
+
+@pytest.mark.parametrize("compressor,decompressor", [("", ""), ("gzip", "gzip -d")])
+def test_dump_load(tmp_path, compressor, decompressor):
+    rng = np.random.default_rng(2)
+    s = get_random_kmer_set(K, 1500, True, rng)
+    compact = KmerSetCompact.from_kmer_set(s, True)
+    path = str(tmp_path / "x.txt")
+    compact.dump(path, compressor)
+    loaded = KmerSetCompact.load(K, path, decompressor)
+    assert loaded.to_kmer_set(True).equals(s)
+    assert loaded.weight() == compact.weight()
+
+
+def test_dump_format_is_plain_strings(tmp_path):
+    # Byte-compat with the reference: one ACGT string per line.
+    rng = np.random.default_rng(3)
+    s = get_random_kmer_set(K, 200, True, rng)
+    compact = KmerSetCompact.from_kmer_set(s, True)
+    path = str(tmp_path / "x.txt")
+    compact.dump(path, "")
+    lines = open(path).read().splitlines()
+    assert lines == compact.spss.to_strings()
+    assert all(set(line) <= set("ACGT") for line in lines)
+    assert all(len(line) >= K for line in lines)
+
+
+def test_sampling(tmp_path):
+    rng = np.random.default_rng(4)
+    cfg = get_config(K, 10)
+    s = get_random_kmer_set(K, 3000, True, rng)
+    compact = KmerSetCompact.from_kmer_set(s, True)
+    bucket_ids = np.array([1, 5, 700])
+    sample = compact.sampled_kmers(cfg, bucket_ids, True)
+    expected = s.sample_buckets(cfg, bucket_ids)
+    np.testing.assert_array_equal(sample, expected)
+
+
+def test_empty_set(tmp_path):
+    from kmerset_tpu.core.kmer_set import KmerSet
+
+    compact = KmerSetCompact.from_kmer_set(KmerSet(K), True)
+    assert compact.size() == 0 and compact.weight() == 0
+    path = str(tmp_path / "empty.txt")
+    compact.dump(path, "")
+    loaded = KmerSetCompact.load(K, path, "")
+    assert loaded.size() == 0

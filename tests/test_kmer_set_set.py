@@ -1,0 +1,107 @@
+"""KmerSetSet tests (reference: test/kmer_set_set.cc:15-123)."""
+
+import numpy as np
+import pytest
+
+from kmerset_tpu.core import kmer as kc
+from kmerset_tpu.core.config import get_config
+from kmerset_tpu.core.kmer_set import KmerSet
+from kmerset_tpu.core.kmer_set_compact import KmerSetCompact
+from kmerset_tpu.core.kmer_set_set import (
+    KmerSetSet,
+    KmerSetSetReader,
+    deserialize_adjacency_list,
+    serialize_adjacency_list,
+)
+from kmerset_tpu.utils.random import get_random_kmer_set, get_random_read
+
+K = 9
+CFG = get_config(K, 10)
+
+
+def _related_sets(n_sets, rng):
+    """Sets sharing a common core so the compressor has intersections to
+    factor (the reference's random sets are unrelated; these are a harder
+    and more realistic test of the greedy loop)."""
+    core = get_random_kmer_set(K, 2000, True, rng)
+    sets = []
+    for _ in range(n_sets):
+        extra = get_random_kmer_set(K, 500, True, rng)
+        sets.append(core.union(extra))
+    return sets
+
+
+def test_adjacency_list_round_trip():
+    adj = {0: [3, 4], 1: [4], 7: []}
+    s = serialize_adjacency_list(adj)
+    assert deserialize_adjacency_list(s) == adj
+    # Format check: digits and spaces only (reference: kmer_set_set.h:43-45).
+    assert set(s) <= set("0123456789 ")
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_compress_get_round_trip(seed):
+    rng = np.random.default_rng(seed)
+    originals = _related_sets(4, rng)
+    compacts = [KmerSetCompact.from_kmer_set(s, True) for s in originals]
+    kss = KmerSetSet(compacts, True, CFG, seed=42)
+    assert kss.size() >= 4
+    for i, orig in enumerate(originals):
+        assert kss.get(i, True).equals(orig), f"set {i} mismatch"
+
+
+def test_compression_reduces_weight():
+    rng = np.random.default_rng(5)
+    originals = _related_sets(4, rng)
+    compacts = [KmerSetCompact.from_kmer_set(s, True) for s in originals]
+    before = sum(c.weight() for c in compacts)
+    kss = KmerSetSet([KmerSetCompact(K, c.spss) for c in compacts], True, CFG, seed=1)
+    after = sum(c.weight() for c in kss.kmer_sets_compact_)
+    # Shared cores factored out once instead of stored 4 times.
+    assert after < before
+
+
+def test_dump_load_reader(tmp_path):
+    rng = np.random.default_rng(7)
+    originals = _related_sets(3, rng)
+    compacts = [KmerSetCompact.from_kmer_set(s, True) for s in originals]
+    kss = KmerSetSet(compacts, True, CFG, seed=3)
+
+    d = str(tmp_path / "out")
+    kss.dump(d, "", "txt")
+
+    loaded = KmerSetSet.load(CFG, d, "", "txt", True)
+    for i, orig in enumerate(originals):
+        assert loaded.get(i, True).equals(orig)
+
+    reader = KmerSetSetReader.from_directory(CFG, d, "txt", "", True)
+    assert reader.size() == kss.size()
+    for i, orig in enumerate(originals):
+        assert reader.get(i).equals(orig)
+
+
+def test_dump_graph(tmp_path):
+    rng = np.random.default_rng(9)
+    originals = _related_sets(3, rng)
+    compacts = [KmerSetCompact.from_kmer_set(s, True) for s in originals]
+    kss = KmerSetSet(compacts, True, CFG, seed=3)
+    path = str(tmp_path / "g.dot")
+    kss.dump_graph(path)
+    lines = open(path).read().splitlines()
+    assert lines[0] == "digraph G {" and lines[-1] == "}"
+    assert all("->" in line for line in lines[1:-1])
+
+
+def test_deterministic():
+    rng = np.random.default_rng(11)
+    originals = _related_sets(3, rng)
+
+    def run():
+        compacts = [KmerSetCompact.from_kmer_set(s, True) for s in originals]
+        return KmerSetSet(compacts, True, CFG, seed=5)
+
+    a, b = run(), run()
+    assert a.children_ == b.children_
+    assert [c.weight() for c in a.kmer_sets_compact_] == [
+        c.weight() for c in b.kmer_sets_compact_
+    ]
