@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark: k-mer counting throughput of the fused device pipeline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the flagship single-chip step (window pack -> reverse complement ->
+canonical min -> sort -> segment count -> cutoff filter; the hot path of
+kmerset-build, reference: lib/core/kmer_counter.h:80-133) on the default
+JAX device (the TPU under axon; CPU otherwise).
+
+Baseline: the reference publishes no numbers (BASELINE.md) and its binaries
+cannot be built here (its C++ deps need network).  The stand-in baseline is
+this machine's vectorized NumPy host path on identical data, scaled x8 to
+approximate the reference's 8-thread configuration — the north-star target
+is >= 8x that (BASELINE.json).  vs_baseline = device_rate / (8 * host_rate).
+
+Input data is generated on device: the axon relay's host<->device link is
+~KB/s, which would otherwise dominate; production streaming uses real PJRT
+transfers.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+K = 15
+N_WINDOWS = 1 << 22  # 4M k-mers per step
+
+
+def host_rate(codes: np.ndarray, k: int) -> float:
+    from kmerset_tpu.core import kmer as kc
+
+    t0 = time.perf_counter()
+    w = kc.kmers_from_codes(codes.astype(np.int64), k)
+    can = kc.canonical(w, k)
+    np.unique(can, return_counts=True)
+    return w.shape[0] / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from kmerset_tpu.ops.count import count_to_set
+
+    rng = np.random.default_rng(0)
+    codes_h = rng.integers(0, 4, size=N_WINDOWS + K - 1).astype(np.int32)
+    h_rate = host_rate(codes_h, K)
+    print(f"host (numpy, 1 core): {h_rate/1e6:.2f} Mkmers/s", file=sys.stderr)
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    @jax.jit
+    def gen(key):
+        return jax.random.randint(key, (N_WINDOWS + K - 1,), 0, 4, dtype=jnp.int32)
+
+    codes = gen(jax.random.key(0))
+    codes.block_until_ready()
+    valid = jnp.ones(N_WINDOWS + K - 1, dtype=bool).at[-(K - 1) :].set(False)
+
+    def step(c, v):
+        return count_to_set(c, v, K, True, 1)
+
+    t0 = time.perf_counter()
+    out = step(codes, valid)
+    jax.block_until_ready(out)
+    print(f"compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    n_kept = int(out[1])
+    assert n_kept > 0
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step(codes, valid)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    rate = N_WINDOWS / dt
+    print(f"device: {rate/1e6:.2f} Mkmers/s ({dt*1e3:.1f} ms/step)", file=sys.stderr)
+
+    baseline = 8.0 * h_rate
+    print(
+        json.dumps(
+            {
+                "metric": "count_kmers_per_sec",
+                "value": rate,
+                "unit": "kmers/s",
+                "vs_baseline": rate / baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

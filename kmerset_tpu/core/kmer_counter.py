@@ -89,6 +89,15 @@ class KmerCounter:
         value_max: int = DEFAULT_VALUE_MAX,
     ) -> "KmerCounter":
         codes, offsets = core_io.reads_to_codes(reads)
+        n_windows = max(0, codes.shape[0] - k + 1)
+        if n_windows:
+            from ..ops import backend
+
+            if backend.should_use_device(n_windows):
+                result = backend.device_count(codes, offsets, k, canonical)
+                if result is not None:
+                    uniq, counts = result
+                    return cls(k, uniq, np.minimum(counts, value_max), value_max)
         kmers = extract_kmers(codes, offsets, k, canonical)
         uniq, counts = np.unique(kmers, return_counts=True)
         return cls(k, uniq, np.minimum(counts, value_max), value_max)

@@ -1,0 +1,56 @@
+"""Backend selection: host NumPy vs device (TPU) for the counting path.
+
+Policy: the device pipeline pays jax import + compile + transfer overhead,
+so it only wins for large inputs.  The threshold is overridable via
+KMERSET_TPU_MIN_DEVICE_WINDOWS; KMERSET_TPU_FORCE_BACKEND=host|device
+forces a side (tests force host implicitly by running tiny inputs).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+DEFAULT_MIN_DEVICE_WINDOWS = 1 << 21
+
+
+def _threshold() -> int:
+    return int(
+        os.environ.get("KMERSET_TPU_MIN_DEVICE_WINDOWS", DEFAULT_MIN_DEVICE_WINDOWS)
+    )
+
+
+def should_use_device(n_windows: int) -> bool:
+    force = os.environ.get("KMERSET_TPU_FORCE_BACKEND", "")
+    if force == "host":
+        return False
+    if force == "device":
+        return True
+    return n_windows >= _threshold()
+
+
+def device_count(
+    codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Counts k-mers on the accelerator; returns (uniq, counts) or None if
+    the device path is unavailable (caller falls back to host)."""
+    try:
+        import jax
+
+        from .count import SENTINEL, count_kmers, window_validity
+    except Exception:  # noqa: BLE001 - any jax failure => host fallback
+        return None
+    try:
+        total = codes.shape[0]
+        if total < k:
+            return None
+        valid = window_validity(offsets, total, k)
+        uniq, counts, n_unique = count_kmers(
+            codes.astype(np.int32), valid, k, canonical
+        )
+        n = int(n_unique)
+        return np.asarray(uniq[:n]), np.asarray(counts[:n], dtype=np.int64)
+    except Exception:  # noqa: BLE001
+        return None

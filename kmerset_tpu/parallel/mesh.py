@@ -1,0 +1,123 @@
+"""Multi-device sharding: the distributed backend the reference never had.
+
+The reference is single-node shared-memory only (SURVEY.md §5.8); all of
+its parallelism is thread pools + mutexes.  The TPU-native scale-out story
+implemented here:
+
+- 1-D device mesh over axis "kv" (k-mer space).  The k-mer key range is
+  the shard axis — the same top-bits decomposition the reference uses for
+  its lock-free buckets (reference: lib/core/kmer_set.h:20-31), so every
+  device owns a contiguous range of the sorted k-mer space.
+- counting: each device window-packs + canonicalizes its shard of the
+  input (data parallel), then a radix exchange over ICI
+  (`lax.all_to_all`) re-shards candidates by key range so each device
+  sort/unique-counts only its owned range.
+- reductions: sizes via psum, the order-independent XOR set hash via
+  all_gather + local XOR (XOR is commutative; psum would not preserve it).
+
+This replaces the reference's thread-local-buffer + try_lock merge
+(reference: lib/core/kmer_counter.h:105-126) with collective re-sharding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.count import SENTINEL, canonical_windows
+
+AXIS = "kv"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def _owner_edges(k: int, n_dev: int) -> np.ndarray:
+    """Key-range boundaries: device d owns [edges[d], edges[d+1])."""
+    space = 1 << (2 * k)
+    return np.arange(n_dev + 1, dtype=np.int64) * (space // n_dev) + np.minimum(
+        np.arange(n_dev + 1, dtype=np.int64), space % n_dev
+    )
+
+
+def sharded_count_fn(mesh: Mesh, k: int, canonical: bool, capacity: int):
+    """Builds the jitted multi-device counting step.
+
+    Input (per device): codes_local (L,) int32, valid_local (L,) bool.
+    Output (per device): owned sorted unique kmers (capacity,), counts,
+    n_unique, and the global (replicated) total size.
+
+    capacity: max k-mers any (src, dst) pair may exchange; overflow drops
+    are counted and returned so callers can retry with a larger capacity.
+    """
+    n_dev = mesh.devices.size
+    edges = _owner_edges(k, n_dev)
+
+    def step(codes_local, valid_local):
+        can = canonical_windows(codes_local, k, canonical)
+        key = jnp.where(valid_local, can, SENTINEL)
+        s = jnp.sort(key)
+        # Destination ranges: sorted keys are already grouped by owner.
+        bounds = jnp.searchsorted(s, jnp.asarray(edges[1:-1]))
+        lo = jnp.concatenate([jnp.zeros(1, jnp.int64), bounds])
+        n_valid = jnp.sum(key != SENTINEL)
+        hi = jnp.concatenate([bounds, n_valid[None]])
+        # Build fixed-capacity send buffer (n_dev, capacity).
+        slot = jnp.arange(capacity, dtype=jnp.int64)[None, :]
+        src_idx = lo[:, None] + slot
+        in_range = src_idx < hi[:, None]
+        gathered = s[jnp.clip(src_idx, 0, s.shape[0] - 1)]
+        send = jnp.where(in_range, gathered, SENTINEL)
+        dropped = jnp.sum(jnp.maximum(hi - lo - capacity, 0))
+
+        recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0, tiled=False)
+        mine = jnp.sort(recv.reshape(-1))
+        prev = jnp.concatenate([jnp.full((1,), -1, dtype=mine.dtype), mine[:-1]])
+        live = mine != SENTINEL
+        boundary = live & (mine != prev)
+        seg = jnp.cumsum(boundary) - 1
+        m = mine.shape[0]
+        counts = jnp.zeros(m, dtype=jnp.int32).at[
+            jnp.where(live, seg, m)
+        ].add(1, mode="drop")
+        uniq = jnp.full(m, SENTINEL, dtype=jnp.int64).at[
+            jnp.where(boundary, seg, m)
+        ].set(mine, mode="drop")
+        n_unique = jnp.sum(boundary)
+        total = jax.lax.psum(n_unique, AXIS)
+        dropped_total = jax.lax.psum(dropped, AXIS)
+        return uniq, counts, n_unique[None], total[None], dropped_total[None]
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_hash_fn(mesh: Mesh):
+    """Order-independent XOR hash of a key-range-sharded sorted set
+    (reference Hash semantics, lib/core/kmer_set.h:221-244): per-device
+    XOR, then all_gather + XOR across devices."""
+
+    def step(kmers_local):
+        live = kmers_local != SENTINEL
+        h = jnp.bitwise_xor.reduce(jnp.where(live, kmers_local, 0))
+        all_h = jax.lax.all_gather(h, AXIS)
+        return jnp.bitwise_xor.reduce(all_h)[None]
+
+    sharded = jax.shard_map(
+        step, mesh=mesh, in_specs=(P(AXIS),), out_specs=P(), check_vma=False
+    )
+    return jax.jit(sharded)

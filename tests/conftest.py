@@ -9,3 +9,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon sitecustomize registers the TPU plugin in every interpreter and
+# pins the platform programmatically, overriding the env var — so force the
+# config at jax import time too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
