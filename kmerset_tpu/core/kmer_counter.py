@@ -72,8 +72,55 @@ class KmerCounter:
         cls, k: int, file_name: str, decompressor: str, canonical: bool,
         value_max: int = DEFAULT_VALUE_MAX,
     ) -> "KmerCounter":
+        # Fast path: one native pass FASTA bytes -> codes + offsets
+        # (native/kmerio.c), skipping Python line splitting entirely.
+        from . import native
+
+        if native.get_lib() is not None:
+            try:
+                if decompressor:
+                    import subprocess
+
+                    proc = subprocess.run(
+                        f"{decompressor} < {file_name}", shell=True, capture_output=True
+                    )
+                    if proc.returncode != 0:
+                        raise core_io.IOError_(
+                            f"process failed with non-zero exit code: {proc.returncode}"
+                        )
+                    data = proc.stdout
+                else:
+                    with open(file_name, "rb") as f:
+                        data = f.read()
+            except OSError as e:
+                raise core_io.IOError_(f"failed to open file: {file_name}") from e
+            try:
+                parsed = native.parse_fasta_bytes(data)
+            except ValueError as e:
+                raise core_io.IOError_(str(e)) from e
+            if parsed is not None:
+                codes, offsets = parsed
+                return cls._from_codes(k, codes, offsets, canonical, value_max)
         lines = core_io.read_lines(file_name, decompressor)
         return cls.from_fasta_lines(k, lines, canonical, value_max)
+
+    @classmethod
+    def _from_codes(
+        cls, k: int, codes: np.ndarray, offsets: np.ndarray, canonical: bool,
+        value_max: int = DEFAULT_VALUE_MAX,
+    ) -> "KmerCounter":
+        n_windows = max(0, codes.shape[0] - k + 1)
+        if n_windows:
+            from ..ops import backend
+
+            if backend.should_use_device(n_windows):
+                result = backend.device_count(codes, offsets, k, canonical)
+                if result is not None:
+                    uniq, counts = result
+                    return cls(k, uniq, np.minimum(counts, value_max), value_max)
+        kmers = extract_kmers(codes, offsets, k, canonical)
+        uniq, counts = np.unique(kmers, return_counts=True)
+        return cls(k, uniq, np.minimum(counts, value_max), value_max)
 
     @classmethod
     def from_fasta_lines(
@@ -89,18 +136,7 @@ class KmerCounter:
         value_max: int = DEFAULT_VALUE_MAX,
     ) -> "KmerCounter":
         codes, offsets = core_io.reads_to_codes(reads)
-        n_windows = max(0, codes.shape[0] - k + 1)
-        if n_windows:
-            from ..ops import backend
-
-            if backend.should_use_device(n_windows):
-                result = backend.device_count(codes, offsets, k, canonical)
-                if result is not None:
-                    uniq, counts = result
-                    return cls(k, uniq, np.minimum(counts, value_max), value_max)
-        kmers = extract_kmers(codes, offsets, k, canonical)
-        uniq, counts = np.unique(kmers, return_counts=True)
-        return cls(k, uniq, np.minimum(counts, value_max), value_max)
+        return cls._from_codes(k, codes, offsets, canonical, value_max)
 
     # -- incremental adds (reference Add, lib/core/kmer_counter.h:257-264) --
 

@@ -11,8 +11,13 @@ All shapes are static: invalid windows (crossing fragment boundaries, or
 padding) carry a sentinel key that sorts to the end; `n_unique` marks the
 live prefix of the outputs.
 
-Uses int64 keys (2k <= 62 bits).  jax x64 mode is enabled on import of
-this module.
+Key representation: TPU has no native int64 (s64 is emulated), so for
+k <= 23 the pipeline runs entirely on (hi, lo) int32 pairs — hi holds the
+first ceil(k/2) bases, lo the rest (<= 24 bits each for the CLI k's) — and
+sorts lexicographically with lax.sort(num_keys=2).  This is the int32-packed
+kernel layout the bucket/key decomposition of the reference suggests
+(reference: lib/core/kmer_set.h:20-31).  k > 23 falls back to int64 keys
+(x64 mode is enabled on import).
 """
 
 from __future__ import annotations
@@ -26,39 +31,73 @@ import numpy as np
 jax.config.update("jax_enable_x64", True)
 
 SENTINEL = np.int64((1 << 62) - 1)
+PAIR_MAX_K = 23
+_HI_SENT = np.int32(1 << 30)
 
 
-def _pack_windows(codes: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Packs every k-window of a code sequence; windows starting in the
-    last k-1 positions wrap garbage and must be masked by the caller."""
-    n = codes.shape[0]
-    out = jnp.zeros(n, dtype=jnp.int64)
-    c = codes.astype(jnp.int64)
-    for j in range(k):
-        shifted = jnp.roll(c, -j) if j else c
+def _khi(k: int) -> int:
+    return (k + 1) // 2
+
+
+def _pack_span(codes: jnp.ndarray, positions: range, dtype) -> jnp.ndarray:
+    """Packs codes[p + q] for q in `positions` (first listed = most
+    significant lane) for every window start p, via shifted rolls."""
+    out = jnp.zeros(codes.shape[0], dtype=dtype)
+    c = codes.astype(dtype)
+    for q in positions:
+        shifted = jnp.roll(c, -q) if q else c
         out = (out << 2) | shifted
     return out
 
 
-def _pack_windows_rc(codes: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Packs the reverse complement of every k-window: base t of rc-window
-    at p is 3 - codes[p + k - 1 - t]."""
-    n = codes.shape[0]
-    out = jnp.zeros(n, dtype=jnp.int64)
-    c = (3 - codes).astype(jnp.int64)
-    for j in range(k):
-        # rc base order: positions p+k-1, p+k-2, ..., p
-        shifted = jnp.roll(c, -(k - 1 - j))
+def _pack_span_rc(codes: jnp.ndarray, positions: range, dtype) -> jnp.ndarray:
+    """Same but for the reverse complement: base t of the rc-window is
+    3 - codes[p + k - 1 - t], so `positions` are given already reflected."""
+    out = jnp.zeros(codes.shape[0], dtype=dtype)
+    c = (3 - codes).astype(dtype)
+    for q in positions:
+        shifted = jnp.roll(c, -q) if q else c
         out = (out << 2) | shifted
     return out
+
+
+def _pair_windows(codes: jnp.ndarray, k: int, canonical: bool):
+    """(hi, lo) int32 canonical window keys."""
+    kh = _khi(k)
+    hi = _pack_span(codes, range(0, kh), jnp.int32)
+    lo = _pack_span(codes, range(kh, k), jnp.int32)
+    if not canonical:
+        return hi, lo
+    # rc base t = 3 - codes[p + k - 1 - t]; hi spans t in [0, kh),
+    # lo spans t in [kh, k).
+    rhi = _pack_span_rc(codes, range(k - 1, k - 1 - kh, -1), jnp.int32)
+    rlo = _pack_span_rc(codes, range(k - 1 - kh, -1, -1), jnp.int32)
+    less = (rhi < hi) | ((rhi == hi) & (rlo < lo))
+    return jnp.where(less, rhi, hi), jnp.where(less, rlo, lo)
+
+
+def _int64_windows(codes: jnp.ndarray, k: int, canonical: bool) -> jnp.ndarray:
+    fwd = _pack_span(codes, range(0, k), jnp.int64)
+    if not canonical:
+        return fwd
+    rc = _pack_span_rc(codes, range(k - 1, -1, -1), jnp.int64)
+    return jnp.minimum(fwd, rc)
 
 
 def canonical_windows(codes: jnp.ndarray, k: int, canonical: bool) -> jnp.ndarray:
-    fwd = _pack_windows(codes, k)
-    if not canonical:
-        return fwd
-    rc = _pack_windows_rc(codes, k)
-    return jnp.minimum(fwd, rc)
+    """int64 canonical window keys (used by the sharded mesh path)."""
+    if k <= PAIR_MAX_K:
+        hi, lo = _pair_windows(codes, k, canonical)
+        klo = k - _khi(k)
+        return (hi.astype(jnp.int64) << (2 * klo)) | lo.astype(jnp.int64)
+    return _int64_windows(codes, k, canonical)
+
+
+def _segment_count(s_is_live, boundary, seg, n):
+    counts = jnp.zeros(n, dtype=jnp.int32).at[
+        jnp.where(s_is_live, seg, n)
+    ].add(1, mode="drop")
+    return counts
 
 
 @partial(jax.jit, static_argnames=("k", "canonical"))
@@ -66,19 +105,36 @@ def count_kmers(codes: jnp.ndarray, valid: jnp.ndarray, k: int, canonical: bool)
     """codes: (L,) uint8/int32 base codes; valid: (L,) bool window validity.
 
     Returns (uniq, counts, n_unique): uniq[:n_unique] are the sorted
-    distinct (canonical) k-mers, counts aligned; the tail is sentinel.
+    distinct (canonical) k-mers as int64, counts aligned; tail is sentinel.
     """
-    can = canonical_windows(codes, k, canonical)
+    n = codes.shape[0]
+    if k <= PAIR_MAX_K:
+        hi, lo = _pair_windows(codes, k, canonical)
+        hi = jnp.where(valid, hi, _HI_SENT)
+        lo = jnp.where(valid, lo, 0)
+        sh, sl = jax.lax.sort((hi, lo), num_keys=2)
+        ph = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sh[:-1]])
+        pl = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sl[:-1]])
+        live = sh != _HI_SENT
+        boundary = live & ((sh != ph) | (sl != pl))
+        seg = jnp.cumsum(boundary) - 1
+        counts = _segment_count(live, boundary, seg, n)
+        klo = k - _khi(k)
+        s64 = (sh.astype(jnp.int64) << (2 * klo)) | sl.astype(jnp.int64)
+        uniq = jnp.full(n, SENTINEL, jnp.int64).at[
+            jnp.where(boundary, seg, n)
+        ].set(s64, mode="drop")
+        n_unique = jnp.sum(boundary)
+        return uniq, counts, n_unique
+
+    can = _int64_windows(codes, k, canonical)
     key = jnp.where(valid, can, SENTINEL)
     s = jnp.sort(key)
     prev = jnp.concatenate([jnp.full((1,), -1, dtype=s.dtype), s[:-1]])
     live = s != SENTINEL
     boundary = live & (s != prev)
     seg = jnp.cumsum(boundary) - 1
-    n = s.shape[0]
-    counts = jnp.zeros(n, dtype=jnp.int32).at[
-        jnp.where(live, seg, n)
-    ].add(1, mode="drop")
+    counts = _segment_count(live, boundary, seg, n)
     uniq = jnp.full(n, SENTINEL, dtype=jnp.int64).at[
         jnp.where(boundary, seg, n)
     ].set(s, mode="drop")
