@@ -97,6 +97,29 @@ def _side_table_plain(A: np.ndarray, k: int, right: bool):
     return deg, nbr
 
 
+def _side_tables(A: np.ndarray, k: int, canonical: bool):
+    """Both side tables, on the accelerator for large sets (hot loop #2)
+    with host fallback.  Returns ((rdeg, rnbr, rsame), (ldeg, lnbr, lsame));
+    same-side flags are all-False in the directed (non-canonical) case."""
+    from ..ops import backend
+
+    if backend.should_use_device(4 * A.shape[0]):
+        from ..ops import neighbors
+
+        res = neighbors.device_side_tables(A, k, canonical)
+        if res is not None:
+            return res
+    if canonical:
+        return (
+            _side_table_canonical(A, k, right=True),
+            _side_table_canonical(A, k, right=False),
+        )
+    zr = np.zeros(A.shape[0], dtype=bool)
+    rdeg, rnbr = _side_table_plain(A, k, right=True)
+    ldeg, lnbr = _side_table_plain(A, k, right=False)
+    return (rdeg, rnbr, zr), (ldeg, lnbr, zr)
+
+
 # ---------------------------------------------------------------------------
 # Chain machinery (shared by the k-mer level and the unitig level)
 # ---------------------------------------------------------------------------
@@ -235,8 +258,7 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
     if n == 0:
         return PackedStrings.empty()
 
-    rdeg, rnbr, rsame = _side_table_canonical(A, k, right=True)
-    ldeg, lnbr, lsame = _side_table_canonical(A, k, right=False)
+    (rdeg, rnbr, rsame), (ldeg, lnbr, lsame) = _side_tables(A, k, canonical=True)
 
     # Terminal tests (reference: lib/core/spss.h:276-313): a side is
     # terminal unless it has exactly one mate whose corresponding side also
@@ -296,8 +318,7 @@ def get_unitigs(kmer_set: KmerSet) -> PackedStrings:
     if n == 0:
         return PackedStrings.empty()
 
-    outdeg, nxt = _side_table_plain(A, k, right=True)
-    indeg, prv = _side_table_plain(A, k, right=False)
+    (outdeg, nxt, _), (indeg, prv, _) = _side_tables(A, k, canonical=False)
 
     # Start/end tests (reference: lib/core/spss.h:96-146).
     is_start = (indeg != 1) | (outdeg[prv] != 1)

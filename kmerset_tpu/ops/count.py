@@ -93,21 +93,33 @@ def canonical_windows(codes: jnp.ndarray, k: int, canonical: bool) -> jnp.ndarra
     return _int64_windows(codes, k, canonical)
 
 
-def _segment_count(s_is_live, boundary, seg, n):
-    counts = jnp.zeros(n, dtype=jnp.int32).at[
-        jnp.where(s_is_live, seg, n)
-    ].add(1, mode="drop")
-    return counts
+def _run_lengths(boundary: jnp.ndarray, live: jnp.ndarray) -> jnp.ndarray:
+    """Length of the run starting at each boundary position, scatter-free.
+
+    TPU scatters with data-dependent indices serialize (hundreds of ms on
+    4M elements) while scans run at bandwidth, so segment counts come from
+    a reverse cummin of boundary indices instead of a scatter-add."""
+    n = boundary.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    term = jnp.where(boundary | ~live, idx, jnp.int32(n))
+    rc = jax.lax.cummin(term, axis=0, reverse=True)
+    nb_excl = jnp.concatenate([rc[1:], jnp.full((1,), n, jnp.int32)])
+    return nb_excl - idx
 
 
-@partial(jax.jit, static_argnames=("k", "canonical"))
-def count_kmers(codes: jnp.ndarray, valid: jnp.ndarray, k: int, canonical: bool):
-    """codes: (L,) uint8/int32 base codes; valid: (L,) bool window validity.
+def _compact(order_key: jnp.ndarray, operands):
+    """Stable-partitions elements with order_key 0 to the front, preserving
+    sorted order (one extra sort instead of a scatter)."""
+    res = jax.lax.sort((order_key, *operands), num_keys=1, is_stable=True)
+    return res[1:]
 
-    Returns (uniq, counts, n_unique): uniq[:n_unique] are the sorted
-    distinct (canonical) k-mers as int64, counts aligned; tail is sentinel.
-    """
-    n = codes.shape[0]
+
+def _sorted_runs(codes, valid, k: int, canonical: bool):
+    """Sort all window keys and mark run boundaries + run lengths.
+
+    Returns (to_int64, sorted_keys, live, boundary, counts) where
+    sorted_keys is a tuple of int32 pair arrays (or a single int64 array
+    for k > PAIR_MAX_K) and to_int64 combines compacted keys."""
     if k <= PAIR_MAX_K:
         hi, lo = _pair_windows(codes, k, canonical)
         hi = jnp.where(valid, hi, _HI_SENT)
@@ -117,43 +129,64 @@ def count_kmers(codes: jnp.ndarray, valid: jnp.ndarray, k: int, canonical: bool)
         pl = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sl[:-1]])
         live = sh != _HI_SENT
         boundary = live & ((sh != ph) | (sl != pl))
-        seg = jnp.cumsum(boundary) - 1
-        counts = _segment_count(live, boundary, seg, n)
         klo = k - _khi(k)
-        s64 = (sh.astype(jnp.int64) << (2 * klo)) | sl.astype(jnp.int64)
-        uniq = jnp.full(n, SENTINEL, jnp.int64).at[
-            jnp.where(boundary, seg, n)
-        ].set(s64, mode="drop")
-        n_unique = jnp.sum(boundary)
-        return uniq, counts, n_unique
 
-    can = _int64_windows(codes, k, canonical)
-    key = jnp.where(valid, can, SENTINEL)
-    s = jnp.sort(key)
-    prev = jnp.concatenate([jnp.full((1,), -1, dtype=s.dtype), s[:-1]])
-    live = s != SENTINEL
-    boundary = live & (s != prev)
-    seg = jnp.cumsum(boundary) - 1
-    counts = _segment_count(live, boundary, seg, n)
-    uniq = jnp.full(n, SENTINEL, dtype=jnp.int64).at[
-        jnp.where(boundary, seg, n)
-    ].set(s, mode="drop")
-    n_unique = jnp.sum(boundary)
-    return uniq, counts, n_unique
+        def to64(keys):
+            h, l = keys
+            return (h.astype(jnp.int64) << (2 * klo)) | l.astype(jnp.int64)
+
+        keys = (sh, sl)
+    else:
+        can = _int64_windows(codes, k, canonical)
+        key = jnp.where(valid, can, SENTINEL)
+        s = jnp.sort(key)
+        prev = jnp.concatenate([jnp.full((1,), -1, dtype=s.dtype), s[:-1]])
+        live = s != SENTINEL
+        boundary = live & (s != prev)
+
+        def to64(keys):
+            return keys[0]
+
+        keys = (s,)
+    counts = _run_lengths(boundary, live)
+    return to64, keys, live, boundary, counts
+
+
+def _compact_runs(to64, keys, select, counts):
+    """Stable-partitions selected run heads to the front and finalizes the
+    (uniq int64, counts, n_selected) outputs."""
+    res = _compact(jnp.where(select, 0, 1).astype(jnp.int32), (*keys, counts))
+    ckeys, cc = res[:-1], res[-1]
+    n_sel = jnp.sum(select)
+    n = counts.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    in_range = pos < n_sel
+    uniq = jnp.where(in_range, to64(ckeys), SENTINEL)
+    cc = jnp.where(in_range, cc, 0)
+    return uniq, cc, n_sel
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def count_kmers(codes: jnp.ndarray, valid: jnp.ndarray, k: int, canonical: bool):
+    """codes: (L,) uint8/int32 base codes; valid: (L,) bool window validity.
+
+    Returns (uniq, counts, n_unique): uniq[:n_unique] are the sorted
+    distinct (canonical) k-mers as int64, counts aligned; tail is sentinel.
+    """
+    to64, keys, live, boundary, counts = _sorted_runs(codes, valid, k, canonical)
+    return _compact_runs(to64, keys, boundary, counts)
 
 
 @partial(jax.jit, static_argnames=("k", "canonical", "cutoff"))
 def count_to_set(codes, valid, k: int, canonical: bool, cutoff: int):
     """Full counter -> cutoff-filtered set step (reference ToKmerSet,
-    lib/core/kmer_counter.h:211-243).  Filtered-out k-mers are re-sorted to
-    the sentinel tail so the live prefix is the set."""
-    uniq, counts, n_unique = count_kmers(codes, valid, k, canonical)
-    keep = (counts >= cutoff) & (uniq != SENTINEL)
-    kept = jnp.where(keep, uniq, SENTINEL)
-    out = jnp.sort(kept)
-    n_kept = jnp.sum(keep)
-    n_cut = n_unique - n_kept
-    return out, n_kept, n_cut
+    lib/core/kmer_counter.h:211-243), fused: the cutoff test is applied to
+    the run heads before the single stable-partition compaction."""
+    to64, keys, live, boundary, counts = _sorted_runs(codes, valid, k, canonical)
+    keep = boundary & (counts >= cutoff)
+    uniq, _, n_kept = _compact_runs(to64, keys, keep, counts)
+    n_unique = jnp.sum(boundary)
+    return uniq, n_kept, n_unique - n_kept
 
 
 def window_validity(offsets: np.ndarray, total: int, k: int) -> np.ndarray:

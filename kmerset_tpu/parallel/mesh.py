@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.count import SENTINEL, canonical_windows
+from ..ops.count import SENTINEL, _compact, _run_lengths, canonical_windows
 
 AXIS = "kv"
 
@@ -83,15 +83,16 @@ def sharded_count_fn(mesh: Mesh, k: int, canonical: bool, capacity: int):
         prev = jnp.concatenate([jnp.full((1,), -1, dtype=mine.dtype), mine[:-1]])
         live = mine != SENTINEL
         boundary = live & (mine != prev)
-        seg = jnp.cumsum(boundary) - 1
-        m = mine.shape[0]
-        counts = jnp.zeros(m, dtype=jnp.int32).at[
-            jnp.where(live, seg, m)
-        ].add(1, mode="drop")
-        uniq = jnp.full(m, SENTINEL, dtype=jnp.int64).at[
-            jnp.where(boundary, seg, m)
-        ].set(mine, mode="drop")
+        counts = _run_lengths(boundary, live)
+        cs, cc = _compact(
+            jnp.where(boundary, 0, 1).astype(jnp.int32), (mine, counts)
+        )
         n_unique = jnp.sum(boundary)
+        m = mine.shape[0]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+        in_range = pos < n_unique
+        uniq = jnp.where(in_range, cs, SENTINEL)
+        counts = jnp.where(in_range, cc, 0)
         total = jax.lax.psum(n_unique, AXIS)
         dropped_total = jax.lax.psum(dropped, AXIS)
         return uniq, counts, n_unique[None], total[None], dropped_total[None]

@@ -39,6 +39,58 @@ def get_random_kmers(k: int, n: int, rng: np.random.Generator) -> np.ndarray:
     return np.array(sorted(out)[:n], dtype=np.int64)
 
 
+def get_random_kmer_counter(
+    k: int, n: int, canonical: bool, rng: np.random.Generator
+):
+    """KmerCounter fed with ~n k-mer occurrences from random reads
+    (reference: lib/random.h:56-77)."""
+    from ..core.kmer_counter import KmerCounter
+
+    counter = KmerCounter(k)
+    total = 0
+    while total < n:
+        read = get_random_read(k, rng)
+        codes = kmer_ops.string_to_codes(read)
+        kmers = kmer_ops.kmers_from_codes(codes, k)
+        if canonical:
+            kmers = kmer_ops.canonical(kmers, k)
+        for x in kmers[: n - total]:
+            counter.add(int(x), 1)
+        total += min(kmers.shape[0], n - total)
+    return counter
+
+
+def get_random_kmer_set_compact(
+    k: int, n: int, canonical: bool, rng: np.random.Generator
+):
+    """(reference: lib/random.h:105-112)"""
+    from ..core.kmer_set_compact import KmerSetCompact
+
+    return KmerSetCompact.from_kmer_set(
+        get_random_kmer_set(k, n, canonical, rng), canonical
+    )
+
+
+def get_random_kmer_sets_compact(
+    n: int, m: int, k: int, canonical: bool, rng: np.random.Generator
+):
+    """n compact sets of ~m k-mers each (reference: lib/random.h:115-126)."""
+    return [get_random_kmer_set_compact(k, m, canonical, rng) for _ in range(n)]
+
+
+def get_random_kmer_set_set(
+    n: int, m: int, k: int, canonical: bool, rng: np.random.Generator, config=None
+):
+    """(reference: lib/random.h:129-134)"""
+    from ..core.config import get_config
+    from ..core.kmer_set_set import KmerSetSet
+
+    cfg = config or get_config(k, min(10, 2 * k - 2))
+    return KmerSetSet(
+        get_random_kmer_sets_compact(n, m, k, canonical, rng), canonical, cfg
+    )
+
+
 def get_random_kmer_set(
     k: int, n: int, canonical: bool, rng: np.random.Generator
 ) -> KmerSet:
