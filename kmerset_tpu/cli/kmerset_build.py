@@ -35,7 +35,7 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--out", default="", help="output file name")
     parser.add_argument("file", help="path to FASTA file")
-    args = parser.parse_args(argv)
+    args = flag_util.parse_args(parser, argv)
 
     logger = init_default_logger()
     if args.debug:

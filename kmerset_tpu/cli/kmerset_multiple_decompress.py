@@ -28,7 +28,7 @@ def main(argv=None) -> None:
         "--extension", default="txt", help="extension of files in folder"
     )
     parser.add_argument("directory", help="path to directory")
-    args = parser.parse_args(argv)
+    args = flag_util.parse_args(parser, argv)
 
     logger = init_default_logger()
     if args.debug:

@@ -21,7 +21,7 @@ def main(argv=None) -> None:
     )
     flag_util.add_common_flags(parser)
     parser.add_argument("files", nargs="+", help="paths to compact set files")
-    args = parser.parse_args(argv)
+    args = flag_util.parse_args(parser, argv)
 
     logger = init_default_logger()
     if args.debug:

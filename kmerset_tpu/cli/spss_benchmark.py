@@ -28,7 +28,7 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--repeats", type=int, default=1, help="number of repeats")
     parser.add_argument("file", help="path to compact set file")
-    args = parser.parse_args(argv)
+    args = flag_util.parse_args(parser, argv)
 
     logger = init_default_logger()
     if args.debug:

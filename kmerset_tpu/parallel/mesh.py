@@ -64,7 +64,7 @@ def sharded_count_fn(mesh: Mesh, k: int, canonical: bool, capacity: int):
     def step(codes_local, valid_local):
         can = canonical_windows(codes_local, k, canonical)
         key = jnp.where(valid_local, can, SENTINEL)
-        s = jnp.sort(key)
+        (s,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
         # Destination ranges: sorted keys are already grouped by owner.
         bounds = jnp.searchsorted(s, jnp.asarray(edges[1:-1]))
         lo = jnp.concatenate([jnp.zeros(1, jnp.int64), bounds])
@@ -79,13 +79,13 @@ def sharded_count_fn(mesh: Mesh, k: int, canonical: bool, capacity: int):
         dropped = jnp.sum(jnp.maximum(hi - lo - capacity, 0))
 
         recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0, tiled=False)
-        mine = jnp.sort(recv.reshape(-1))
+        (mine,) = jax.lax.sort((recv.reshape(-1),), num_keys=1, is_stable=False)
         prev = jnp.concatenate([jnp.full((1,), -1, dtype=mine.dtype), mine[:-1]])
         live = mine != SENTINEL
         boundary = live & (mine != prev)
         counts = _run_lengths(boundary, live)
         cs, cc = _compact(
-            jnp.where(boundary, 0, 1).astype(jnp.int32), (mine, counts)
+            jnp.where(boundary, 0, 1).astype(jnp.int32), (mine,), (counts,)
         )
         n_unique = jnp.sum(boundary)
         m = mine.shape[0]

@@ -52,6 +52,23 @@ def add_bool_flag(parser: argparse.ArgumentParser, name: str, default: bool, hel
     parser.add_argument(
         f"--no{name}", dest=name, action="store_false", help=argparse.SUPPRESS
     )
+    if not hasattr(parser, "_bool_flags"):
+        parser._bool_flags = set()  # type: ignore[attr-defined]
+    parser._bool_flags.add(name)  # type: ignore[attr-defined]
+
+
+def parse_args(parser: argparse.ArgumentParser, argv: List[str] | None = None):
+    """parse_args with absl bool-flag semantics: a bare `--flag` never
+    consumes the following token (argparse's nargs='?' would swallow a
+    positional, e.g. `--canonical dir`); it is rewritten to `--flag=true`
+    (reference absl behavior, lib/flags.h:12-22)."""
+    import sys
+
+    if argv is None:
+        argv = sys.argv[1:]
+    bools = getattr(parser, "_bool_flags", set())
+    argv = [a + "=true" if a.startswith("--") and a[2:] in bools else a for a in argv]
+    return parser.parse_args(argv)
 
 
 def add_common_flags(

@@ -84,3 +84,45 @@ def test_sharded_capacity_overflow_detected():
     fn = sharded_count_fn(mesh, K, True, capacity=8)
     _, _, _, _, dropped = fn(codes, valid)
     assert int(dropped[0]) > 0
+
+
+@pytest.mark.parametrize("k", [7, 11, 15, 16, 19, 23, 25])
+@pytest.mark.parametrize("canonical", [True, False])
+def test_count_kmers_all_key_widths(k, canonical):
+    """Exercises every key representation (single int32 for k <= 15,
+    int32 pair for k <= 23, int64 above) and the log-doubling window pack
+    against the host codec."""
+    codes = _random_codes(3000, k * 7 + canonical)
+    offsets = np.array([0, 1000, 1500, codes.size], dtype=np.int64)
+    valid = window_validity(offsets, codes.size, k)
+    from kmerset_tpu.ops.count import count_kmers
+
+    uniq, counts, n_unique = count_kmers(codes, valid, k, canonical)
+    n = int(n_unique)
+    windows = kc.kmers_from_codes(codes.astype(np.int64), k)
+    w = windows[np.flatnonzero(valid[: windows.shape[0]])]
+    if canonical:
+        w = kc.canonical(w, k)
+    hu, hc = np.unique(w, return_counts=True)
+    np.testing.assert_array_equal(np.asarray(uniq)[:n], hu)
+    np.testing.assert_array_equal(np.asarray(counts)[:n], hc)
+
+
+@pytest.mark.parametrize("k", [9, 15, 19])
+@pytest.mark.parametrize("cutoff", [1, 2, 3, 9])
+def test_count_to_set_cutoffs(k, cutoff):
+    """Covers both cutoff mechanisms: shifted-compare (cutoff <= 8) and the
+    run-length scan (cutoff > 8)."""
+    rng = np.random.default_rng(100 + k + cutoff)
+    base = rng.integers(0, 4, size=256).astype(np.int32)
+    reps = 10
+    codes = np.concatenate([base] * reps)
+    valid = np.zeros(codes.size, dtype=bool)
+    for r in range(reps):
+        valid[r * 256 : r * 256 + 256 - k + 1] = True
+    uniq, n_kept, n_cut = count_to_set(codes, valid, k, True, cutoff)
+    w = kc.canonical(kc.kmers_from_codes(base.astype(np.int64), k), k)
+    hu, hc = np.unique(w, return_counts=True)
+    expected = hu[hc * reps >= cutoff]
+    np.testing.assert_array_equal(np.asarray(uniq)[: int(n_kept)], expected)
+    assert int(n_cut) == hu.shape[0] - expected.shape[0]
