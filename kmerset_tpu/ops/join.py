@@ -1,0 +1,81 @@
+"""Sort-join primitives: batched membership lookup in sorted sets.
+
+TPU-native replacement for per-query binary search.  XLA lowers
+`searchsorted` to log2(n) dependent gather passes, which run at ~6 M
+lookups/s on a v5e (measured) — random gathers do not vectorize.  A
+sort-join instead pays two unstable sorts plus two cummax scans, all of
+which run at memory bandwidth, and answers every query in one shot:
+
+  1. concatenate [set, queries] with a tag key (0 = set row, 1 = query)
+  2. sort by (key, tag) — every query lands directly after the equal set
+     row, if one exists
+  3. forward-cummax of set-row keys/indices propagates "the last set row
+     at or before me"; a query is found iff that key equals its own
+  4. a second sort by (tag, slot) restores query order
+
+This is the device form of the reference's hash-membership hot loop
+(reference: lib/core/spss.h:238-273 does 8 hash Contains() per k-mer;
+lib/core/kmer_set.h:93-105 is the underlying bucket lookup).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)
+
+
+@partial(jax.jit, static_argnames=("n_groups",))
+def lookup_join(A: jnp.ndarray, Q: jnp.ndarray, n_groups: int = 1):
+    """Membership of every query in sorted-unique A.
+
+    A: (n,) sorted int array (int32 or int64, no duplicates, no sentinel).
+    Q: (m,) queries, m a multiple of n_groups.
+    Returns (found, idx): bool/int32 arrays shaped (n_groups, m // n_groups)
+    where found[g, i] says Q[g * gsz + i] is in A and idx[g, i] is its
+    position (0 where not found).
+    """
+    n, m = A.shape[0], Q.shape[0]
+    key = jnp.concatenate([A, Q.astype(A.dtype)])
+    tag = jnp.concatenate(
+        [jnp.zeros(n, jnp.int32), jnp.ones(m, jnp.int32)]
+    )
+    slot = jnp.concatenate(
+        [
+            jax.lax.broadcasted_iota(jnp.int32, (n,), 0),
+            jax.lax.broadcasted_iota(jnp.int32, (m,), 0),
+        ]
+    )
+    key_s, tag_s, slot_s = jax.lax.sort(
+        (key, tag, slot), num_keys=2, is_stable=False
+    )
+    is_set = tag_s == 0
+    min_key = jnp.iinfo(A.dtype).min
+    akey = jax.lax.cummax(jnp.where(is_set, key_s, min_key), axis=0)
+    aidx = jax.lax.cummax(jnp.where(is_set, slot_s, -1), axis=0)
+    found = ~is_set & (akey == key_s)
+    idx = jnp.maximum(aidx, 0)
+    # Restore query order: set rows (tag 0) sort to the front.
+    _, _, found_q, idx_q = jax.lax.sort(
+        (tag_s, slot_s, found, idx), num_keys=2, is_stable=False
+    )
+    gsz = m // n_groups
+    return found_q[n:].reshape(n_groups, gsz), idx_q[n:].reshape(n_groups, gsz)
+
+
+def intersection_count(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """|A ∩ B| for sorted-unique A, B via one sort + one shifted compare
+    (the sketch-similarity kernel, reference: lib/core/kmer_set_set.h:158-184)."""
+    key = jnp.concatenate([A, B])
+    (s,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+    return jnp.sum(s[1:] == s[:-1])
+
+
+def pad_sorted(a: np.ndarray, size: int, fill) -> np.ndarray:
+    if a.shape[0] >= size:
+        return a[:size]
+    return np.concatenate([a, np.full(size - a.shape[0], fill, dtype=a.dtype)])

@@ -1,9 +1,11 @@
 """Device neighbor/degree tables for de Bruijn graph construction.
 
 Hot loop #2 of the reference (8 hash Contains() per k-mer,
-reference: lib/core/spss.h:238-273) as a batched binary-search program:
-for each k-mer and each base extension, look up the canonical candidate in
-the sorted set and accumulate degree / unique-neighbor / same-side tables.
+reference: lib/core/spss.h:238-273) as one batched sort-join: the 8
+extension candidates of every k-mer (4 next + 4 prev) are resolved in a
+single `lookup_join` over the sorted set — two bandwidth-bound sorts
+instead of 8 binary-search passes (XLA's searchsorted runs ~100x slower
+than a sort-join on TPU; see ops/join.py).
 
 Arrays are padded to power-of-two size classes so jit caches stay small.
 """
@@ -32,39 +34,52 @@ def _build():
 
     jax.config.update("jax_enable_x64", True)
 
-    @partial(jax.jit, static_argnames=("k", "right", "canonical"))
-    def side_table(A, k: int, right: bool, canonical: bool):
+    from .join import lookup_join
+
+    @partial(jax.jit, static_argnames=("k", "canonical"))
+    def side_tables(A, k: int, canonical: bool):
         """A: (n,) int64 sorted (sentinel-padded).  Returns
-        (deg, nbr, same) int32/int32/bool arrays of the same shape."""
+        ((rdeg, rnbr, rsame), (ldeg, lnbr, lsame)) arrays of shape (n,).
+        Junk rows induced by the sentinel padding are trimmed by the
+        caller."""
         from ..core import kmer as kmer_ops
 
         n = A.shape[0]
-        live = A != SENTINEL
-        deg = jnp.zeros(n, dtype=jnp.int32)
-        nbr = jnp.zeros(n, dtype=jnp.int32)
-        same = jnp.zeros(n, dtype=bool)
-        for c in range(4):
-            cand = (
-                kmer_ops.next_kmer(A, k, c) if right else kmer_ops.prev_kmer(A, k, c)
-            )
-            if canonical:
-                ncan = kmer_ops.canonical(cand, k)
-            else:
-                ncan = cand
-            idx = jnp.searchsorted(A, ncan)
-            idx_c = jnp.minimum(idx, n - 1)
-            found = (A[idx_c] == ncan) & (ncan != A) & live
-            first = found & (deg == 0)
-            nbr = jnp.where(first, idx_c.astype(jnp.int32), nbr)
-            if canonical:
-                same = jnp.where(first, cand != ncan, same)
-            deg += found
-        return deg, nbr, same
+        cands = []
+        ncans = []
+        for right in (True, False):
+            for c in range(4):
+                cand = (
+                    kmer_ops.next_kmer(A, k, c)
+                    if right
+                    else kmer_ops.prev_kmer(A, k, c)
+                )
+                ncan = kmer_ops.canonical(cand, k) if canonical else cand
+                cands.append(cand)
+                ncans.append(ncan)
+        Q = jnp.concatenate(ncans)
+        found, idx = lookup_join(A, Q, n_groups=8)
 
-    return side_table
+        out = []
+        for side in range(2):
+            deg = jnp.zeros(n, dtype=jnp.int32)
+            nbr = jnp.zeros(n, dtype=jnp.int32)
+            same = jnp.zeros(n, dtype=bool)
+            for c in range(4):
+                g = side * 4 + c
+                ok = found[g] & (ncans[g] != A)
+                first = ok & (deg == 0)
+                nbr = jnp.where(first, idx[g], nbr)
+                if canonical:
+                    same = jnp.where(first, cands[g] != ncans[g], same)
+                deg += ok
+            out.append((deg, nbr, same))
+        return out[0], out[1]
+
+    return side_tables
 
 
-_side_table = None
+_side_tables = None
 
 
 def device_side_tables(
@@ -73,15 +88,15 @@ def device_side_tables(
     """Computes both side tables on the accelerator; returns
     ((rdeg, rnbr, rsame), (ldeg, lnbr, lsame)) as numpy arrays trimmed to
     len(A), or None if the device path is unavailable."""
-    global _side_table
+    global _side_tables
     try:
-        if _side_table is None:
-            _side_table = _build()
+        if _side_tables is None:
+            _side_tables = _build()
         Ap = _pad_pow2(A, SENTINEL)
+        n = A.shape[0]
+        (r, l) = _side_tables(Ap, k, canonical)
         out = []
-        for right in (True, False):
-            deg, nbr, same = _side_table(Ap, k, right, canonical)
-            n = A.shape[0]
+        for deg, nbr, same in (r, l):
             out.append(
                 (
                     np.asarray(deg[:n]).astype(np.int64),
