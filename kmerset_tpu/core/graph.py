@@ -44,23 +44,46 @@ def pointer_double(succ: np.ndarray, labels: np.ndarray | None = None
                     from u; for cycle nodes this is the min over the whole
                     cycle (the leader-election primitive replacing
                     union-find roots).
+
+    For chain nodes, min_label covers a prefix of the walk only — its
+    contract is leader election on cycles, where propagation runs the full
+    log rounds (chain nodes resolve early and stop accumulating).
+
+    Implementation: (done, dist, ptr) are packed into one int64
+    (1 | 31 | 31 bits) so each doubling round costs a single fancy-gather
+    instead of three, and resolved nodes leave the active set so per-round
+    work shrinks geometrically with the longest-chain length.
     """
     n = succ.shape[0]
     if n == 0:
         e = np.empty(0, np.int64)
         return e, e.copy(), np.empty(0, bool), (labels.copy() if labels is not None else None)
-    p = np.where(succ < 0, np.arange(n, dtype=np.int64), succ)
-    d = np.where(succ < 0, 0, 1).astype(np.int64)
+    assert n < (1 << 31)
+    ids = np.arange(n, dtype=np.int64)
+    done0 = succ < 0
+    p0 = np.where(done0, ids, succ)
+    d0 = np.where(done0, 0, 1).astype(np.int64)
     m = labels.copy() if labels is not None else None
-    done_mask = succ < 0
+    MASK = (1 << 31) - 1
+    packed = (done0.astype(np.int64) << 62) | (d0 << 31) | p0
+    active = np.flatnonzero(~done0)
     rounds = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
     for _ in range(rounds):
+        if active.size == 0:
+            break
+        pa = packed[active]
+        tgt = pa & MASK
+        t = packed[tgt]
         if m is not None:
-            m = np.minimum(m, m[p])
-        d_next = d + np.where(done_mask[p], 0, d[p])
-        p_next = np.where(done_mask[p], p, p[p])
-        d, p = d_next, p_next
-        # done_mask stays: a node is resolved when p points at a chain end.
+            m[active] = np.minimum(m[active], m[tgt])
+        t_done = (t >> 62) != 0
+        new_d = ((pa >> 31) & MASK) + np.where(t_done, 0, (t >> 31) & MASK)
+        new_p = np.where(t_done, tgt, t & MASK)
+        packed[active] = (new_d << 31) | new_p
+        # Nodes whose pointer landed on an end are final.
+        active = active[~t_done]
+    p = packed & MASK
+    d = (packed >> 31) & MASK
     is_chain = succ[p] < 0
     return p, d, is_chain, m
 

@@ -41,12 +41,22 @@ def mask(bits: int) -> int:
     return (1 << bits) - 1
 
 
+_NATIVE_MIN = 1 << 16
+
+
 def reverse_complement(kmers, k: int):
     """Reverse complement of packed k-mers (reference: lib/core/kmer.h:97-129).
 
     Complements every 2-bit lane (b -> 3-b == ~b) and reverses lane order,
-    in five shuffle rounds instead of a k-step loop.
+    in five shuffle rounds instead of a k-step loop.  Large host arrays
+    take the single-pass native path (native/kmerio.c kmerio_revcomp).
     """
+    if isinstance(kmers, np.ndarray) and kmers.size >= _NATIVE_MIN:
+        from . import native
+
+        out = native.revcomp(kmers, k)
+        if out is not None:
+            return out
     x = ~kmers
     x = ((x >> 2) & _M2) | ((x & _M2) << 2)
     x = ((x >> 4) & _M4) | ((x & _M4) << 4)
@@ -114,10 +124,16 @@ def kmers_from_codes(codes: np.ndarray, k: int) -> np.ndarray:
     This is the vectorized replacement for the reference's per-window
     substring + per-base packing loop (reference: lib/core/kmer_counter.h:80-96).
     """
-    codes = np.asarray(codes, dtype=np.int64)
-    n = codes.shape[0] - k + 1
+    n = np.asarray(codes).shape[0] - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.int64)
+    if n >= _NATIVE_MIN:
+        from . import native
+
+        out = native.window_pack(np.asarray(codes), k)
+        if out is not None:
+            return out
+    codes = np.asarray(codes, dtype=np.int64)
     out = np.zeros(n, dtype=np.int64)
     for j in range(k):
         out = (out << 2) | codes[j : j + n]

@@ -114,6 +114,7 @@ class KmerCounter:
             from ..ops import backend
 
             if backend.should_use_device(n_windows):
+                backend.enable_compile_cache()
                 result = backend.device_count(codes, offsets, k, canonical)
                 if result is not None:
                     uniq, counts = result

@@ -112,3 +112,133 @@ def unpack2(packed: np.ndarray, n: int) -> np.ndarray:
         vals = (packed >> (sh * 2)) & 3
         out[sh::4] = vals[: out[sh::4].shape[0]]
     return out
+
+
+def chain_walk(succ: np.ndarray, starts: np.ndarray):
+    """Sequential C walk of successor chains (reference walk loops,
+    lib/core/spss.h:394-423).  Returns (nodes, group_starts) with the
+    chains concatenated in `starts` order, or None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_chain_walk_ready"):
+        lib.kmerio_chain_walk.restype = ctypes.c_long
+        lib.kmerio_chain_walk.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib._chain_walk_ready = True
+    succ = np.ascontiguousarray(succ, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    n = succ.shape[0]
+    nodes = np.empty(n, dtype=np.int64)
+    groups = np.empty(starts.shape[0] + 1, dtype=np.int64)
+    visited = np.zeros(n, dtype=np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    total = lib.kmerio_chain_walk(
+        succ.ctypes.data_as(i64p),
+        n,
+        starts.ctypes.data_as(i64p),
+        starts.shape[0],
+        nodes.ctypes.data_as(i64p),
+        groups.ctypes.data_as(i64p),
+        visited.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return nodes[:total], groups
+
+
+def revcomp(kmers: np.ndarray, k: int) -> Optional[np.ndarray]:
+    """Native reverse complement; None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_rc_ready"):
+        lib.kmerio_revcomp.restype = None
+        lib.kmerio_revcomp.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib._rc_ready = True
+    kmers = np.ascontiguousarray(kmers, dtype=np.int64)
+    out = np.empty_like(kmers)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.kmerio_revcomp(
+        kmers.ctypes.data_as(i64p), kmers.size, k, out.ctypes.data_as(i64p)
+    )
+    return out
+
+
+def window_pack(codes: np.ndarray, k: int) -> Optional[np.ndarray]:
+    """Native rolling window pack; None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_wp_ready"):
+        lib.kmerio_window_pack.restype = None
+        lib.kmerio_window_pack.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib._wp_ready = True
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = codes.shape[0]
+    out = np.empty(max(n - k + 1, 0), dtype=np.int64)
+    if out.size:
+        lib.kmerio_window_pack(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n,
+            k,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    return out
+
+
+def emit_kmer_chains(
+    A: np.ndarray, k: int, nodes: np.ndarray, groups: np.ndarray, oriented: bool
+):
+    """Native one-pass unitig emission (reference ConcatenateKmers,
+    lib/core/spss.h:25-41); returns (codes, offsets) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_emit_ready"):
+        lib.kmerio_emit_kmer_chains.restype = None
+        lib.kmerio_emit_kmer_chains.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib._emit_ready = True
+    A = np.ascontiguousarray(A, dtype=np.int64)
+    nodes = np.ascontiguousarray(nodes, dtype=np.int64)
+    groups = np.ascontiguousarray(groups, dtype=np.int64)
+    n_groups = groups.shape[0] - 1
+    total = int(nodes.shape[0]) + n_groups * (k - 1)
+    codes = np.empty(max(total, 1), dtype=np.uint8)
+    offsets = np.empty(n_groups + 1, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.kmerio_emit_kmer_chains(
+        A.ctypes.data_as(i64p),
+        k,
+        nodes.ctypes.data_as(i64p),
+        groups.ctypes.data_as(i64p),
+        n_groups,
+        1 if oriented else 0,
+        offsets.ctypes.data_as(i64p),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return codes[:total], offsets

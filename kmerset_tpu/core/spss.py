@@ -34,6 +34,7 @@ from typing import List, Tuple
 import numpy as np
 
 from . import kmer as kmer_ops
+from . import native
 from .graph import expand_ranges, handshake_matching, pointer_double
 from .kmer_set import KmerSet
 from .strings import PackedStrings
@@ -103,9 +104,10 @@ def _side_tables(A: np.ndarray, k: int, canonical: bool):
     same-side flags are all-False in the directed (non-canonical) case."""
     from ..ops import backend
 
-    if backend.should_use_device(4 * A.shape[0]):
+    if backend.should_use_device_graph(A.shape[0]):
         from ..ops import neighbors
 
+        backend.enable_compile_cache()
         res = neighbors.device_side_tables(A, k, canonical)
         if res is not None:
             return res
@@ -131,23 +133,30 @@ def _entity_flip(nodes: np.ndarray, oriented: bool) -> Tuple[np.ndarray, np.ndar
     return nodes, np.zeros(nodes.shape, dtype=bool)
 
 
-def _chains_from_starts(
+def _chains_grouped(
     succ: np.ndarray, starts: np.ndarray
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Pointer-doubles succ and groups the nodes of the chains led by
-    `starts` in (chain, position) order.
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Groups the nodes of the chains led by `starts` contiguously in
+    (chain, position) order; returns (nodes, group_starts).
 
-    Returns (nodes_sorted, group_starts, is_chain).  Chains have in-degree
-    <= 1 by construction, so {v : end(v) == e} is exactly the path ending
-    at e, and sorting by (end, -dist) lays every chain out contiguously.
+    Native path: a sequential C pointer chase, O(total chain length)
+    (native/kmerio.c kmerio_chain_walk — the data-parallel equivalent of
+    the reference's threaded walks, lib/core/spss.h:394-423).  Fallback:
+    pointer doubling + lexsort (log-depth, used when the native library is
+    unbuilt).  Group order may differ between the two paths; both are
+    valid chain groupings of the same chains.
     """
+    if starts.size == 0:
+        return np.empty(0, np.int64), np.zeros(1, np.int64)
+    res = native.chain_walk(succ, starts)
+    if res is not None:
+        return res
     end, dist, is_chain, _ = pointer_double(succ)
     keep_end = np.zeros(succ.shape[0], dtype=bool)
-    if starts.size:
-        keep_end[end[starts]] = True
+    keep_end[end[starts]] = True
     sel = np.flatnonzero(is_chain & keep_end[end])
     if sel.size == 0:
-        return sel, np.zeros(1, np.int64), is_chain
+        return sel, np.zeros(1, np.int64)
     order = np.lexsort((-dist[sel], end[sel]))
     nodes_sorted = sel[order]
     ends_sorted = end[nodes_sorted]
@@ -155,7 +164,33 @@ def _chains_from_starts(
     group_starts = np.concatenate(
         ([0], boundaries, [nodes_sorted.shape[0]])
     ).astype(np.int64)
-    return nodes_sorted, group_starts, is_chain
+    return nodes_sorted, group_starts
+
+
+def _filter_groups(
+    nodes: np.ndarray, groups: np.ndarray, keep: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Keeps the selected (non-empty) chain groups."""
+    counts = np.diff(groups)
+    keep = keep & (counts > 0)
+    if keep.all():
+        return nodes, groups
+    _, idx = expand_ranges(groups[:-1][keep], groups[1:][keep])
+    new_groups = np.zeros(int(keep.sum()) + 1, dtype=np.int64)
+    np.cumsum(counts[keep], out=new_groups[1:])
+    return nodes[idx], new_groups
+
+
+def _group_endpoints(
+    nodes: np.ndarray, groups: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(first, last, nonempty) node of every chain group; first/last are 0
+    where a group is empty."""
+    counts = np.diff(groups)
+    nonempty = counts > 0
+    lo = np.where(nonempty, groups[:-1], 0)
+    hi = np.where(nonempty, groups[1:] - 1, 0)
+    return nodes[lo], nodes[hi], nonempty
 
 
 def _oriented_kmers(A: np.ndarray, k: int, entity: np.ndarray, flip: np.ndarray) -> np.ndarray:
@@ -177,6 +212,9 @@ def _emit_kmer_chains(
     n_chains = group_starts.shape[0] - 1
     if nodes_sorted.size == 0:
         return PackedStrings.empty()
+    res = native.emit_kmer_chains(A, k, nodes_sorted, group_starts, oriented)
+    if res is not None:
+        return PackedStrings(res[0], res[1])
     counts = np.diff(group_starts)
     str_lens = counts + k - 1
     offsets = np.zeros(n_chains + 1, dtype=np.int64)
@@ -280,15 +318,14 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
     starts_l_exit = np.flatnonzero(term_r & ~term_l) * 2 + 1
     starts = np.concatenate([starts_r_exit, starts_l_exit])
 
-    # Dedup: each chain exists once per orientation; keep the one whose
-    # start k-mer is >= its end k-mer (reference skip rule,
-    # lib/core/spss.h:511,555).
-    end, _, _, _ = pointer_double(succ)
-    keep = A[starts >> 1] >= A[end[starts] >> 1]
-    starts = starts[keep]
-
-    nodes_sorted, group_starts, is_chain = _chains_from_starts(succ, starts)
-    chains = _emit_kmer_chains(A, k, nodes_sorted, group_starts, oriented=True)
+    # Walk every chain (both orientations), then dedup: each chain exists
+    # once per orientation; keep the one whose start k-mer is >= its end
+    # k-mer (reference skip rule, lib/core/spss.h:511,555).
+    nodes, groups = _chains_grouped(succ, starts)
+    firsts, lasts, nonempty = _group_endpoints(nodes, groups)
+    keep = nonempty & (A[firsts >> 1] >= A[lasts >> 1])
+    nodes_kept, groups_kept = _filter_groups(nodes, groups, keep)
+    chains = _emit_kmer_chains(A, k, nodes_kept, groups_kept, oriented=True)
 
     parts: List[PackedStrings] = [chains]
 
@@ -300,9 +337,11 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
         offsets = np.arange(both_idx.size + 1, dtype=np.int64) * k
         parts.append(PackedStrings(codes.ravel(), offsets))
 
-    # Non-branching loops (reference: lib/core/spss.h:583-612).
+    # Non-branching loops (reference: lib/core/spss.h:583-612).  Every
+    # entity on any walked chain is covered by a kept chain (kept chains
+    # and their dropped mirrors visit the same k-mers).
     visited = np.zeros(n, dtype=bool)
-    visited[np.flatnonzero(is_chain) >> 1] = True
+    visited[nodes >> 1] = True
     visited[both_idx] = True
     parts.append(_walk_cycles(A, k, succ, visited, oriented=True))
 
@@ -327,11 +366,11 @@ def get_unitigs(kmer_set: KmerSet) -> PackedStrings:
     succ = np.where(is_end, -1, nxt)
     starts = np.flatnonzero(is_start)
 
-    nodes_sorted, group_starts, is_chain = _chains_from_starts(succ, starts)
-    chains = _emit_kmer_chains(A, k, nodes_sorted, group_starts, oriented=False)
+    nodes, groups = _chains_grouped(succ, starts)
+    chains = _emit_kmer_chains(A, k, nodes, groups, oriented=False)
 
     visited = np.zeros(n, dtype=bool)
-    visited[np.flatnonzero(is_chain)] = True
+    visited[nodes] = True
     cycles = _walk_cycles(A, k, succ, visited, oriented=False)
     return _concat_packed([chains, cycles])
 
@@ -516,12 +555,11 @@ def _emit_matched_paths(
     starts_r = np.flatnonzero(~has_left & has_right) * 2
     starts_l = np.flatnonzero(~has_right & has_left) * 2 + 1
     starts = np.concatenate([starts_r, starts_l])
-    end, _, _, _ = pointer_double(succ)
-    if starts.size:
-        keep = (starts >> 1) <= (end[starts] >> 1)
-        starts = starts[keep]
-    nodes_sorted, group_starts, _ = _chains_from_starts(succ, starts)
-    chains = _emit_string_chains(unitigs, k, nodes_sorted, group_starts, oriented=True)
+    nodes, groups = _chains_grouped(succ, starts)
+    firsts, lasts, nonempty = _group_endpoints(nodes, groups)
+    keep = nonempty & ((firsts >> 1) <= (lasts >> 1))
+    nodes_kept, groups_kept = _filter_groups(nodes, groups, keep)
+    chains = _emit_string_chains(unitigs, k, nodes_kept, groups_kept, oriented=True)
     solo = _take_strings(unitigs, np.flatnonzero(both_free))
     return _concat_packed([chains, solo])
 
@@ -565,8 +603,8 @@ def get_spss_from_unitigs(unitigs: PackedStrings, k: int) -> PackedStrings:
     has_in = np.zeros(n, dtype=bool)
     has_in[succ[succ >= 0]] = True
     starts = np.flatnonzero(~has_in)
-    nodes_sorted, group_starts, _ = _chains_from_starts(succ, starts)
-    return _emit_string_chains(unitigs, k, nodes_sorted, group_starts, oriented=False)
+    nodes, groups = _chains_grouped(succ, starts)
+    return _emit_string_chains(unitigs, k, nodes, groups, oriented=False)
 
 
 # ---------------------------------------------------------------------------

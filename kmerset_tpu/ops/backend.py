@@ -14,6 +14,11 @@ from typing import Optional, Tuple
 import numpy as np
 
 DEFAULT_MIN_DEVICE_WINDOWS = 1 << 21
+# Graph-side offload (neighbor tables) moves ~26 bytes/k-mer across the
+# host<->device link, so it needs a much larger problem to amortize than
+# streaming counts; through a tunneled/remote device it only pays off for
+# very large sets.
+DEFAULT_MIN_DEVICE_GRAPH = 1 << 24
 
 
 def _threshold() -> int:
@@ -22,13 +27,50 @@ def _threshold() -> int:
     )
 
 
+def _graph_threshold() -> int:
+    return int(
+        os.environ.get("KMERSET_TPU_MIN_DEVICE_GRAPH", DEFAULT_MIN_DEVICE_GRAPH)
+    )
+
+
+def _force() -> str:
+    return os.environ.get("KMERSET_TPU_FORCE_BACKEND", "")
+
+
 def should_use_device(n_windows: int) -> bool:
-    force = os.environ.get("KMERSET_TPU_FORCE_BACKEND", "")
+    force = _force()
     if force == "host":
         return False
     if force == "device":
         return True
     return n_windows >= _threshold()
+
+
+def should_use_device_graph(n_kmers: int) -> bool:
+    force = _force()
+    if force == "host":
+        return False
+    if force == "device":
+        return True
+    return n_kmers >= _graph_threshold()
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache so repeated CLI invocations skip
+    recompiles (jit programs here are large; cold compiles can take
+    minutes through a remote device)."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "KMERSET_TPU_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "kmerset_tpu_jax"),
+        )
+        if cache_dir:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
 
 
 def device_count(

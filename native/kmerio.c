@@ -105,3 +105,114 @@ void kmerio_decode(const uint8_t *codes, long n, char *out) {
     static const char B[4] = {'A', 'C', 'G', 'T'};
     for (long i = 0; i < n; i++) out[i] = B[codes[i]];
 }
+
+/* Walks chains of a functional successor graph (succ[u] in [0,n) or -1)
+ * from each start, concatenating node sequences.  This is the native
+ * sequential path walk the reference performs under its thread pool
+ * (reference: lib/core/spss.h:394-423,1159-1183); a single C pointer
+ * chase is O(total chain length) versus the O(n log n) fancy-gather cost
+ * of host-side pointer doubling.
+ *
+ * out_nodes: size >= n; group_starts: size >= n_starts + 1;
+ * visited: size n, zeroed by caller; set for every emitted node.
+ * Returns total nodes emitted.
+ */
+long kmerio_chain_walk(const int64_t *succ, long n,
+                       const int64_t *starts, long n_starts,
+                       int64_t *out_nodes, int64_t *group_starts,
+                       uint8_t *visited) {
+    (void)n;
+    long total = 0;
+    group_starts[0] = 0;
+    for (long s = 0; s < n_starts; s++) {
+        int64_t u = starts[s];
+        while (u >= 0 && !visited[u]) {
+            visited[u] = 1;
+            out_nodes[total++] = u;
+            u = succ[u];
+        }
+        group_starts[s + 1] = total;
+    }
+    return total;
+}
+
+/* Reverse complement of 2-bit packed k-mers: complement every lane and
+ * reverse lane order (reference per-base loop: lib/core/kmer.h:103-129;
+ * here the 5-round lane shuffle, one pass over the array). */
+void kmerio_revcomp(const int64_t *in, long n, int k, int64_t *out) {
+    const uint64_t M2 = 0x3333333333333333ULL, M4 = 0x0F0F0F0F0F0F0F0FULL,
+                   M8 = 0x00FF00FF00FF00FFULL, M16 = 0x0000FFFF0000FFFFULL,
+                   M32 = 0x00000000FFFFFFFFULL;
+    const int sh = 64 - 2 * k;
+    const uint64_t mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    for (long i = 0; i < n; i++) {
+        uint64_t x = ~(uint64_t)in[i];
+        x = ((x >> 2) & M2) | ((x & M2) << 2);
+        x = ((x >> 4) & M4) | ((x & M4) << 4);
+        x = ((x >> 8) & M8) | ((x & M8) << 8);
+        x = ((x >> 16) & M16) | ((x & M16) << 16);
+        x = ((x >> 32) & M32) | ((x & M32) << 32);
+        out[i] = (int64_t)((x >> sh) & mask);
+    }
+}
+
+/* All length-k windows of a base-code sequence, packed rolling-hash style:
+ * one pass instead of k shifted passes (reference window loop:
+ * lib/core/kmer_counter.h:80-96). */
+void kmerio_window_pack(const uint8_t *codes, long n, int k, int64_t *out) {
+    if (n < k) return;
+    const uint64_t mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    uint64_t w = 0;
+    for (long i = 0; i < k - 1; i++) w = (w << 2) | codes[i];
+    for (long i = k - 1; i < n; i++) {
+        w = ((w << 2) | codes[i]) & mask;
+        out[i - k + 1] = (int64_t)w;
+    }
+}
+
+static inline uint64_t rc_one(uint64_t v, int k) {
+    const uint64_t M2 = 0x3333333333333333ULL, M4 = 0x0F0F0F0F0F0F0F0FULL,
+                   M8 = 0x00FF00FF00FF00FFULL, M16 = 0x0000FFFF0000FFFFULL,
+                   M32 = 0x00000000FFFFFFFFULL;
+    uint64_t x = ~v;
+    x = ((x >> 2) & M2) | ((x & M2) << 2);
+    x = ((x >> 4) & M4) | ((x & M4) << 4);
+    x = ((x >> 8) & M8) | ((x & M8) << 8);
+    x = ((x >> 16) & M16) | ((x & M16) << 16);
+    x = ((x >> 32) & M32) | ((x & M32) << 32);
+    return (x >> (64 - 2 * k)) & ((1ULL << (2 * k)) - 1);
+}
+
+/* Emits unitig base codes from chain-grouped oriented nodes in one pass
+ * (reference ConcatenateKmers, lib/core/spss.h:25-41): the first node of a
+ * chain contributes k bases, every following node one base.  If oriented,
+ * node ids encode (entity << 1) | flip with flip meaning read the
+ * reverse complement.  offsets must have n_groups + 1 slots; out_codes
+ * must fit sum(count_g + k - 1). */
+void kmerio_emit_kmer_chains(const int64_t *A, int k,
+                             const int64_t *nodes,
+                             const int64_t *groups, long n_groups,
+                             int oriented, int64_t *offsets,
+                             uint8_t *out_codes) {
+    long pos = 0;
+    offsets[0] = 0;
+    for (long g = 0; g < n_groups; g++) {
+        for (long i = groups[g]; i < groups[g + 1]; i++) {
+            int64_t u = nodes[i];
+            uint64_t v;
+            if (oriented) {
+                v = (uint64_t)A[u >> 1];
+                if (u & 1) v = rc_one(v, k);
+            } else {
+                v = (uint64_t)A[u];
+            }
+            if (i == groups[g]) {
+                for (int t = k - 1; t >= 0; t--)
+                    out_codes[pos++] = (uint8_t)((v >> (2 * t)) & 3);
+            } else {
+                out_codes[pos++] = (uint8_t)(v & 3);
+            }
+        }
+        offsets[g + 1] = pos;
+    }
+}

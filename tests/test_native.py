@@ -48,3 +48,46 @@ def test_pack_unpack_round_trip():
         packed = native.pack2(codes)
         assert packed.shape[0] == (n + 3) // 4
         np.testing.assert_array_equal(native.unpack2(packed, n), codes)
+
+
+
+def test_native_revcomp_matches_numpy():
+    from kmerset_tpu.core import kmer as kc
+    from kmerset_tpu.core import native
+
+    rng = np.random.default_rng(0)
+    for k in (9, 15, 23, 31):
+        kmers = rng.integers(0, 1 << (2 * k), 1 << 17, dtype=np.int64)
+        got = native.revcomp(kmers, k)
+        # numpy shuffle path (force by using small slices under threshold)
+        exp = np.concatenate(
+            [kc.reverse_complement(c, k) for c in np.array_split(kmers, 8)]
+        )
+        np.testing.assert_array_equal(got, exp)
+
+
+
+def test_native_window_pack_matches_numpy():
+    from kmerset_tpu.core import native
+
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 4, 1 << 17).astype(np.uint8)
+    for k in (3, 15, 31):
+        got = native.window_pack(codes, k)
+        n = codes.shape[0] - k + 1
+        exp = np.zeros(n, dtype=np.int64)
+        c64 = codes.astype(np.int64)
+        for j in range(k):
+            exp = (exp << 2) | c64[j : j + n]
+        np.testing.assert_array_equal(got, exp)
+
+
+
+def test_native_chain_walk():
+    from kmerset_tpu.core import native
+
+    # chains: 0->1->2->-1, 3->-1, cycle 4->5->4
+    succ = np.array([1, 2, -1, -1, 5, 4], dtype=np.int64)
+    nodes, groups = native.chain_walk(succ, np.array([0, 3], dtype=np.int64))
+    np.testing.assert_array_equal(nodes, [0, 1, 2, 3])
+    np.testing.assert_array_equal(groups, [0, 3, 4])
