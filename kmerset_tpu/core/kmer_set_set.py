@@ -34,6 +34,65 @@ from .kmer_set_compact import KmerSetCompact
 AdjacencyList = Dict[int, List[int]]
 
 
+class _HostWeightOracle:
+    """Pairwise sketch-intersection sizes, host sorted-merge."""
+
+    def __init__(self, sketches: List[np.ndarray]):
+        self.sketches = list(sketches)
+
+    def append(self, sketch: np.ndarray) -> None:
+        self.sketches.append(sketch)
+
+    def replace(self, i: int, sketch: np.ndarray) -> None:
+        self.sketches[i] = sketch
+
+    def batch(self, pairs: List[Tuple[int, int]]) -> np.ndarray:
+        return np.fromiter(
+            (
+                intersection_size(self.sketches[i], self.sketches[j])
+                for i, j in pairs
+            ),
+            dtype=np.int64,
+            count=len(pairs),
+        )
+
+
+class _DeviceWeightOracle:
+    """Pairwise sketch-intersection sizes on the accelerator
+    (ops/sketch.DeviceSketchTable): one row-wise sort answers a whole
+    batch of pairs, replacing the reference's thread-pool of sorted-vector
+    merges (reference: lib/core/kmer_set_set.h:189-219)."""
+
+    def __init__(self, sketches: List[np.ndarray]):
+        from ..ops.sketch import DeviceSketchTable
+
+        self.table = DeviceSketchTable(sketches)
+
+    def append(self, sketch: np.ndarray) -> None:
+        self.table.append_row(sketch)
+
+    def replace(self, i: int, sketch: np.ndarray) -> None:
+        self.table.set_row(i, sketch)
+
+    def batch(self, pairs: List[Tuple[int, int]]) -> np.ndarray:
+        return self.table.pair_weights(pairs)
+
+
+def _make_weight_oracle(sketches: List[np.ndarray], n_inputs: int):
+    from ..ops import backend
+
+    total = sum(s.shape[0] for s in sketches)
+    # The all-pairs phase does ~n_inputs * total merge work; offload when
+    # that is large enough to amortize transfers and compiles.
+    if backend.should_use_device(n_inputs * max(1, total) // 2):
+        try:
+            backend.enable_compile_cache()
+            return _DeviceWeightOracle(sketches)
+        except Exception:  # noqa: BLE001 - fall back to host
+            pass
+    return _HostWeightOracle(sketches)
+
+
 def serialize_adjacency_list(adj: AdjacencyList) -> str:
     """Exact reference format: "size key count children ..."
     (reference: kmer_set_set.h:45-56).  Keys emitted in sorted order (the
@@ -97,14 +156,14 @@ class KmerSetSet:
         sampled: List[np.ndarray] = [
             s.sampled_kmers(cfg, bucket_ids, canonical) for s in sets
         ]
+        oracle = _make_weight_oracle(sampled, n_inputs)
 
-        def edge_weight(i: int, j: int) -> int:
-            return intersection_size(sampled[i], sampled[j])
-
-        weights: Dict[Tuple[int, int], int] = {}
-        for i in range(n_inputs):
-            for j in range(i + 1, n_inputs):
-                weights[(i, j)] = edge_weight(i, j)
+        all_pairs = [
+            (i, j) for i in range(n_inputs) for j in range(i + 1, n_inputs)
+        ]
+        weights: Dict[Tuple[int, int], int] = dict(
+            zip(all_pairs, oracle.batch(all_pairs).tolist())
+        )
 
         # Stopping rule (reference: kmer_set_set.h:240-302).
         def total_spss_weight() -> int:
@@ -127,9 +186,10 @@ class KmerSetSet:
             # Max-weight pair; deterministic smallest-pair tie-break.
             best_w = 0
             best_pair: Tuple[int, int] | None = None
-            for pair in sorted(weights):
-                w = weights[pair]
-                if w > best_w:
+            for pair, w in weights.items():
+                if w > best_w or (
+                    w == best_w and best_pair is not None and pair < best_pair
+                ):
                     best_w = w
                     best_pair = pair
             if best_pair is None:
@@ -154,20 +214,22 @@ class KmerSetSet:
             sets[k] = KmerSetCompact.from_kmer_set(
                 KmerSet(cfg.k, kk2, _sorted=True), canonical
             )
-            sampled.append(sets[n].sampled_kmers(cfg, bucket_ids, canonical))
-            sampled[j] = sets[j].sampled_kmers(cfg, bucket_ids, canonical)
-            sampled[k] = sets[k].sampled_kmers(cfg, bucket_ids, canonical)
+            oracle.append(sets[n].sampled_kmers(cfg, bucket_ids, canonical))
+            oracle.replace(j, sets[j].sampled_kmers(cfg, bucket_ids, canonical))
+            oracle.replace(k, sets[k].sampled_kmers(cfg, bucket_ids, canonical))
             self.children_.setdefault(j, []).append(n)
             self.children_.setdefault(k, []).append(n)
 
             # Update weights of pairs touching j, k, n
             # (reference: kmer_set_set.h:382-425).
+            touched: List[Tuple[int, int]] = []
             for l in range(n):
                 if l != j:
-                    weights[(min(j, l), max(j, l))] = edge_weight(j, l)
+                    touched.append((min(j, l), max(j, l)))
                 if l != k:
-                    weights[(min(k, l), max(k, l))] = edge_weight(k, l)
-                weights[(l, n)] = edge_weight(l, n)
+                    touched.append((min(k, l), max(k, l)))
+                touched.append((l, n))
+            weights.update(zip(touched, oracle.batch(touched).tolist()))
 
     # -- queries (reference: kmer_set_set.h:429-454) -----------------------
 

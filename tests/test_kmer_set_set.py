@@ -105,3 +105,33 @@ def test_deterministic():
     assert [c.weight() for c in a.kmer_sets_compact_] == [
         c.weight() for c in b.kmer_sets_compact_
     ]
+
+
+def test_device_weight_oracle_matches_host(monkeypatch):
+    """The device sketch table must produce the same compression DAG as
+    the host sorted-merge path."""
+    from kmerset_tpu.core.config import KConfig
+    from kmerset_tpu.core.kmer_set import KmerSet
+    from kmerset_tpu.core.kmer_set_compact import KmerSetCompact
+    from kmerset_tpu.utils.random import get_random_kmer_set
+
+    cfg = KConfig(k=9, n=6)
+    rng = np.random.default_rng(11)
+    base = get_random_kmer_set(9, 600, True, rng)
+    sets = []
+    for i in range(4):
+        extra = get_random_kmer_set(9, 150, True, rng)
+        merged = np.unique(np.concatenate([base.kmers, extra.kmers]))
+        sets.append(
+            KmerSetCompact.from_kmer_set(KmerSet(9, merged, _sorted=True), True)
+        )
+
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    host = KmerSetSet(list(sets), True, cfg, seed=3)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    dev = KmerSetSet(list(sets), True, cfg, seed=3)
+    assert host.children_ == dev.children_
+    for i in range(4):
+        a = host.get(i, True)
+        b = dev.get(i, True)
+        np.testing.assert_array_equal(a.kmers, b.kmers)
