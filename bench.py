@@ -10,9 +10,11 @@ JAX device (the TPU under axon; CPU otherwise).
 
 Baseline: the reference publishes no numbers (BASELINE.md) and its binaries
 cannot be built here (its C++ deps need network).  The stand-in baseline is
-this machine's vectorized NumPy host path on identical data, scaled x8 to
-approximate the reference's 8-thread configuration — the north-star target
-is >= 8x that (BASELINE.json).  vs_baseline = device_rate / (8 * host_rate).
+this package's own single-core host path on identical data — which routes
+through the native C inner loops (native/kmerio.c window pack + revcomp),
+so it is a *strong* proxy for the reference's single-thread C++ speed —
+scaled x8 to approximate the reference's 8-thread configuration
+(BASELINE.json north star).  vs_baseline = device_rate / (8 * host_rate).
 
 Input data is generated on device and the step is iterated inside one
 compiled fori_loop (with per-iteration input perturbation so steps cannot

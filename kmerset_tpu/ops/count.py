@@ -120,8 +120,25 @@ def _pack_span_rc(codes: jnp.ndarray, positions: range, dtype) -> jnp.ndarray:
     return out
 
 
+def _use_pallas() -> bool:
+    """The fused pack kernel (ops/pallas_pack.py) needs a real TPU backend
+    (Mosaic); CPU runs (tests, virtual meshes) take the XLA roll path."""
+    import os
+
+    if os.environ.get("KMERSET_TPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def _single_windows(codes: jnp.ndarray, k: int, canonical: bool) -> jnp.ndarray:
     """One int32 canonical window key per position (k <= 15: 2k <= 30 bits)."""
+    if canonical and _use_pallas():
+        from .pallas_pack import canonical_windows_pallas
+
+        return canonical_windows_pallas(codes.astype(jnp.int32), k)
     fwd = _pack_span(codes, range(0, k), jnp.int32)
     if not canonical:
         return fwd

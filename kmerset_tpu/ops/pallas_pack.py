@@ -1,0 +1,110 @@
+"""Pallas TPU kernel: fused window pack + canonicalization.
+
+The counting front-end turns a base-code stream into one canonical
+k-mer key per window (reference inner loop: lib/core/kmer_counter.h:80-96
+builds each window with per-base shifts).  The XLA formulation in
+ops/count.py uses ~2*log2(k) `jnp.roll` passes, each a full HBM
+read+write; this kernel streams every code tile through VMEM exactly
+once (with a k-1 halo) and does all 2k shift/or steps plus the
+reverse-complement min on-chip.
+
+Only the single-int32-key case (k <= 15) is implemented — that is the
+layout the CLI k's use on the hot path; wider k falls back to the XLA
+path automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK = 1 << 17  # windows per grid step; scratch = (BLOCK + halo) int32 in VMEM
+_HALO = 1024  # >= k - 1; 1D HBM DMA slices must align to the (1024) tiling
+
+
+def _kernel(k: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(codes_hbm, out_ref, scratch, sem):
+        i = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            codes_hbm.at[pl.ds(i * BLOCK, BLOCK + _HALO)], scratch, sem
+        )
+        dma.start()
+        dma.wait()
+
+        # Log-doubling pack on values (static slices only — Mosaic has no
+        # dynamic_slice): packs[l][p] = window of 2^l bases at p, fwd
+        # ascending / rc descending over the complemented codes.
+        c = scratch[:]
+        d = 3 - c
+
+        def build(base, mirrored):
+            packs = [base]
+            span = 1
+            while span * 2 <= k:
+                prev = packs[-1]
+                m = prev.shape[0] - span
+                if mirrored:
+                    packs.append((prev[span : span + m] << (2 * span)) | prev[:m])
+                else:
+                    packs.append((prev[:m] << (2 * span)) | prev[span : span + m])
+                span *= 2
+            return packs
+
+        def combine(packs, mirrored):
+            out = None
+            pos = 0
+            for l in range(len(packs) - 1, -1, -1):
+                size = 1 << l
+                if not (k & size):
+                    continue
+                off = (k - pos - size) if mirrored else pos
+                piece = packs[l][off : off + BLOCK]
+                out = piece if out is None else ((out << (2 * size)) | piece)
+                pos += size
+            return out
+
+        fwd = combine(build(c, False), False)
+        rc = combine(build(d, True), True)
+        out_ref[:] = jnp.minimum(fwd, rc)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _call(codes_padded: jnp.ndarray, k: int) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_blocks = (codes_padded.shape[0] - _HALO) // BLOCK
+    return pl.pallas_call(
+        _kernel(k),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK,), jnp.int32),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK + _HALO,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(codes_padded)
+
+
+def canonical_windows_pallas(codes: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Canonical int32 window keys for every position of `codes`
+    (positions beyond len - k + 1 hold garbage; callers mask by validity).
+
+    codes: (L,) int32.  Returns (L,) int32 (trimmed to input length).
+    """
+    assert k <= 15, "pallas pack kernel supports the single-int32-key case"
+    L = codes.shape[0]
+    n_blocks = -(-L // BLOCK)
+    padded_len = n_blocks * BLOCK + _HALO
+    codes_p = jnp.zeros(padded_len, jnp.int32).at[:L].set(codes)
+    out = _call(codes_p, k)
+    return out[:L]

@@ -73,3 +73,21 @@ def test_device_side_tables_match_host(k, canonical):
     if canonical:
         np.testing.assert_array_equal(rsame[m], hr[2][m])
         np.testing.assert_array_equal(lsame[ml], hl[2][ml])
+
+
+@pytest.mark.parametrize("k", [7, 15])
+def test_pallas_pack_interpret_matches_host(k):
+    """The Mosaic pack kernel, run under the Pallas interpreter, must agree
+    with the host codec on every valid window."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kmerset_tpu.core import kmer as kc
+    from kmerset_tpu.ops.pallas_pack import canonical_windows_pallas
+
+    rng = np.random.default_rng(k)
+    codes = rng.integers(0, 4, 5000).astype(np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(canonical_windows_pallas(codes, k))
+    w = kc.kmers_from_codes(codes.astype(np.int64), k)
+    exp = kc.canonical(w, k)
+    np.testing.assert_array_equal(got[: exp.shape[0]], exp)
