@@ -122,3 +122,80 @@ def sharded_hash_fn(mesh: Mesh):
         step, mesh=mesh, in_specs=(P(AXIS),), out_specs=P(), check_vma=False
     )
     return jax.jit(sharded)
+
+
+def sharded_set_algebra_fn(mesh: Mesh):
+    """Builds the jitted multi-device set-algebra step over key-range
+    sharded sorted sets (the distributed form of the reference's bucket-
+    local Add/Sub/Intersection, lib/core/kmer_set.h:164-219,286-305).
+
+    Because both operands are sharded by the same key ranges, intersection
+    and difference are device-local: one (key, tag) sort classifies every
+    element, and only the sizes cross devices (psum).  Inputs are
+    sentinel-padded sorted uniques; outputs are sentinel-padded sorted
+    uniques of the same capacity plus replicated global sizes.
+    """
+
+    def step(a_local, b_local):
+        na = a_local.shape[0]
+        key = jnp.concatenate([a_local, b_local])
+        tag = jnp.concatenate(
+            [jnp.zeros(na, jnp.int32), jnp.ones(b_local.shape[0], jnp.int32)]
+        )
+        key_s, tag_s = jax.lax.sort((key, tag), num_keys=2, is_stable=False)
+        live = key_s != SENTINEL
+        nxt = jnp.concatenate([key_s[1:], jnp.full((1,), -1, key_s.dtype)])
+        prv = jnp.concatenate([jnp.full((1,), -1, key_s.dtype), key_s[:-1]])
+        inter = live & (tag_s == 0) & (nxt == key_s)
+        a_only = live & (tag_s == 0) & (nxt != key_s)
+        b_only = live & (tag_s == 1) & (prv != key_s)
+
+        def compact(mask):
+            out, = jax.lax.sort(
+                (jnp.where(mask, key_s, SENTINEL),), num_keys=1, is_stable=False
+            )
+            return out
+
+        sizes = jnp.stack([jnp.sum(inter), jnp.sum(a_only), jnp.sum(b_only)])
+        total = jax.lax.psum(sizes, AXIS)
+        return compact(inter), compact(a_only), compact(b_only), total[None]
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_sketch_weights_fn(mesh: Mesh, n_pairs: int):
+    """Pairwise sketch-intersection sizes over key-range sharded sketches
+    (the distributed KmerSetSet similarity phase, reference:
+    lib/core/kmer_set_set.h:158-219).  Each device intersects its key
+    range of every pair locally (row-wise sort), then sizes are psum'd —
+    sketches are never gathered.
+
+    Input: sketches (n_sets, S) sharded on S (each device holds its key
+    range of every sketch, sentinel-padded), pair index arrays (n_pairs,).
+    Output: (n_pairs,) global intersection sizes, replicated.
+    """
+
+    def step(sk_local, ia, ib):
+        a = sk_local[ia]
+        b = sk_local[ib]
+        merged = jnp.concatenate([a, b], axis=1)
+        s = jax.lax.sort(merged, dimension=1, is_stable=False)
+        hit = (s[:, 1:] == s[:, :-1]) & (s[:, 1:] != SENTINEL)
+        local = jnp.sum(hit, axis=1, dtype=jnp.int64)
+        return jax.lax.psum(local, AXIS)
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(None, AXIS), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

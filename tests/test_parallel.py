@@ -126,3 +126,66 @@ def test_count_to_set_cutoffs(k, cutoff):
     expected = hu[hc * reps >= cutoff]
     np.testing.assert_array_equal(np.asarray(uniq)[: int(n_kept)], expected)
     assert int(n_cut) == hu.shape[0] - expected.shape[0]
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_sharded_set_algebra(n_dev):
+    from kmerset_tpu.parallel.mesh import sharded_set_algebra_fn
+
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(7)
+    cap_per_dev = 1024
+    cap = cap_per_dev * n_dev
+    A = np.unique(rng.integers(0, 1 << 20, 900)).astype(np.int64)
+    B = np.unique(rng.integers(0, 1 << 20, 900)).astype(np.int64)
+
+    # Shard by key range: device d gets keys in its range, locally padded.
+    edges = np.linspace(0, 1 << 20, n_dev + 1).astype(np.int64)
+    def shard(x):
+        out = np.full(cap, SENTINEL, dtype=np.int64)
+        for d in range(n_dev):
+            part = x[(x >= edges[d]) & (x < edges[d + 1])]
+            out[d * cap_per_dev : d * cap_per_dev + part.size] = part
+        return out
+
+    fn = sharded_set_algebra_fn(mesh)
+    inter, a_only, b_only, sizes = fn(shard(A), shard(B))
+
+    def collect(x):
+        x = np.asarray(x)
+        return np.sort(x[x != SENTINEL])
+
+    np.testing.assert_array_equal(collect(inter), np.intersect1d(A, B))
+    np.testing.assert_array_equal(collect(a_only), np.setdiff1d(A, B))
+    np.testing.assert_array_equal(collect(b_only), np.setdiff1d(B, A))
+    s = np.asarray(sizes)[0]
+    assert list(s) == [
+        np.intersect1d(A, B).size,
+        np.setdiff1d(A, B).size,
+        np.setdiff1d(B, A).size,
+    ]
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_sharded_sketch_weights(n_dev):
+    from kmerset_tpu.parallel.mesh import sharded_sketch_weights_fn
+
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(8)
+    n_sets, per_dev = 5, 512
+    S = per_dev * n_dev
+    edges = np.linspace(0, 1 << 16, n_dev + 1).astype(np.int64)
+    raw = [np.unique(rng.integers(0, 1 << 16, 400)).astype(np.int64) for _ in range(n_sets)]
+    sk = np.full((n_sets, S), SENTINEL, dtype=np.int64)
+    for i, x in enumerate(raw):
+        for d in range(n_dev):
+            part = x[(x >= edges[d]) & (x < edges[d + 1])]
+            sk[i, d * per_dev : d * per_dev + part.size] = part
+
+    pairs = [(i, j) for i in range(n_sets) for j in range(i + 1, n_sets)]
+    ia = np.array([p[0] for p in pairs], dtype=np.int32)
+    ib = np.array([p[1] for p in pairs], dtype=np.int32)
+    fn = sharded_sketch_weights_fn(mesh, len(pairs))
+    w = np.asarray(fn(sk, ia, ib))
+    exp = [np.intersect1d(raw[i], raw[j]).size for i, j in pairs]
+    np.testing.assert_array_equal(w, exp)
