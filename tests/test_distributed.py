@@ -1,0 +1,97 @@
+"""Multi-host smoke test: jax.distributed over N CPU processes.
+
+The reference has no distributed fixture to copy (SURVEY.md §5.8); this is
+the multi-process analogue of the virtual-mesh tests — two OS processes
+form one global mesh and run the sharded XOR-hash and set-algebra steps
+over process-spanning global arrays.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_CHILD = r"""
+import sys
+import numpy as np
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"localhost:{port}", nproc, pid)
+assert jax.process_count() == nproc
+
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from kmerset_tpu.ops.count import SENTINEL
+from kmerset_tpu.parallel.mesh import make_mesh, sharded_hash_fn, sharded_set_algebra_fn
+
+mesh = make_mesh()
+assert mesh.devices.size == nproc
+
+# Deterministic global set, key-range sharded: process p holds rows of a
+# (nproc, cap) layout.
+cap = 256
+rng = np.random.default_rng(0)
+allk = np.unique(rng.integers(0, 1 << 20, 300)).astype(np.int64)
+edges = np.linspace(0, 1 << 20, nproc + 1).astype(np.int64)
+local = np.full(cap, SENTINEL, dtype=np.int64)
+part = allk[(allk >= edges[pid]) & (allk < edges[pid + 1])]
+local[: part.size] = part
+
+sharding = NamedSharding(mesh, P("kv"))
+garr = jax.make_array_from_process_local_data(sharding, local, (cap * nproc,))
+
+h = sharded_hash_fn(mesh)(garr)
+expected = int(np.bitwise_xor.reduce(allk))
+got = int(np.asarray(jax.device_get(h))[0])
+assert got == expected, (got, expected)
+
+inter, a_only, b_only, sizes = sharded_set_algebra_fn(mesh)(garr, garr)
+s = np.asarray(jax.device_get(sizes))[0]
+assert int(s[0]) == allk.size and int(s[1]) == 0 and int(s[2]) == 0, s
+
+print(f"proc {pid}: ok")
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_distributed_mesh(tmp_path):
+    nproc = 2
+    port = _free_port()
+    script = tmp_path / "child.py"
+    script.write_text(_CHILD)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # one device per process
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(p), str(nproc), str(port)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for p in range(nproc)
+    ]
+    outs = []
+    for pr in procs:
+        out, _ = pr.communicate(timeout=300)
+        outs.append(out.decode())
+    for p, (pr, out) in enumerate(zip(procs, outs)):
+        assert pr.returncode == 0, f"proc {p} failed:\n{out}"
+        assert f"proc {p}: ok" in out
