@@ -242,3 +242,48 @@ def emit_kmer_chains(
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return codes[:total], offsets
+
+
+def side_tables(A: np.ndarray, k: int, canonical: bool):
+    """Native hash-probe side tables (reference: lib/core/spss.h:238-313);
+    returns ((rdeg, rnbr, rsame), (ldeg, lnbr, lsame)) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_st_ready"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.kmerio_side_tables.restype = None
+        lib.kmerio_side_tables.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_int,
+            i32p,
+            ctypes.c_int,
+            i32p, i32p, u8p,
+            i32p, i32p, u8p,
+        ]
+        lib._st_ready = True
+    A = np.ascontiguousarray(A, dtype=np.int64)
+    n = A.shape[0]
+    logcap = max(4, int(n * 2 - 1).bit_length())
+    table = np.full(1 << logcap, -1, dtype=np.int32)
+    rdeg = np.empty(n, np.int32); rnbr = np.empty(n, np.int32)
+    ldeg = np.empty(n, np.int32); lnbr = np.empty(n, np.int32)
+    rsame = np.empty(n, np.uint8); lsame = np.empty(n, np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.kmerio_side_tables(
+        A.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n, k,
+        1 if canonical else 0,
+        table.ctypes.data_as(i32p), logcap,
+        rdeg.ctypes.data_as(i32p), rnbr.ctypes.data_as(i32p),
+        rsame.ctypes.data_as(u8p),
+        ldeg.ctypes.data_as(i32p), lnbr.ctypes.data_as(i32p),
+        lsame.ctypes.data_as(u8p),
+    )
+    return (
+        (rdeg.astype(np.int64), rnbr.astype(np.int64), rsame.astype(bool)),
+        (ldeg.astype(np.int64), lnbr.astype(np.int64), lsame.astype(bool)),
+    )

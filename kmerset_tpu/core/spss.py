@@ -111,6 +111,14 @@ def _side_tables(A: np.ndarray, k: int, canonical: bool):
         res = neighbors.device_side_tables(A, k, canonical)
         if res is not None:
             return res
+    res = native.side_tables(A, k, canonical)
+    if res is not None:
+        if not canonical:
+            # Directed graphs carry no same-side flags.
+            (rd, rn, _), (ld, ln, _) = res
+            zr = np.zeros(A.shape[0], dtype=bool)
+            return (rd, rn, zr), (ld, ln, zr)
+        return res
     if canonical:
         return (
             _side_table_canonical(A, k, right=True),

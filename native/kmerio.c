@@ -216,3 +216,90 @@ void kmerio_emit_kmer_chains(const int64_t *A, int k,
         offsets[g + 1] = pos;
     }
 }
+
+/* --- de Bruijn side tables via open-addressing hash ---------------------
+ *
+ * The reference computes per-side degree / unique-neighbor / same-side
+ * tables with 8 hash Contains() per k-mer (reference:
+ * lib/core/spss.h:238-313 canonical, 76-146 directed).  This is the
+ * native equivalent: one linear-probing table over the sorted k-mer
+ * array (values = array indices), then 8 probes per k-mer.
+ */
+
+static inline uint64_t mix64(uint64_t x) {
+    x ^= x >> 33; x *= 0xff51afd7ed558ccdULL;
+    x ^= x >> 33; x *= 0xc4ceb9fe1a85ec53ULL;
+    x ^= x >> 33; return x;
+}
+
+/* table: 2^logcap slots of int32 indices into A, -1 = empty. */
+static void hash_build(const int64_t *A, long n, int32_t *table, int logcap) {
+    const uint64_t mask = (1ULL << logcap) - 1;
+    for (long i = 0; i < n; i++) {
+        uint64_t h = mix64((uint64_t)A[i]) & mask;
+        while (table[h] != -1) h = (h + 1) & mask;
+        table[h] = (int32_t)i;
+    }
+}
+
+static inline int32_t hash_find(const int64_t *A, const int32_t *table,
+                                int logcap, int64_t key) {
+    const uint64_t mask = (1ULL << logcap) - 1;
+    uint64_t h = mix64((uint64_t)key) & mask;
+    for (;;) {
+        int32_t v = table[h];
+        if (v == -1) return -1;
+        if (A[v] == key) return v;
+        h = (h + 1) & mask;
+    }
+}
+
+/* Fills right(deg,nbr,same) and left(deg,nbr,same) for every A[i].
+ * canonical != 0: candidates are canonicalized before lookup and `same`
+ * records whether the raw candidate differed from its canonical form.
+ * table: caller-allocated int32[1 << logcap] filled with -1.
+ * deg/nbr are int32; same is uint8. */
+void kmerio_side_tables(const int64_t *A, long n, int k, int canonical,
+                        int32_t *table, int logcap,
+                        int32_t *rdeg, int32_t *rnbr, uint8_t *rsame,
+                        int32_t *ldeg, int32_t *lnbr, uint8_t *lsame) {
+    hash_build(A, n, table, logcap);
+    const uint64_t kmask = (1ULL << (2 * k)) - 1;
+    for (long i = 0; i < n; i++) {
+        uint64_t x = (uint64_t)A[i];
+        int32_t dr = 0, nr = 0, dl = 0, nl = 0;
+        uint8_t sr = 0, sl = 0;
+        for (int c = 0; c < 4; c++) {
+            /* right: next = suffix + c */
+            uint64_t cand = ((x << 2) | (uint64_t)c) & kmask;
+            uint64_t q = cand;
+            if (canonical) {
+                uint64_t rc = rc_one(cand, k);
+                if (rc < q) q = rc;
+            }
+            if (q != x) {
+                int32_t idx = hash_find(A, table, logcap, (int64_t)q);
+                if (idx >= 0) {
+                    if (dr == 0) { nr = idx; sr = (uint8_t)(cand != q); }
+                    dr++;
+                }
+            }
+            /* left: prev = c + prefix */
+            cand = (x >> 2) | ((uint64_t)c << (2 * (k - 1)));
+            q = cand;
+            if (canonical) {
+                uint64_t rc = rc_one(cand, k);
+                if (rc < q) q = rc;
+            }
+            if (q != x) {
+                int32_t idx = hash_find(A, table, logcap, (int64_t)q);
+                if (idx >= 0) {
+                    if (dl == 0) { nl = idx; sl = (uint8_t)(cand != q); }
+                    dl++;
+                }
+            }
+        }
+        rdeg[i] = dr; rnbr[i] = nr; rsame[i] = sr;
+        ldeg[i] = dl; lnbr[i] = nl; lsame[i] = sl;
+    }
+}

@@ -91,3 +91,32 @@ def test_native_chain_walk():
     nodes, groups = native.chain_walk(succ, np.array([0, 3], dtype=np.int64))
     np.testing.assert_array_equal(nodes, [0, 1, 2, 3])
     np.testing.assert_array_equal(groups, [0, 3, 4])
+
+
+@pytest.mark.parametrize("k", [9, 15, 19])
+@pytest.mark.parametrize("canonical", [True, False])
+def test_native_side_tables_match_numpy(k, canonical):
+    from kmerset_tpu.core import kmer as kc
+    from kmerset_tpu.core import spss as S
+
+    rng = np.random.default_rng(k + canonical)
+    codes = rng.integers(0, 4, 5000).astype(np.int64)
+    w = kc.kmers_from_codes(codes, k)
+    if canonical:
+        w = kc.canonical(w, k)
+    A = np.unique(w)
+    got = native.side_tables(A, k, canonical)
+    assert got is not None
+    if canonical:
+        exp_r = S._side_table_canonical(A, k, right=True)
+        exp_l = S._side_table_canonical(A, k, right=False)
+    else:
+        z = np.zeros(A.size, bool)
+        exp_r = S._side_table_plain(A, k, right=True) + (z,)
+        exp_l = S._side_table_plain(A, k, right=False) + (z,)
+    for side, exp in ((got[0], exp_r), (got[1], exp_l)):
+        np.testing.assert_array_equal(side[0], exp[0])
+        m = exp[0] >= 1
+        np.testing.assert_array_equal(side[1][m], exp[1][m])
+        if canonical:
+            np.testing.assert_array_equal(side[2][m], exp[2][m])
