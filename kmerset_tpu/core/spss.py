@@ -304,24 +304,39 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
     if n == 0:
         return PackedStrings.empty()
 
-    (rdeg, rnbr, rsame), (ldeg, lnbr, lsame) = _side_tables(A, k, canonical=True)
+    from ..ops import backend
 
-    # Terminal tests (reference: lib/core/spss.h:276-313): a side is
-    # terminal unless it has exactly one mate whose corresponding side also
-    # has exactly one mate.
-    mate_r = np.where(rsame, rdeg[rnbr], ldeg[rnbr])
-    term_r = (rdeg != 1) | (mate_r != 1)
-    mate_l = np.where(lsame, ldeg[lnbr], rdeg[lnbr])
-    term_l = (ldeg != 1) | (mate_l != 1)
+    dev = None
+    if backend.should_use_device_graph(n):
+        from ..ops import unitigs as dev_unitigs
 
-    # Oriented successor: u = 2i+0 exits right, u = 2i+1 exits left.  After
-    # a same-side step the orientation flips (reference FindPath,
-    # lib/core/spss.h:394-423).
-    succ = np.empty(2 * n, dtype=np.int64)
-    succ[0::2] = np.where(term_r, -1, 2 * rnbr + rsame)
-    succ[1::2] = np.where(term_l, -1, 2 * lnbr + (~lsame).astype(np.int64))
+        backend.enable_compile_cache()
+        dev = dev_unitigs.device_unitig_succ(A, k)
+    if dev is not None:
+        # Fused device front-end: side tables + terminal tests + oriented
+        # successor in one jit (ops/unitigs.py).
+        succ, term_l, term_r, both = dev
+    else:
+        (rdeg, rnbr, rsame), (ldeg, lnbr, lsame) = _side_tables(
+            A, k, canonical=True
+        )
 
-    both = term_l & term_r
+        # Terminal tests (reference: lib/core/spss.h:276-313): a side is
+        # terminal unless it has exactly one mate whose corresponding side
+        # also has exactly one mate.
+        mate_r = np.where(rsame, rdeg[rnbr], ldeg[rnbr])
+        term_r = (rdeg != 1) | (mate_r != 1)
+        mate_l = np.where(lsame, ldeg[lnbr], rdeg[lnbr])
+        term_l = (ldeg != 1) | (mate_l != 1)
+
+        # Oriented successor: u = 2i+0 exits right, u = 2i+1 exits left.
+        # After a same-side step the orientation flips (reference FindPath,
+        # lib/core/spss.h:394-423).
+        succ = np.empty(2 * n, dtype=np.int64)
+        succ[0::2] = np.where(term_r, -1, 2 * rnbr + rsame)
+        succ[1::2] = np.where(term_l, -1, 2 * lnbr + (~lsame).astype(np.int64))
+
+        both = term_l & term_r
     starts_r_exit = np.flatnonzero(term_l & ~term_r & ~both) * 2
     starts_l_exit = np.flatnonzero(term_r & ~term_l) * 2 + 1
     starts = np.concatenate([starts_r_exit, starts_l_exit])

@@ -91,3 +91,46 @@ def test_pallas_pack_interpret_matches_host(k):
     w = kc.kmers_from_codes(codes.astype(np.int64), k)
     exp = kc.canonical(w, k)
     np.testing.assert_array_equal(got[: exp.shape[0]], exp)
+
+
+@pytest.mark.parametrize("k", [9, 15])
+def test_device_unitig_succ_matches_host(k, monkeypatch):
+    """The fused device successor front-end must reproduce the host
+    terminal/successor construction, and the full unitig build must be
+    set-identical either way."""
+    from kmerset_tpu.core.kmer_set import KmerSet
+    from kmerset_tpu.ops.unitigs import device_unitig_succ
+
+    rng = np.random.default_rng(k)
+    codes = rng.integers(0, 4, 6000).astype(np.int64)
+    from kmerset_tpu.core import kmer as kc
+
+    A = np.unique(kc.canonical(kc.kmers_from_codes(codes, k), k))
+    dev = device_unitig_succ(A, k)
+    assert dev is not None
+    succ_d, term_l_d, term_r_d, both_d = dev
+
+    (rdeg, rnbr, rsame), (ldeg, lnbr, lsame) = spss._side_tables(A, k, True)
+    mate_r = np.where(rsame, rdeg[rnbr], ldeg[rnbr])
+    term_r = (rdeg != 1) | (mate_r != 1)
+    mate_l = np.where(lsame, ldeg[lnbr], rdeg[lnbr])
+    term_l = (ldeg != 1) | (mate_l != 1)
+    succ = np.empty(2 * A.size, dtype=np.int64)
+    succ[0::2] = np.where(term_r, -1, 2 * rnbr + rsame)
+    succ[1::2] = np.where(term_l, -1, 2 * lnbr + (~lsame).astype(np.int64))
+
+    np.testing.assert_array_equal(term_r_d, term_r)
+    np.testing.assert_array_equal(term_l_d, term_l)
+    np.testing.assert_array_equal(both_d, term_l & term_r)
+    np.testing.assert_array_equal(succ_d, succ)
+
+    # End-to-end: unitig sets identical whichever front-end ran.
+    ks = KmerSet(k, A, _sorted=True)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    u_dev = spss.get_unitigs_canonical(ks)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    u_host = spss.get_unitigs_canonical(ks)
+    rt_d = spss.get_kmer_set_from_spss(u_dev, k, True)
+    rt_h = spss.get_kmer_set_from_spss(u_host, k, True)
+    np.testing.assert_array_equal(rt_d.kmers, rt_h.kmers)
+    np.testing.assert_array_equal(rt_d.kmers, A)
