@@ -18,7 +18,7 @@ DEFAULT_MIN_DEVICE_WINDOWS = 1 << 21
 # host<->device link, so it needs a much larger problem to amortize than
 # streaming counts; through a tunneled/remote device it only pays off for
 # very large sets.
-DEFAULT_MIN_DEVICE_GRAPH = 1 << 24
+DEFAULT_MIN_DEVICE_GRAPH = 1 << 26
 
 
 def _threshold() -> int:
@@ -37,13 +37,50 @@ def _force() -> str:
     return os.environ.get("KMERSET_TPU_FORCE_BACKEND", "")
 
 
+_SLOW_LINK_FACTOR = 64
+_link_slow: Optional[bool] = None
+
+
+def _slow_link() -> bool:
+    """True when host<->device transfers run far below PCIe speed (e.g. a
+    tunneled/remote device).  Offload pipelines that round-trip data per
+    byte of input only pay off on a fast link, so slow links scale every
+    size threshold up by _SLOW_LINK_FACTOR.  Probed once per process
+    (one ~8 MB round trip); override with KMERSET_TPU_LINK=fast|slow."""
+    global _link_slow
+    if _link_slow is None:
+        env = os.environ.get("KMERSET_TPU_LINK", "")
+        if env in ("fast", "slow"):
+            _link_slow = env == "slow"
+            return _link_slow
+        try:
+            import time
+
+            import jax
+            import jax.numpy as jnp
+
+            x = np.zeros(1 << 21, dtype=np.int32)  # 8 MB
+            f = jax.jit(lambda a: a + 1)
+            np.asarray(f(x))  # compile + warm
+            t0 = time.perf_counter()
+            np.asarray(f(x))
+            dt = time.perf_counter() - t0
+            bw = 2 * x.nbytes / max(dt, 1e-9)
+            _link_slow = bw < (1 << 30)  # < 1 GB/s round trip
+        except Exception:  # noqa: BLE001
+            _link_slow = True
+    return _link_slow
+
+
 def should_use_device(n_windows: int) -> bool:
     force = _force()
     if force == "host":
         return False
     if force == "device":
         return True
-    return n_windows >= _threshold()
+    if n_windows < _threshold():
+        return False
+    return not _slow_link() or n_windows >= _threshold() * _SLOW_LINK_FACTOR
 
 
 def should_use_device_graph(n_kmers: int) -> bool:
@@ -52,7 +89,9 @@ def should_use_device_graph(n_kmers: int) -> bool:
         return False
     if force == "device":
         return True
-    return n_kmers >= _graph_threshold()
+    if n_kmers < _graph_threshold():
+        return False
+    return not _slow_link() or n_kmers >= _graph_threshold() * _SLOW_LINK_FACTOR
 
 
 def enable_compile_cache() -> None:
