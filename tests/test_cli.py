@@ -148,3 +148,21 @@ def test_unsupported_k():
     r = _run(["kmerset_tpu.cli.kmerset_build", "--k", "14", "/dev/null"])
     assert r.returncode != 0
     assert "unsupported k value" in (r.stderr + r.stdout)
+
+
+@pytest.mark.parametrize("k", [19, 23])
+def test_build_check_other_k(tmp_path, genome_reads, k):
+    """k=19 (int32-pair keys, N=10) and k=23 (N=14) round-trip via --check
+    (reference k dispatch: src/kmerset-build.cc:130-143)."""
+    genome, reads = genome_reads
+    fasta = str(tmp_path / "reads.fasta")
+    _write_fasta(fasta, reads)
+    out = str(tmp_path / f"set{k}.txt")
+    r = _run(
+        ["kmerset_tpu.cli.kmerset_build", "--k", str(k), "--check", "--out", out, fasta]
+    )
+    assert r.returncode == 0, r.stderr
+    assert "kmer_set_compact -> KmerSet: ok" in r.stderr
+    r2 = _run(["kmerset_tpu.cli.kmerset_stat", "--k", str(k), out])
+    assert r2.returncode == 0, r2.stderr
+    assert int(r2.stdout.strip().split("\t")[2]) > 0
