@@ -287,3 +287,34 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
         (rdeg.astype(np.int64), rnbr.astype(np.int64), rsame.astype(bool)),
         (ldeg.astype(np.int64), lnbr.astype(np.int64), lsame.astype(bool)),
     )
+
+
+def count_hash(codes: np.ndarray, k: int) -> Optional[int]:
+    """Reference-style single-thread hash counting (baseline only);
+    returns the number of distinct canonical k-mers, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_ch_ready"):
+        lib.kmerio_count_hash.restype = ctypes.c_long
+        lib.kmerio_count_hash.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int,
+        ]
+        lib._ch_ready = True
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = codes.shape[0]
+    logcap = max(4, int(max(n, 1) * 2 - 1).bit_length())
+    table = np.zeros(1 << logcap, dtype=np.uint64)
+    return int(
+        lib.kmerio_count_hash(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n,
+            k,
+            table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            logcap,
+        )
+    )

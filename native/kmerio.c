@@ -303,3 +303,45 @@ void kmerio_side_tables(const int64_t *A, long n, int k, int canonical,
         ldeg[i] = dl; lnbr[i] = nl; lsame[i] = sl;
     }
 }
+
+/* Reference-style canonical k-mer counter: rolling window + rolling
+ * reverse complement + open-addressing hash count.  This reproduces the
+ * reference's counting hot loop (lib/core/kmer_counter.h:80-133: per
+ * window canonicalize, hash-bucket insert) single-threaded, as the
+ * honest CPU baseline for bench.py.  table holds packed
+ * (count << 48 | key) entries, 0 = empty (key 0 offset by +1).
+ * Returns the number of distinct canonical k-mers.
+ */
+long kmerio_count_hash(const uint8_t *codes, long n, int k,
+                       uint64_t *table, int logcap) {
+    const uint64_t kmask = (1ULL << (2 * k)) - 1;
+    const uint64_t tmask = (1ULL << logcap) - 1;
+    const uint64_t KEYMASK = (1ULL << 48) - 1;
+    uint64_t fwd = 0, rc = 0;
+    long uniq = 0;
+    for (long i = 0; i < k - 1; i++) {
+        fwd = ((fwd << 2) | codes[i]) & kmask;
+        rc = (rc >> 2) | ((uint64_t)(3 - codes[i]) << (2 * (k - 1)));
+    }
+    for (long i = k - 1; i < n; i++) {
+        fwd = ((fwd << 2) | codes[i]) & kmask;
+        rc = (rc >> 2) | ((uint64_t)(3 - codes[i]) << (2 * (k - 1)));
+        uint64_t can = fwd < rc ? fwd : rc;
+        uint64_t stored = can + 1; /* reserve 0 for empty */
+        uint64_t h = mix64(can) & tmask;
+        for (;;) {
+            uint64_t e = table[h];
+            if (e == 0) {
+                table[h] = (1ULL << 48) | stored;
+                uniq++;
+                break;
+            }
+            if ((e & KEYMASK) == stored) {
+                if ((e >> 48) != 0xFFFFULL) table[h] = e + (1ULL << 48);
+                break;
+            }
+            h = (h + 1) & tmask;
+        }
+    }
+    return uniq;
+}
