@@ -23,6 +23,10 @@ def main(argv=None) -> None:
         )
     )
     flag_util.add_common_flags(parser, canonical=False)
+    # Accepted for reference CLI compatibility (reference:
+    # src/spss-benchmark.cc:28): the reference's lock-bucket concurrency
+    # knob.  The vectorized greedy here is deterministic and bucket-free,
+    # so the value has no effect on output or timing.
     parser.add_argument(
         "--buckets", type=int, default=1, help="number of buckets for SPSS calculation"
     )
