@@ -318,3 +318,36 @@ def count_hash(codes: np.ndarray, k: int) -> Optional[int]:
             logcap,
         )
     )
+
+
+def overlap_edges(P: np.ndarray, S: np.ndarray, k: int):
+    """Native unitig overlap-edge discovery (reference hash multimaps,
+    lib/core/spss.h:619-695); returns (a_ports, b_ports) in discovery
+    order (pre-dedup) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_oe_ready"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.kmerio_overlap_edges.restype = ctypes.c_long
+        lib.kmerio_overlap_edges.argtypes = [
+            i64p, i64p, ctypes.c_long, ctypes.c_int,
+            i64p, i64p, ctypes.c_int, ctypes.c_int, i64p,
+        ]
+        lib._oe_ready = True
+    P = np.ascontiguousarray(P, dtype=np.int64)
+    S = np.ascontiguousarray(S, dtype=np.int64)
+    n = P.shape[0]
+    logcap = max(4, int(max(n, 1) * 2 - 1).bit_length())
+    ptab = np.full(1 << logcap, -1, dtype=np.int64)
+    stab = np.full(1 << logcap, -1, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    args = (
+        P.ctypes.data_as(i64p), S.ctypes.data_as(i64p), n, k,
+        ptab.ctypes.data_as(i64p), stab.ctypes.data_as(i64p), logcap,
+    )
+    count = lib.kmerio_overlap_edges(*args, 1, None)
+    out = np.empty(2 * max(count, 1), dtype=np.int64)
+    lib.kmerio_overlap_edges(*args, 0, out.ctypes.data_as(i64p))
+    pairs = out[: 2 * count].reshape(-1, 2)
+    return pairs[:, 0], pairs[:, 1]

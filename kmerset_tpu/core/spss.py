@@ -418,6 +418,12 @@ def _candidate_port_edges_canonical(
     n = len(unitigs)
     P = unitigs.first_kmers(k)
     S = unitigs.last_kmers(k)
+
+    res = native.overlap_edges(P, S, k)
+    if res is not None:
+        a, b = res
+        return _dedup_port_edges(a, b, n)
+
     p_order = np.argsort(P, kind="stable")
     s_order = np.argsort(S, kind="stable")
     P_sorted, S_sorted = P[p_order], S[s_order]
@@ -452,8 +458,14 @@ def _candidate_port_edges_canonical(
 
     a = np.concatenate(all_a) if all_a else np.empty(0, np.int64)
     b = np.concatenate(all_b) if all_b else np.empty(0, np.int64)
-    # Each undirected edge is discovered from both endpoints; keep the
-    # first-priority occurrence.
+    return _dedup_port_edges(a, b, n)
+
+
+def _dedup_port_edges(
+    a: np.ndarray, b: np.ndarray, n: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Each undirected edge is discovered from both endpoints; keep the
+    first-priority occurrence."""
     key = np.minimum(a, b) * (2 * n) + np.maximum(a, b)
     _, first_idx = np.unique(key, return_index=True)
     first_idx.sort()

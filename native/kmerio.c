@@ -345,3 +345,86 @@ long kmerio_count_hash(const uint8_t *codes, long n, int k,
     }
     return uniq;
 }
+
+/* --- unitig (k-1)-overlap port edges ------------------------------------
+ *
+ * The reference finds unitig gluing candidates through hash multimaps of
+ * unitig prefixes/suffixes (reference: lib/core/spss.h:619-695,
+ * 1057-1145).  This is that design in C for the canonical (bidirected)
+ * graph: probe next(suffix)/prev(prefix) and their reverse complements
+ * against multimaps of first/last k-mers, emitting (port_a, port_b)
+ * pairs in the same discovery-priority order as the vectorized host
+ * join (core/spss.py::_candidate_port_edges_canonical).
+ *
+ * Multimap = open addressing, duplicates allowed; probing continues past
+ * matches until an empty slot so every duplicate is found, in insertion
+ * (= ascending id) order.
+ *
+ * Two-phase API: call with out == NULL to count, then with the buffer.
+ */
+
+static void mm_build(const int64_t *keys, long n, int64_t *table, int logcap) {
+    const uint64_t mask = (1ULL << logcap) - 1;
+    for (long i = 0; i < n; i++) {
+        uint64_t h = mix64((uint64_t)keys[i]) & mask;
+        while (table[h] != -1) h = (h + 1) & mask;
+        table[h] = i;
+    }
+}
+
+static long mm_probe_emit(const int64_t *keys, const int64_t *table,
+                          int logcap, int64_t q, int64_t a_port,
+                          int dst_side_bit, long skip_id,
+                          int64_t *out, long pos) {
+    const uint64_t mask = (1ULL << logcap) - 1;
+    uint64_t h = mix64((uint64_t)q) & mask;
+    for (;;) {
+        int64_t j = table[h];
+        if (j == -1) return pos;
+        if (keys[j] == q && j != skip_id) {
+            if (out) {
+                out[2 * pos] = a_port;
+                out[2 * pos + 1] = 2 * j + dst_side_bit;
+            }
+            pos++;
+        }
+        h = (h + 1) & mask;
+    }
+}
+
+/* P/S: first/last k-mers of the n unitigs.  ptab/stab: int64[1<<logcap]
+ * filled with -1 on first call (count pass builds them; fill pass reuses).
+ * out: NULL to count, else int64[2 * count].  Returns the edge count. */
+long kmerio_overlap_edges(const int64_t *P, const int64_t *S, long n, int k,
+                          int64_t *ptab, int64_t *stab, int logcap,
+                          int build, int64_t *out) {
+    const uint64_t kmask = (1ULL << (2 * k)) - 1;
+    if (build) {
+        mm_build(P, n, ptab, logcap);
+        mm_build(S, n, stab, logcap);
+    }
+    long pos = 0;
+    for (int c = 0; c < 4; c++) {
+        for (long i = 0; i < n; i++) {
+            uint64_t q = (((uint64_t)S[i] << 2) | (uint64_t)c) & kmask;
+            /* right(i) -- left(j): suffix_next == prefix(j) */
+            pos = mm_probe_emit(P, ptab, logcap, (int64_t)q, 2 * i, 1, i, out, pos);
+            /* right(i) -- right(j): rc(suffix_next) == suffix(j) */
+            pos = mm_probe_emit(S, stab, logcap, (int64_t)rc_one(q, k), 2 * i, 0,
+                                i, out, pos);
+        }
+    }
+    for (int c = 0; c < 4; c++) {
+        for (long i = 0; i < n; i++) {
+            uint64_t r = ((uint64_t)P[i] >> 2) |
+                         ((uint64_t)c << (2 * (k - 1)));
+            /* left(i) -- right(j): prefix_prev == suffix(j) */
+            pos = mm_probe_emit(S, stab, logcap, (int64_t)r, 2 * i + 1, 0, i,
+                                out, pos);
+            /* left(i) -- left(j): rc(prefix_prev) == prefix(j) */
+            pos = mm_probe_emit(P, ptab, logcap, (int64_t)rc_one(r, k),
+                                2 * i + 1, 1, i, out, pos);
+        }
+    }
+    return pos;
+}

@@ -120,3 +120,40 @@ def test_native_side_tables_match_numpy(k, canonical):
         np.testing.assert_array_equal(side[1][m], exp[1][m])
         if canonical:
             np.testing.assert_array_equal(side[2][m], exp[2][m])
+
+
+def test_native_overlap_edges_match_numpy():
+    """The C hash-multimap edge discovery must find exactly the same
+    undirected port-edge set as the vectorized sorted join (order may
+    differ; both are valid greedy priorities)."""
+    from kmerset_tpu.core import kmer as kc
+    from kmerset_tpu.core import spss as S
+    from kmerset_tpu.core.kmer_set import KmerSet
+
+    k = 9
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, 4000).astype(np.int64)
+    A = np.unique(kc.canonical(kc.kmers_from_codes(codes, k), k))
+    unitigs = S.get_unitigs_canonical(KmerSet(k, A, _sorted=True))
+    P = unitigs.first_kmers(k)
+    Sk = unitigs.last_kmers(k)
+    n = len(unitigs)
+
+    ca, cb = native.overlap_edges(P, Sk, k)
+    ca, cb = S._dedup_port_edges(ca, cb, n)
+
+    # numpy path (recompute via the internal joins by disabling native)
+    import kmerset_tpu.core.native as nat
+
+    lib = nat._LIB
+    nat._LIB = None
+    try:
+        na, nb = S._candidate_port_edges_canonical(unitigs, k)
+    finally:
+        nat._LIB = lib
+
+    def edge_set(a, b):
+        return set(zip(np.minimum(a, b).tolist(), np.maximum(a, b).tolist()))
+
+    assert edge_set(ca, cb) == edge_set(na, nb)
+    assert len(ca) == len(na)
