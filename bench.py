@@ -116,9 +116,21 @@ def main() -> None:
     print(f"compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     assert acc > 0
 
+    import contextlib
+    import os
+
+    # KMERSET_TPU_PROFILE=<dir> captures a jax.profiler trace of the
+    # measured steps (SURVEY §5.1: the reference's only tracing is
+    # stopwatch logs; here the full XLA op timeline is available).
+    prof_dir = os.environ.get("KMERSET_TPU_PROFILE", "")
+    ctx = (
+        jax.profiler.trace(prof_dir) if prof_dir else contextlib.nullcontext()
+    )
+
     reps = 50
     t0 = time.perf_counter()
-    acc = int(loop(codes, reps))  # int() forces full sync
+    with ctx:
+        acc = int(loop(codes, reps))  # int() forces full sync
     dt = (time.perf_counter() - t0) / reps
     rate = N_WINDOWS / dt
     print(f"device: {rate/1e6:.2f} Mkmers/s ({dt*1e3:.1f} ms/step)", file=sys.stderr)

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Multi-device scaling benchmark for the sharded counting step.
+
+Measures the all_to_all radix-exchange counting pipeline
+(parallel/mesh.py sharded_count_fn) at 1, 2, 4, ... devices with the
+per-device work held constant (weak scaling), printing throughput and
+scaling efficiency per mesh size.  On real multi-chip hardware this is
+the BASELINE.md scaling-efficiency benchmark; on a single chip or the
+virtual CPU mesh it exercises the collective path but shares one core,
+so efficiency numbers are only meaningful on real meshes.
+
+Usage: python benchmarks/bench_mesh.py [--per-dev 1048576] [--k 15]
+(Set JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+for a virtual mesh.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--per-dev", type=int, default=1 << 20)
+    parser.add_argument("--k", type=int, default=15)
+    parser.add_argument("--reps", type=int, default=10)
+    parser.add_argument(
+        "--virtual",
+        type=int,
+        default=0,
+        help="force an N-device virtual CPU mesh (overrides a pinned TPU)",
+    )
+    args = parser.parse_args()
+
+    import jax
+
+    if args.virtual:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.virtual)
+    import numpy as np
+
+    from kmerset_tpu.ops.count import window_validity
+    from kmerset_tpu.parallel.mesh import make_mesh, sharded_count_fn
+
+    n_avail = len(jax.devices())
+    print(f"devices: {n_avail} x {jax.devices()[0].platform}")
+    k, per = args.k, args.per_dev
+    rng = np.random.default_rng(0)
+
+    base_rate = None
+    n_dev = 1
+    while n_dev <= n_avail:
+        mesh = make_mesh(n_dev)
+        total = per * n_dev
+        codes = rng.integers(0, 4, total).astype(np.int32)
+        offsets = np.array([0, total], dtype=np.int64)
+        valid = window_validity(offsets, total, k)
+        for d in range(1, n_dev):
+            valid[d * per - k + 1 : d * per] = False
+        fn = sharded_count_fn(mesh, k, True, capacity=2 * per)
+        out = fn(codes, valid)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = fn(codes, valid)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.reps
+        rate = total / dt
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * n_dev)
+        print(
+            f"n_dev={n_dev}  {rate/1e6:8.1f} Mkmers/s  "
+            f"({dt*1e3:.1f} ms/step)  weak-scaling eff={eff:.2f}"
+        )
+        n_dev *= 2
+
+
+if __name__ == "__main__":
+    main()
