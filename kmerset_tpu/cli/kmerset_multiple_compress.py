@@ -44,15 +44,24 @@ def main(argv=None) -> None:
     flag_util.check_k(args.k)
     cfg = get_config(args.k)
 
-    compacts = []
-    for i, file in enumerate(args.files):
+    # Parallel per-file load under --workers (reference:
+    # src/kmerset-multiple-compress.cc:45-82); the decompressor pipes and
+    # file reads overlap even on one core.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _load(item):
+        i, file = item
         logger.info("reading: i = %d, file = %s", i, file)
-        try:
-            compacts.append(KmerSetCompact.load(cfg.k, file, args.decompressor))
-        except Exception as e:  # noqa: BLE001
-            logger.error("failed to read file: %s", e)
-            sys.exit(1)
+        c = KmerSetCompact.load(cfg.k, file, args.decompressor)
         logger.info("finished reading: i = %d, file = %s", i, file)
+        return c
+
+    try:
+        with ThreadPoolExecutor(max_workers=max(1, args.workers)) as ex:
+            compacts = list(ex.map(_load, enumerate(args.files)))
+    except Exception as e:  # noqa: BLE001
+        logger.error("failed to read file: %s", e)
+        sys.exit(1)
 
     total_size = 0
     for i, c in enumerate(compacts):

@@ -50,7 +50,7 @@ def main(argv=None) -> None:
     for i in range(reader.size()):
         logger.info("constructing kmer_set: i = %d", i)
         try:
-            kmer_set = reader.get(i)
+            kmer_set = reader.get(i, workers=args.workers)
         except Exception as e:  # noqa: BLE001
             logger.error("failed to construct kmer_set: %s", e)
             sys.exit(1)

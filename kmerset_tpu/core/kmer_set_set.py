@@ -343,7 +343,7 @@ class KmerSetSetReader:
     def size(self) -> int:
         return self._size
 
-    def get(self, i: int) -> KmerSet:
+    def get(self, i: int, workers: int = 1) -> KmerSet:
         ids: List[int] = []
         seen = set()
         queue = [i]
@@ -354,14 +354,24 @@ class KmerSetSetReader:
             seen.add(cur)
             ids.append(cur)
             queue.extend(self.children_.get(cur, []))
-        parts = []
-        for idx in ids:
+
+        def _load(idx: int) -> np.ndarray:
             s = KmerSetCompact.load(
                 self.config.k,
                 os.path.join(self.directory, f"{idx}.{self.extension}"),
                 self.decompressor,
             )
-            parts.append(s.kmers(self.canonical))
+            return s.kmers(self.canonical)
+
+        if workers > 1 and len(ids) > 1:
+            # Parallel load of the reachable files (reference grows a worker
+            # pool per reachable id, kmer_set_set.h:704-745).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                parts = list(ex.map(_load, ids))
+        else:
+            parts = [_load(idx) for idx in ids]
         return KmerSet(
             self.config.k, np.unique(np.concatenate(parts)), _sorted=True
         )
