@@ -135,3 +135,29 @@ def test_device_weight_oracle_matches_host(monkeypatch):
         a = host.get(i, True)
         b = dev.get(i, True)
         np.testing.assert_array_equal(a.kmers, b.kmers)
+
+
+def test_edge_cases_empty_single_identical():
+    """Empty/single/identical-set inputs must round-trip without special
+    casing (reference handles these implicitly via its bucket loops)."""
+    from kmerset_tpu.core.config import get_config
+    from kmerset_tpu.core.kmer_set import KmerSet
+    from kmerset_tpu.core.kmer_set_compact import KmerSetCompact
+
+    cfg = get_config(15)
+    e = KmerSet(15)
+    ce = KmerSetCompact.from_kmer_set(e, True)
+    assert ce.size() == 0 and ce.weight() == 0
+    assert ce.to_kmer_set(True).size() == 0
+
+    s1 = KmerSet(15, np.array([12345], dtype=np.int64))
+    c1 = KmerSetCompact.from_kmer_set(s1, True)
+    assert c1.size() == 1 and c1.to_kmer_set(True).equals(s1)
+
+    assert KmerSetSet([], True, cfg).size() == 0
+    kss = KmerSetSet([c1], True, cfg)
+    assert kss.size() == 1 and kss.get(0, True).equals(s1)
+    kss2 = KmerSetSet(
+        [c1, KmerSetCompact.from_kmer_set(s1, True)], True, cfg
+    )
+    assert kss2.get(0, True).equals(s1) and kss2.get(1, True).equals(s1)
