@@ -124,3 +124,75 @@ class DeviceSketchTable:
             w = np.asarray(pair_weights(self._sk, ia_p, ib_p))
             out[s:e] = w[: e - s]
         return out
+
+
+class MeshSketchTable:
+    """Sketch table sharded over a device mesh by k-mer key range.
+
+    Each device holds its key range of every sketch (the same key-range
+    decomposition as every other sharded structure in parallel/mesh.py);
+    pair weights are computed range-locally and psum'd — sketches never
+    move between devices (the distributed form of the reference's
+    similarity phase, lib/core/kmer_set_set.h:158-219).
+    """
+
+    def __init__(self, sketches: Sequence[np.ndarray], k: int, mesh=None):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import make_mesh, sharded_sketch_weights_fn
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_dev = self.mesh.devices.size
+        self.k = k
+        space = 1 << (2 * k)
+        self.edges = np.arange(self.n_dev + 1, dtype=np.int64) * (
+            space // self.n_dev
+        )
+        self.edges[-1] = space
+        per = max(1, max((s.shape[0] for s in sketches), default=1))
+        self.per_dev = _pow2(per)  # capacity per device per row
+        self.S = self.per_dev * self.n_dev
+        self.n = len(sketches)
+        rows_cap = _pow2(max(1, self.n))
+        mat = np.full((rows_cap, self.S), SENTINEL, dtype=np.int64)
+        for i, s in enumerate(sketches):
+            mat[i] = self._shard_row(s)
+        sharding = NamedSharding(self.mesh, P(None, "kv"))
+        self._sk = jax.device_put(mat, sharding)
+        self._fn = sharded_sketch_weights_fn(self.mesh, 0)
+        self._sharding = sharding
+
+    def _shard_row(self, sketch: np.ndarray) -> np.ndarray:
+        row = np.full(self.S, SENTINEL, dtype=np.int64)
+        for d in range(self.n_dev):
+            part = sketch[
+                (sketch >= self.edges[d]) & (sketch < self.edges[d + 1])
+            ]
+            if part.shape[0] > self.per_dev:
+                raise ValueError("sketch range exceeds per-device capacity")
+            row[d * self.per_dev : d * self.per_dev + part.shape[0]] = part
+        return row
+
+    def set_row(self, i: int, sketch: np.ndarray) -> None:
+        import jax
+
+        mat = np.array(jax.device_get(self._sk))
+        if i >= mat.shape[0]:
+            grow = np.full((mat.shape[0], self.S), SENTINEL, dtype=np.int64)
+            mat = np.concatenate([mat, grow], axis=0)
+        mat[i] = self._shard_row(sketch)
+        self._sk = jax.device_put(mat, self._sharding)
+        self.n = max(self.n, i + 1)
+
+    def append_row(self, sketch: np.ndarray) -> int:
+        i = self.n
+        self.set_row(i, sketch)
+        return i
+
+    def pair_weights(self, pairs: List[tuple]) -> np.ndarray:
+        if not pairs:
+            return np.empty(0, dtype=np.int64)
+        ia = np.array([p[0] for p in pairs], dtype=np.int32)
+        ib = np.array([p[1] for p in pairs], dtype=np.int32)
+        return np.asarray(self._fn(self._sk, ia, ib))[: len(pairs)]

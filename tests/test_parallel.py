@@ -189,3 +189,26 @@ def test_sharded_sketch_weights(n_dev):
     w = np.asarray(fn(sk, ia, ib))
     exp = [np.intersect1d(raw[i], raw[j]).size for i, j in pairs]
     np.testing.assert_array_equal(w, exp)
+
+
+def test_mesh_sketch_table():
+    from kmerset_tpu.ops.sketch import MeshSketchTable
+
+    mesh = make_mesh(4)
+    k = 9
+    rng = np.random.default_rng(12)
+    sketches = [
+        np.unique(rng.integers(0, 1 << (2 * k), 300)).astype(np.int64)
+        for _ in range(4)
+    ]
+    t = MeshSketchTable(sketches, k, mesh)
+    pairs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    w = t.pair_weights(pairs)
+    exp = [np.intersect1d(sketches[i], sketches[j]).size for i, j in pairs]
+    np.testing.assert_array_equal(w, exp)
+    # row update + append
+    new = np.unique(rng.integers(0, 1 << (2 * k), 200)).astype(np.int64)
+    t.set_row(1, new)
+    idx = t.append_row(sketches[0])
+    w2 = t.pair_weights([(1, idx)])
+    assert w2[0] == np.intersect1d(new, sketches[0]).size
