@@ -292,6 +292,8 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
 def count_hash(codes: np.ndarray, k: int) -> Optional[int]:
     """Reference-style single-thread hash counting (baseline only);
     returns the number of distinct canonical k-mers, or None."""
+    if k > 23:
+        return None  # keys are stored in a 48-bit field (2k+1 bits needed)
     lib = get_lib()
     if lib is None:
         return None
