@@ -36,10 +36,18 @@ def extract_kmers(
     if n_pos <= 0:
         return np.empty(0, dtype=np.int64)
     windows = kmer_ops.kmers_from_codes(codes, k)
-    # Window at p is valid iff p and p+k-1 fall in the same fragment.
-    frag_of_start = np.searchsorted(offsets, np.arange(n_pos), side="right")
-    frag_of_end = np.searchsorted(offsets, np.arange(k - 1, codes.shape[0]), side="right")
-    kmers = windows[frag_of_start == frag_of_end]
+    # Window at p is valid iff it does not straddle a fragment boundary:
+    # every interior boundary b invalidates starts [b-k+1, b).  Marked via
+    # a difference array + cumsum (two tiny scatters instead of two
+    # n_pos-sized binary-search passes).
+    bounds = offsets[1:-1] if offsets.shape[0] > 2 else np.empty(0, np.int64)
+    d = np.zeros(n_pos + 1, dtype=np.int32)
+    lo = np.maximum(bounds - k + 1, 0)
+    hi = np.minimum(bounds, n_pos)
+    np.add.at(d, lo[lo < hi], 1)
+    np.add.at(d, hi[lo < hi], -1)
+    invalid = np.cumsum(d[:-1]) > 0
+    kmers = windows[~invalid]
     if canonical:
         kmers = kmer_ops.canonical(kmers, k)
     return kmers
