@@ -27,6 +27,7 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from . import io as core_io
+from . import native
 from .config import KConfig
 from .kmer_set import KmerSet, intersection_size
 from .kmer_set_compact import KmerSetCompact
@@ -199,9 +200,15 @@ class KmerSetSet:
             n = len(sets)
             kj = sets[j].kmers(canonical)
             kk = sets[k].kmers(canonical)
-            inter = np.intersect1d(kj, kk, assume_unique=True)
-            kj2 = np.setdiff1d(kj, inter, assume_unique=True)
-            kk2 = np.setdiff1d(kk, inter, assume_unique=True)
+            res = native.sorted_algebra(kj, kk)
+            if res is not None:
+                # One C merge pass (inputs are sorted-unique) instead of
+                # numpy re-sorting concatenations three times.
+                inter, kj2, kk2 = res
+            else:
+                inter = np.intersect1d(kj, kk, assume_unique=True)
+                kj2 = np.setdiff1d(kj, inter, assume_unique=True)
+                kk2 = np.setdiff1d(kk, inter, assume_unique=True)
 
             sets.append(
                 KmerSetCompact.from_kmer_set(

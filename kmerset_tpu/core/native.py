@@ -353,3 +353,35 @@ def overlap_edges(P: np.ndarray, S: np.ndarray, k: int):
     lib.kmerio_overlap_edges(*args, 0, out.ctypes.data_as(i64p))
     pairs = out[: 2 * count].reshape(-1, 2)
     return pairs[:, 0], pairs[:, 1]
+
+
+def sorted_algebra(a: np.ndarray, b: np.ndarray):
+    """One-pass (intersection, a_only, b_only) of sorted-unique int64
+    arrays (reference set algebra, lib/core/kmer_set.h:164-219), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_sa_ready"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.kmerio_sorted_algebra.restype = None
+        lib.kmerio_sorted_algebra.argtypes = [
+            i64p, ctypes.c_long, i64p, ctypes.c_long,
+            i64p, i64p, i64p, ctypes.POINTER(ctypes.c_long),
+        ]
+        lib._sa_ready = True
+    a = np.ascontiguousarray(a, dtype=np.int64)
+    b = np.ascontiguousarray(b, dtype=np.int64)
+    inter = np.empty(min(a.size, b.size) or 1, dtype=np.int64)
+    a_only = np.empty(a.size or 1, dtype=np.int64)
+    b_only = np.empty(b.size or 1, dtype=np.int64)
+    counts = np.zeros(3, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.kmerio_sorted_algebra(
+        a.ctypes.data_as(i64p), a.size,
+        b.ctypes.data_as(i64p), b.size,
+        inter.ctypes.data_as(i64p),
+        a_only.ctypes.data_as(i64p),
+        b_only.ctypes.data_as(i64p),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    return inter[: counts[0]], a_only[: counts[1]], b_only[: counts[2]]

@@ -428,3 +428,32 @@ long kmerio_overlap_edges(const int64_t *P, const int64_t *S, long n, int k,
     }
     return pos;
 }
+
+/* One-pass set algebra over sorted-unique arrays: fills intersection,
+ * a-only, and b-only in a single merge (the reference's bucket-local
+ * Add/Sub/Intersection, lib/core/kmer_set.h:164-219,286-305; numpy's
+ * intersect1d/setdiff1d re-sort the concatenation instead).  Output
+ * buffers must hold min(na,nb) / na / nb elements; counts are written to
+ * out_counts[0..2].  Any output pointer may be NULL to skip it. */
+void kmerio_sorted_algebra(const int64_t *a, long na,
+                           const int64_t *b, long nb,
+                           int64_t *inter, int64_t *a_only, int64_t *b_only,
+                           long *out_counts) {
+    long i = 0, j = 0, ni = 0, nao = 0, nbo = 0;
+    while (i < na && j < nb) {
+        int64_t x = a[i], y = b[j];
+        if (x == y) {
+            if (inter) inter[ni] = x;
+            ni++; i++; j++;
+        } else if (x < y) {
+            if (a_only) a_only[nao] = x;
+            nao++; i++;
+        } else {
+            if (b_only) b_only[nbo] = y;
+            nbo++; j++;
+        }
+    }
+    for (; i < na; i++) { if (a_only) a_only[nao] = a[i]; nao++; }
+    for (; j < nb; j++) { if (b_only) b_only[nbo] = b[j]; nbo++; }
+    out_counts[0] = ni; out_counts[1] = nao; out_counts[2] = nbo;
+}

@@ -157,3 +157,16 @@ def test_native_overlap_edges_match_numpy():
 
     assert edge_set(ca, cb) == edge_set(na, nb)
     assert len(ca) == len(na)
+
+
+def test_native_sorted_algebra():
+    rng = np.random.default_rng(4)
+    for na, nb in [(0, 5), (5, 0), (0, 0), (500, 700), (1, 1)]:
+        a = np.unique(rng.integers(0, 1000, na)).astype(np.int64)
+        b = np.unique(rng.integers(0, 1000, nb)).astype(np.int64)
+        res = native.sorted_algebra(a, b)
+        assert res is not None
+        inter, a_only, b_only = res
+        np.testing.assert_array_equal(inter, np.intersect1d(a, b))
+        np.testing.assert_array_equal(a_only, np.setdiff1d(a, b))
+        np.testing.assert_array_equal(b_only, np.setdiff1d(b, a))
