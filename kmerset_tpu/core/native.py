@@ -385,3 +385,38 @@ def sorted_algebra(a: np.ndarray, b: np.ndarray):
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
     )
     return inter[: counts[0]], a_only[: counts[1]], b_only[: counts[2]]
+
+
+def gather_ranges(src: np.ndarray, lo: np.ndarray, hi: np.ndarray):
+    """Concatenation of src[lo[i]:hi[i]] slices (uint8 or int64), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_gr_ready"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.kmerio_gather_ranges_u8.restype = None
+        lib.kmerio_gather_ranges_u8.argtypes = [u8p, i64p, i64p, ctypes.c_long, u8p]
+        lib.kmerio_gather_ranges_i64.restype = None
+        lib.kmerio_gather_ranges_i64.argtypes = [i64p, i64p, i64p, ctypes.c_long, i64p]
+        lib._gr_ready = True
+    lo = np.ascontiguousarray(lo, dtype=np.int64)
+    hi = np.ascontiguousarray(hi, dtype=np.int64)
+    total = int((hi - lo).sum())
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    if src.dtype == np.uint8:
+        src = np.ascontiguousarray(src)
+        out = np.empty(max(total, 1), dtype=np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.kmerio_gather_ranges_u8(
+            src.ctypes.data_as(u8p), lo.ctypes.data_as(i64p),
+            hi.ctypes.data_as(i64p), lo.size, out.ctypes.data_as(u8p),
+        )
+    else:
+        src = np.ascontiguousarray(src, dtype=np.int64)
+        out = np.empty(max(total, 1), dtype=np.int64)
+        lib.kmerio_gather_ranges_i64(
+            src.ctypes.data_as(i64p), lo.ctypes.data_as(i64p),
+            hi.ctypes.data_as(i64p), lo.size, out.ctypes.data_as(i64p),
+        )
+    return out[:total]

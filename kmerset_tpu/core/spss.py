@@ -183,10 +183,14 @@ def _filter_groups(
     keep = keep & (counts > 0)
     if keep.all():
         return nodes, groups
-    _, idx = expand_ranges(groups[:-1][keep], groups[1:][keep])
+    lo, hi = groups[:-1][keep], groups[1:][keep]
     new_groups = np.zeros(int(keep.sum()) + 1, dtype=np.int64)
     np.cumsum(counts[keep], out=new_groups[1:])
-    return nodes[idx], new_groups
+    gathered = native.gather_ranges(nodes, lo, hi)
+    if gathered is None:
+        _, idx = expand_ranges(lo, hi)
+        gathered = nodes[idx]
+    return gathered, new_groups
 
 
 def _group_endpoints(
@@ -356,9 +360,19 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
     # (reference: lib/core/spss.h:459-493).
     both_idx = np.flatnonzero(both)
     if both_idx.size:
-        codes = kmer_ops.codes_from_kmer(A[both_idx], k).astype(np.uint8)
-        offsets = np.arange(both_idx.size + 1, dtype=np.int64) * k
-        parts.append(PackedStrings(codes.ravel(), offsets))
+        res = native.emit_kmer_chains(
+            A,
+            k,
+            2 * both_idx,
+            np.arange(both_idx.size + 1, dtype=np.int64),
+            oriented=True,
+        )
+        if res is not None:
+            parts.append(PackedStrings(res[0], res[1]))
+        else:
+            codes = kmer_ops.codes_from_kmer(A[both_idx], k).astype(np.uint8)
+            offsets = np.arange(both_idx.size + 1, dtype=np.int64) * k
+            parts.append(PackedStrings(codes.ravel(), offsets))
 
     # Non-branching loops (reference: lib/core/spss.h:583-612).  Every
     # entity on any walked chain is covered by a kept chain (kept chains
@@ -573,8 +587,12 @@ def _take_strings(ps: PackedStrings, idx: np.ndarray) -> PackedStrings:
     lens = ps.lengths()[idx]
     offsets = np.zeros(idx.size + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
-    _, within = expand_ranges(ps.offsets[idx], ps.offsets[idx + 1])
-    return PackedStrings(ps.codes[within], offsets)
+    lo, hi = ps.offsets[idx], ps.offsets[idx + 1]
+    codes = native.gather_ranges(ps.codes, lo, hi)
+    if codes is None:
+        _, within = expand_ranges(lo, hi)
+        codes = ps.codes[within]
+    return PackedStrings(codes, offsets)
 
 
 def _emit_matched_paths(

@@ -457,3 +457,25 @@ void kmerio_sorted_algebra(const int64_t *a, long na,
     for (; j < nb; j++) { if (b_only) b_only[nbo] = b[j]; nbo++; }
     out_counts[0] = ni; out_counts[1] = nao; out_counts[2] = nbo;
 }
+
+/* Concatenates [lo[i], hi[i]) ranges of src into out (the gather behind
+ * string/group selection; replaces numpy repeat/cumsum index fabrication). */
+void kmerio_gather_ranges_u8(const uint8_t *src, const int64_t *lo,
+                             const int64_t *hi, long n, uint8_t *out) {
+    long pos = 0;
+    for (long i = 0; i < n; i++) {
+        long len = hi[i] - lo[i];
+        memcpy(out + pos, src + lo[i], (size_t)len);
+        pos += len;
+    }
+}
+
+void kmerio_gather_ranges_i64(const int64_t *src, const int64_t *lo,
+                              const int64_t *hi, long n, int64_t *out) {
+    long pos = 0;
+    for (long i = 0; i < n; i++) {
+        long len = hi[i] - lo[i];
+        memcpy(out + pos, src + lo[i], (size_t)len * sizeof(int64_t));
+        pos += len;
+    }
+}
