@@ -420,3 +420,72 @@ def gather_ranges(src: np.ndarray, lo: np.ndarray, hi: np.ndarray):
             hi.ctypes.data_as(i64p), lo.size, out.ctypes.data_as(i64p),
         )
     return out[:total]
+
+
+def unitig_succ_from_tables(tables) -> Optional[Tuple]:
+    """(succ, term_l, term_r, both) from side tables, in one C pass."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_us_ready"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.kmerio_unitig_succ.restype = None
+        lib.kmerio_unitig_succ.argtypes = [
+            i32p, i32p, u8p, i32p, i32p, u8p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64), u8p, u8p, u8p,
+        ]
+        lib._us_ready = True
+    (rdeg, rnbr, rsame), (ldeg, lnbr, lsame) = tables
+    n = rdeg.shape[0]
+    args32 = [
+        np.ascontiguousarray(x, dtype=np.int32) for x in (rdeg, rnbr, ldeg, lnbr)
+    ]
+    argsu8 = [
+        np.ascontiguousarray(x, dtype=np.uint8) for x in (rsame, lsame)
+    ]
+    succ = np.empty(2 * n, dtype=np.int64)
+    term_l = np.empty(n, dtype=np.uint8)
+    term_r = np.empty(n, dtype=np.uint8)
+    both = np.empty(n, dtype=np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.kmerio_unitig_succ(
+        args32[0].ctypes.data_as(i32p), args32[1].ctypes.data_as(i32p),
+        argsu8[0].ctypes.data_as(u8p),
+        args32[2].ctypes.data_as(i32p), args32[3].ctypes.data_as(i32p),
+        argsu8[1].ctypes.data_as(u8p), n,
+        succ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        term_l.ctypes.data_as(u8p), term_r.ctypes.data_as(u8p),
+        both.ctypes.data_as(u8p),
+    )
+    return succ, term_l.astype(bool), term_r.astype(bool), both.astype(bool)
+
+
+def pack_rows(codes: np.ndarray, offsets: np.ndarray, k: int, from_end: bool):
+    """Packed k-prefix/suffix of every string, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_pr_ready"):
+        lib.kmerio_pack_rows.restype = None
+        lib.kmerio_pack_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib._pr_ready = True
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = offsets.shape[0] - 1
+    out = np.empty(max(n, 1), dtype=np.int64)
+    lib.kmerio_pack_rows(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, k, 1 if from_end else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out[:n]

@@ -321,26 +321,31 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
         # successor in one jit (ops/unitigs.py).
         succ, term_l, term_r, both = dev
     else:
-        (rdeg, rnbr, rsame), (ldeg, lnbr, lsame) = _side_tables(
-            A, k, canonical=True
-        )
+        tables = _side_tables(A, k, canonical=True)
+        fused = native.unitig_succ_from_tables(tables)
+        if fused is not None:
+            succ, term_l, term_r, both = fused
+        else:
+            (rdeg, rnbr, rsame), (ldeg, lnbr, lsame) = tables
 
-        # Terminal tests (reference: lib/core/spss.h:276-313): a side is
-        # terminal unless it has exactly one mate whose corresponding side
-        # also has exactly one mate.
-        mate_r = np.where(rsame, rdeg[rnbr], ldeg[rnbr])
-        term_r = (rdeg != 1) | (mate_r != 1)
-        mate_l = np.where(lsame, ldeg[lnbr], rdeg[lnbr])
-        term_l = (ldeg != 1) | (mate_l != 1)
+            # Terminal tests (reference: lib/core/spss.h:276-313): a side
+            # is terminal unless it has exactly one mate whose
+            # corresponding side also has exactly one mate.
+            mate_r = np.where(rsame, rdeg[rnbr], ldeg[rnbr])
+            term_r = (rdeg != 1) | (mate_r != 1)
+            mate_l = np.where(lsame, ldeg[lnbr], rdeg[lnbr])
+            term_l = (ldeg != 1) | (mate_l != 1)
 
-        # Oriented successor: u = 2i+0 exits right, u = 2i+1 exits left.
-        # After a same-side step the orientation flips (reference FindPath,
-        # lib/core/spss.h:394-423).
-        succ = np.empty(2 * n, dtype=np.int64)
-        succ[0::2] = np.where(term_r, -1, 2 * rnbr + rsame)
-        succ[1::2] = np.where(term_l, -1, 2 * lnbr + (~lsame).astype(np.int64))
+            # Oriented successor: u = 2i+0 exits right, u = 2i+1 exits
+            # left.  After a same-side step the orientation flips
+            # (reference FindPath, lib/core/spss.h:394-423).
+            succ = np.empty(2 * n, dtype=np.int64)
+            succ[0::2] = np.where(term_r, -1, 2 * rnbr + rsame)
+            succ[1::2] = np.where(
+                term_l, -1, 2 * lnbr + (~lsame).astype(np.int64)
+            )
 
-        both = term_l & term_r
+            both = term_l & term_r
     starts_r_exit = np.flatnonzero(term_l & ~term_r & ~both) * 2
     starts_l_exit = np.flatnonzero(term_r & ~term_l) * 2 + 1
     starts = np.concatenate([starts_r_exit, starts_l_exit])

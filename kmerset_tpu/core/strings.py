@@ -83,11 +83,21 @@ class PackedStrings:
 
     def first_kmers(self, k: int) -> np.ndarray:
         """Packed k-prefix of every string (all lengths must be >= k)."""
+        from . import native
+
+        out = native.pack_rows(self.codes, self.offsets, k, from_end=False)
+        if out is not None:
+            return out
         idx = self.offsets[:-1, None] + np.arange(k)
         return _pack(self.codes, idx, k)
 
     def last_kmers(self, k: int) -> np.ndarray:
         """Packed k-suffix of every string."""
+        from . import native
+
+        out = native.pack_rows(self.codes, self.offsets, k, from_end=True)
+        if out is not None:
+            return out
         idx = self.offsets[1:, None] - k + np.arange(k)
         return _pack(self.codes, idx, k)
 

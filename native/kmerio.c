@@ -479,3 +479,37 @@ void kmerio_gather_ranges_i64(const int64_t *src, const int64_t *lo,
         pos += len;
     }
 }
+
+/* Terminal tests + oriented successor from the side tables (reference:
+ * lib/core/spss.h:276-313 terminals, 394-423 orientation flips).  succ
+ * has 2n entries: 2i exits right, 2i+1 exits left; -1 at terminals. */
+void kmerio_unitig_succ(const int32_t *rdeg, const int32_t *rnbr,
+                        const uint8_t *rsame, const int32_t *ldeg,
+                        const int32_t *lnbr, const uint8_t *lsame, long n,
+                        int64_t *succ, uint8_t *term_l, uint8_t *term_r,
+                        uint8_t *both) {
+    for (long i = 0; i < n; i++) {
+        int32_t mate_r = rsame[i] ? rdeg[rnbr[i]] : ldeg[rnbr[i]];
+        int tr = (rdeg[i] != 1) || (mate_r != 1);
+        int32_t mate_l = lsame[i] ? ldeg[lnbr[i]] : rdeg[lnbr[i]];
+        int tl = (ldeg[i] != 1) || (mate_l != 1);
+        term_r[i] = (uint8_t)tr;
+        term_l[i] = (uint8_t)tl;
+        both[i] = (uint8_t)(tr && tl);
+        succ[2 * i] = tr ? -1 : 2 * (int64_t)rnbr[i] + rsame[i];
+        succ[2 * i + 1] = tl ? -1 : 2 * (int64_t)lnbr[i] + (lsame[i] ? 0 : 1);
+    }
+}
+
+/* Packed k-prefix (from_end=0) or k-suffix (from_end=1) of every string
+ * (reference prefix/suffix extraction feeding the overlap multimaps,
+ * lib/core/spss.h:619-695). */
+void kmerio_pack_rows(const uint8_t *codes, const int64_t *offsets, long n,
+                      int k, int from_end, int64_t *out) {
+    for (long i = 0; i < n; i++) {
+        long start = from_end ? offsets[i + 1] - k : offsets[i];
+        uint64_t v = 0;
+        for (int t = 0; t < k; t++) v = (v << 2) | codes[start + t];
+        out[i] = (int64_t)v;
+    }
+}
