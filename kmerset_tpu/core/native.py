@@ -283,9 +283,11 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
         ldeg.ctypes.data_as(i32p), lnbr.ctypes.data_as(i32p),
         lsame.ctypes.data_as(u8p),
     )
+    # int32/uint8 returned as-is (callers index with them directly);
+    # bool views are zero-copy over the uint8 buffers.
     return (
-        (rdeg.astype(np.int64), rnbr.astype(np.int64), rsame.astype(bool)),
-        (ldeg.astype(np.int64), lnbr.astype(np.int64), lsame.astype(bool)),
+        (rdeg, rnbr, rsame.view(bool)),
+        (ldeg, lnbr, lsame.view(bool)),
     )
 
 
@@ -459,7 +461,7 @@ def unitig_succ_from_tables(tables) -> Optional[Tuple]:
         term_l.ctypes.data_as(u8p), term_r.ctypes.data_as(u8p),
         both.ctypes.data_as(u8p),
     )
-    return succ, term_l.astype(bool), term_r.astype(bool), both.astype(bool)
+    return succ, term_l.view(bool), term_r.view(bool), both.view(bool)
 
 
 def pack_rows(codes: np.ndarray, offsets: np.ndarray, k: int, from_end: bool):

@@ -13,7 +13,7 @@
 
 #include <stdint.h>
 #include <stddef.h>
-#include <string.h>
+#include <string.h>\n#include <stdlib.h>
 
 #define CODE_SEP 254
 #define CODE_BAD 255
@@ -265,43 +265,51 @@ void kmerio_side_tables(const int64_t *A, long n, int k, int canonical,
                         int32_t *ldeg, int32_t *lnbr, uint8_t *lsame) {
     hash_build(A, n, table, logcap);
     const uint64_t kmask = (1ULL << (2 * k)) - 1;
-    for (long i = 0; i < n; i++) {
-        uint64_t x = (uint64_t)A[i];
-        int32_t dr = 0, nr = 0, dl = 0, nl = 0;
-        uint8_t sr = 0, sl = 0;
+    const uint64_t tmask = (1ULL << logcap) - 1;
+    memset(rdeg, 0, (size_t)n * 4); memset(ldeg, 0, (size_t)n * 4);
+    memset(rnbr, 0, (size_t)n * 4); memset(lnbr, 0, (size_t)n * 4);
+    memset(rsame, 0, (size_t)n);    memset(lsame, 0, (size_t)n);
+    /* Per-(side, base) passes with software prefetching: the probe loop
+     * is memory-latency bound (the table exceeds L3), so queries are
+     * precomputed per pass and the slot PD iterations ahead is
+     * prefetched. */
+    enum { PD = 16 };
+    int64_t *q = (int64_t *)malloc((size_t)(n > 0 ? n : 1) * sizeof(int64_t));
+    uint8_t *diff = (uint8_t *)malloc((size_t)(n > 0 ? n : 1));
+    if (!q || !diff) { free(q); free(diff); return; }
+    for (int side = 0; side < 2; side++) {
+        int32_t *deg = side ? ldeg : rdeg;
+        int32_t *nbr = side ? lnbr : rnbr;
+        uint8_t *same = side ? lsame : rsame;
         for (int c = 0; c < 4; c++) {
-            /* right: next = suffix + c */
-            uint64_t cand = ((x << 2) | (uint64_t)c) & kmask;
-            uint64_t q = cand;
-            if (canonical) {
-                uint64_t rc = rc_one(cand, k);
-                if (rc < q) q = rc;
-            }
-            if (q != x) {
-                int32_t idx = hash_find(A, table, logcap, (int64_t)q);
-                if (idx >= 0) {
-                    if (dr == 0) { nr = idx; sr = (uint8_t)(cand != q); }
-                    dr++;
+            for (long i = 0; i < n; i++) {
+                uint64_t cand =
+                    side ? (((uint64_t)A[i] >> 2) |
+                            ((uint64_t)c << (2 * (k - 1))))
+                         : ((((uint64_t)A[i] << 2) | (uint64_t)c) & kmask);
+                uint64_t qq = cand;
+                if (canonical) {
+                    uint64_t rc = rc_one(cand, k);
+                    if (rc < qq) qq = rc;
                 }
+                q[i] = (int64_t)qq;
+                diff[i] = (uint8_t)(cand != qq);
             }
-            /* left: prev = c + prefix */
-            cand = (x >> 2) | ((uint64_t)c << (2 * (k - 1)));
-            q = cand;
-            if (canonical) {
-                uint64_t rc = rc_one(cand, k);
-                if (rc < q) q = rc;
-            }
-            if (q != x) {
-                int32_t idx = hash_find(A, table, logcap, (int64_t)q);
+            for (long i = 0; i < n; i++) {
+                if (i + PD < n)
+                    __builtin_prefetch(
+                        &table[mix64((uint64_t)q[i + PD]) & tmask]);
+                if (q[i] == A[i]) continue; /* self-loop excluded */
+                int32_t idx = hash_find(A, table, logcap, q[i]);
                 if (idx >= 0) {
-                    if (dl == 0) { nl = idx; sl = (uint8_t)(cand != q); }
-                    dl++;
+                    if (deg[i] == 0) { nbr[i] = idx; same[i] = diff[i]; }
+                    deg[i]++;
                 }
             }
         }
-        rdeg[i] = dr; rnbr[i] = nr; rsame[i] = sr;
-        ldeg[i] = dl; lnbr[i] = nl; lsame[i] = sl;
     }
+    free(q);
+    free(diff);
 }
 
 /* Reference-style canonical k-mer counter: rolling window + rolling
