@@ -491,3 +491,47 @@ def pack_rows(codes: np.ndarray, offsets: np.ndarray, k: int, from_end: bool):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out[:n]
+
+
+def emit_string_chains(
+    codes: np.ndarray,
+    uoffsets: np.ndarray,
+    k: int,
+    nodes: np.ndarray,
+    groups: np.ndarray,
+    oriented: bool,
+):
+    """Native SPSS string emission (reference GetStringFromPath,
+    lib/core/spss.h:1186-1206); returns (codes, offsets) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_esc_ready"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.kmerio_emit_string_chains.restype = None
+        lib.kmerio_emit_string_chains.argtypes = [
+            u8p, i64p, ctypes.c_int, i64p, i64p, ctypes.c_long,
+            ctypes.c_int, i64p, u8p,
+        ]
+        lib._esc_ready = True
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    uoffsets = np.ascontiguousarray(uoffsets, dtype=np.int64)
+    nodes = np.ascontiguousarray(nodes, dtype=np.int64)
+    groups = np.ascontiguousarray(groups, dtype=np.int64)
+    n_groups = groups.shape[0] - 1
+    ent = (nodes >> 1) if oriented else nodes
+    lens = uoffsets[ent + 1] - uoffsets[ent]
+    n_skips = int(np.maximum(np.diff(groups) - 1, 0).sum())
+    total = int(lens.sum()) - n_skips * (k - 1)
+    out = np.empty(max(total, 1), dtype=np.uint8)
+    offsets = np.empty(n_groups + 1, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.kmerio_emit_string_chains(
+        codes.ctypes.data_as(u8p), uoffsets.ctypes.data_as(i64p), k,
+        nodes.ctypes.data_as(i64p), groups.ctypes.data_as(i64p), n_groups,
+        1 if oriented else 0, offsets.ctypes.data_as(i64p),
+        out.ctypes.data_as(u8p),
+    )
+    return out[:total], offsets

@@ -554,6 +554,11 @@ def _emit_string_chains(
     elision (reference GetStringFromPath, lib/core/spss.h:1186-1206)."""
     if nodes_sorted.size == 0:
         return PackedStrings.empty()
+    res = native.emit_string_chains(
+        unitigs.codes, unitigs.offsets, k, nodes_sorted, group_starts, oriented
+    )
+    if res is not None:
+        return PackedStrings(res[0], res[1])
     n_chains = group_starts.shape[0] - 1
     counts = np.diff(group_starts)
     entity, flip = _entity_flip(nodes_sorted, oriented)

@@ -521,3 +521,36 @@ void kmerio_pack_rows(const uint8_t *codes, const int64_t *offsets, long n,
         out[i] = (int64_t)v;
     }
 }
+
+/* Emits SPSS strings by concatenating oriented unitigs along each chain
+ * with (k-1)-overlap elision (reference GetStringFromPath,
+ * lib/core/spss.h:1186-1206).  nodes encode (unitig << 1) | flip when
+ * oriented; the first node contributes its whole string, later nodes
+ * skip the first k-1 bases.  offsets: n_groups + 1 slots. */
+void kmerio_emit_string_chains(const uint8_t *codes, const int64_t *uoffsets,
+                               int k, const int64_t *nodes,
+                               const int64_t *groups, long n_groups,
+                               int oriented, int64_t *offsets,
+                               uint8_t *out_codes) {
+    long pos = 0;
+    offsets[0] = 0;
+    for (long g = 0; g < n_groups; g++) {
+        for (long i = groups[g]; i < groups[g + 1]; i++) {
+            int64_t u = nodes[i];
+            long ent = oriented ? (u >> 1) : u;
+            int flip = oriented ? (int)(u & 1) : 0;
+            long lo = uoffsets[ent], hi = uoffsets[ent + 1];
+            long skip = (i == groups[g]) ? 0 : k - 1;
+            if (!flip) {
+                long len = hi - lo - skip;
+                memcpy(out_codes + pos, codes + lo + skip, (size_t)len);
+                pos += len;
+            } else {
+                /* reverse complement read: emit 3 - codes[hi-1-t] */
+                for (long t = skip; t < hi - lo; t++)
+                    out_codes[pos++] = (uint8_t)(3 - codes[hi - 1 - t]);
+            }
+        }
+        offsets[g + 1] = pos;
+    }
+}
