@@ -301,9 +301,21 @@ def _concat_packed(parts: List[PackedStrings]) -> PackedStrings:
 
 def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
     """Maximal non-branching paths of the bidirected de Bruijn graph
-    (reference: lib/core/spss.h:231-615)."""
+    (reference: lib/core/spss.h:231-615).
+
+    Requires odd k: even k admits palindromic k-mers (equal to their own
+    reverse complement), which break the two-side bookkeeping — for odd k
+    exactly one of each candidate/complement pair is canonical.  The
+    reference has the same implicit contract (its CLIs dispatch only
+    k in {15, 19, 23}, kmerset-build.cc:130-143).
+    """
     A = kmer_set.kmers
     k = kmer_set.k
+    if k % 2 == 0:
+        raise ValueError(
+            "canonical SPSS construction requires odd k (palindromic "
+            f"k-mers exist for even k); got k={k}"
+        )
     n = A.shape[0]
     if n == 0:
         return PackedStrings.empty()
