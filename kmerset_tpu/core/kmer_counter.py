@@ -16,6 +16,7 @@ from typing import List, Tuple
 
 import numpy as np
 
+from . import arrays
 from . import io as core_io
 from . import kmer as kmer_ops
 from .kmer_set import KmerSet
@@ -128,7 +129,7 @@ class KmerCounter:
                     uniq, counts = result
                     return cls(k, uniq, np.minimum(counts, value_max), value_max)
         kmers = extract_kmers(codes, offsets, k, canonical)
-        uniq, counts = np.unique(kmers, return_counts=True)
+        uniq, counts = arrays.sorted_unique_counts(kmers)
         return cls(k, uniq, np.minimum(counts, value_max), value_max)
 
     @classmethod

@@ -36,7 +36,9 @@ class KmerSet:
             kmers = np.empty(0, dtype=np.int64)
         kmers = np.asarray(kmers, dtype=np.int64)
         if not _sorted:
-            kmers = np.unique(kmers)
+            from .arrays import sorted_unique
+
+            kmers = sorted_unique(kmers)
         self.kmers = kmers
 
     # -- construction ------------------------------------------------------

@@ -57,7 +57,9 @@ class KmerSetCompact:
         """Sorted unique decoded k-mers (cached)."""
         if self._kmers_cache is None or self._cache_canonical != canonical:
             raw = self.spss.all_kmers(self.k, canonical)
-            self._kmers_cache = np.unique(raw)
+            from .arrays import sorted_unique
+
+            self._kmers_cache = sorted_unique(raw)
             self._cache_canonical = canonical
         return self._kmers_cache
 

@@ -261,7 +261,9 @@ class KmerSetSet:
         parts = [
             self.kmer_sets_compact_[j].kmers(canonical) for j in self._reachable(i)
         ]
-        return KmerSet(self.config.k, np.unique(np.concatenate(parts)), _sorted=True)
+        from .arrays import sorted_unique
+
+        return KmerSet(self.config.k, sorted_unique(np.concatenate(parts)), _sorted=True)
 
     # -- persistence (reference: kmer_set_set.h:456-615) -------------------
 
@@ -379,6 +381,8 @@ class KmerSetSetReader:
                 parts = list(ex.map(_load, ids))
         else:
             parts = [_load(idx) for idx in ids]
+        from .arrays import sorted_unique
+
         return KmerSet(
-            self.config.k, np.unique(np.concatenate(parts)), _sorted=True
+            self.config.k, sorted_unique(np.concatenate(parts)), _sorted=True
         )

@@ -79,3 +79,16 @@ def test_bucket_key_inverse():
     np.testing.assert_array_equal(
         kc.kmer_from_bucket_and_key(bucket, key, key_bits), kmers
     )
+
+
+def test_sorted_unique_helpers():
+    from kmerset_tpu.core.arrays import sorted_unique, sorted_unique_counts
+
+    rng = np.random.default_rng(0)
+    for n in (0, 1, 7, 5000):
+        x = rng.integers(0, 300, n).astype(np.int64)
+        np.testing.assert_array_equal(sorted_unique(x), np.unique(x))
+        u, c = sorted_unique_counts(x)
+        eu, ec = np.unique(x, return_counts=True)
+        np.testing.assert_array_equal(u, eu)
+        np.testing.assert_array_equal(c, ec)
