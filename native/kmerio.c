@@ -122,18 +122,62 @@ long kmerio_chain_walk(const int64_t *succ, long n,
                        int64_t *out_nodes, int64_t *group_starts,
                        uint8_t *visited) {
     (void)n;
-    long total = 0;
-    group_starts[0] = 0;
-    for (long s = 0; s < n_starts; s++) {
-        int64_t u = starts[s];
-        while (u >= 0 && !visited[u]) {
-            visited[u] = 1;
-            out_nodes[total++] = u;
-            u = succ[u];
+    /* Chains are node-disjoint (in-degree <= 1), so walks from distinct
+     * starts never interact; interleaving W walks hides the ~100ns
+     * dependent-load latency of each succ[] chase behind its siblings.
+     * Pass 1 measures lengths (W-way interleaved), pass 2 emits with
+     * per-chain output cursors. */
+    enum { W = 8 };
+    for (long base = 0; base < n_starts; base += W) {
+        long m = n_starts - base < W ? n_starts - base : W;
+        int64_t cur[W];
+        long len[W];
+        int live = (int)m;
+        long steps = 0;
+        for (long w = 0; w < m; w++) { cur[w] = starts[base + w]; len[w] = 0; }
+        while (live > 0 && steps++ <= n) {
+            live = 0;
+            for (long w = 0; w < m; w++) {
+                int64_t u = cur[w];
+                if (u < 0) continue;
+                len[w]++;
+                int64_t nx = succ[u];
+                if (nx >= 0) __builtin_prefetch(&succ[nx]);
+                cur[w] = nx;
+                if (nx >= 0) live++;
+            }
         }
-        group_starts[s + 1] = total;
+        for (long w = 0; w < m; w++)
+            group_starts[base + w + 1] = len[w]; /* lengths for now */
     }
-    return total;
+    group_starts[0] = 0;
+    for (long s = 0; s < n_starts; s++)
+        group_starts[s + 1] += group_starts[s];
+    for (long base = 0; base < n_starts; base += W) {
+        long m = n_starts - base < W ? n_starts - base : W;
+        int64_t cur[W];
+        long pos[W];
+        int live = (int)m;
+        long steps = 0;
+        for (long w = 0; w < m; w++) {
+            cur[w] = starts[base + w];
+            pos[w] = group_starts[base + w];
+        }
+        while (live > 0 && steps++ <= n) {
+            live = 0;
+            for (long w = 0; w < m; w++) {
+                int64_t u = cur[w];
+                if (u < 0) continue;
+                visited[u] = 1;
+                out_nodes[pos[w]++] = u;
+                int64_t nx = succ[u];
+                if (nx >= 0) __builtin_prefetch(&succ[nx]);
+                cur[w] = nx;
+                if (nx >= 0) live++;
+            }
+        }
+    }
+    return group_starts[n_starts];
 }
 
 /* Reverse complement of 2-bit packed k-mers: complement every lane and
