@@ -45,8 +45,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.kmerio_pack2.restype = None
+        lib.kmerio_pack2.argtypes = [u8p, ctypes.c_long, u8p]
         lib.kmerio_unpack2.restype = None
+        lib.kmerio_unpack2.argtypes = [u8p, ctypes.c_long, u8p]
         _LIB = lib
     except OSError:
         _LIB = None

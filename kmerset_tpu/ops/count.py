@@ -30,7 +30,7 @@ import numpy as np
 
 jax.config.update("jax_enable_x64", True)
 
-SENTINEL = np.int64((1 << 62) - 1)
+SENTINEL = np.int64(1 << 62)  # > any 2k-bit k-mer key (k <= 31: max 2^62 - 1)
 SINGLE_MAX_K = 15  # 2k <= 30 bits fits one non-negative int32
 PAIR_MAX_K = 23
 _HI_SENT = np.int32(1 << 30)

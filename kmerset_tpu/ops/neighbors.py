@@ -8,6 +8,8 @@ instead of 8 binary-search passes (XLA's searchsorted runs ~100x slower
 than a sort-join on TPU; see ops/join.py).
 
 Arrays are padded to power-of-two size classes so jit caches stay small.
+`tables_traced` is the shared traced construction, also used by the
+fused unitig front-end (ops/unitigs.py).
 """
 
 from __future__ import annotations
@@ -17,10 +19,10 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-SENTINEL = np.int64((1 << 62) - 1)
+SENTINEL = np.int64(1 << 62)  # > any 2k-bit k-mer key (k <= 31: max 2^62 - 1)
 
 
-def _pad_pow2(a: np.ndarray, fill) -> np.ndarray:
+def pad_pow2(a: np.ndarray, fill) -> np.ndarray:
     n = a.shape[0]
     size = 1 << max(0, (n - 1).bit_length())
     if size == n:
@@ -28,55 +30,53 @@ def _pad_pow2(a: np.ndarray, fill) -> np.ndarray:
     return np.concatenate([a, np.full(size - n, fill, dtype=a.dtype)])
 
 
+def tables_traced(A, k: int, canonical: bool):
+    """Traced side-table construction (call under jit with jnp arrays).
+
+    A: (n,) int64 sorted (sentinel-padded).  Returns
+    ((rdeg, rnbr, rsame), (ldeg, lnbr, lsame)) of int32/int32/bool shape
+    (n,) arrays; padding rows carry junk the caller trims.
+    """
+    import jax.numpy as jnp
+
+    from ..core import kmer as kmer_ops
+    from .join import lookup_join
+
+    n = A.shape[0]
+    cands = []
+    ncans = []
+    for right in (True, False):
+        for c in range(4):
+            cand = (
+                kmer_ops.next_kmer(A, k, c) if right else kmer_ops.prev_kmer(A, k, c)
+            )
+            ncans.append(kmer_ops.canonical(cand, k) if canonical else cand)
+            cands.append(cand)
+    found, idx = lookup_join(A, jnp.concatenate(ncans), n_groups=8)
+
+    out = []
+    for side in range(2):
+        deg = jnp.zeros(n, dtype=jnp.int32)
+        nbr = jnp.zeros(n, dtype=jnp.int32)
+        same = jnp.zeros(n, dtype=bool)
+        for c in range(4):
+            g = side * 4 + c
+            ok = found[g] & (ncans[g] != A)
+            first = ok & (deg == 0)
+            nbr = jnp.where(first, idx[g], nbr)
+            if canonical:
+                same = jnp.where(first, cands[g] != ncans[g], same)
+            deg += ok
+        out.append((deg, nbr, same))
+    return out[0], out[1]
+
+
 def _build():
     import jax
-    import jax.numpy as jnp
 
     jax.config.update("jax_enable_x64", True)
 
-    from .join import lookup_join
-
-    @partial(jax.jit, static_argnames=("k", "canonical"))
-    def side_tables(A, k: int, canonical: bool):
-        """A: (n,) int64 sorted (sentinel-padded).  Returns
-        ((rdeg, rnbr, rsame), (ldeg, lnbr, lsame)) arrays of shape (n,).
-        Junk rows induced by the sentinel padding are trimmed by the
-        caller."""
-        from ..core import kmer as kmer_ops
-
-        n = A.shape[0]
-        cands = []
-        ncans = []
-        for right in (True, False):
-            for c in range(4):
-                cand = (
-                    kmer_ops.next_kmer(A, k, c)
-                    if right
-                    else kmer_ops.prev_kmer(A, k, c)
-                )
-                ncan = kmer_ops.canonical(cand, k) if canonical else cand
-                cands.append(cand)
-                ncans.append(ncan)
-        Q = jnp.concatenate(ncans)
-        found, idx = lookup_join(A, Q, n_groups=8)
-
-        out = []
-        for side in range(2):
-            deg = jnp.zeros(n, dtype=jnp.int32)
-            nbr = jnp.zeros(n, dtype=jnp.int32)
-            same = jnp.zeros(n, dtype=bool)
-            for c in range(4):
-                g = side * 4 + c
-                ok = found[g] & (ncans[g] != A)
-                first = ok & (deg == 0)
-                nbr = jnp.where(first, idx[g], nbr)
-                if canonical:
-                    same = jnp.where(first, cands[g] != ncans[g], same)
-                deg += ok
-            out.append((deg, nbr, same))
-        return out[0], out[1]
-
-    return side_tables
+    return partial(jax.jit, static_argnames=("k", "canonical"))(tables_traced)
 
 
 _side_tables = None
@@ -92,7 +92,7 @@ def device_side_tables(
     try:
         if _side_tables is None:
             _side_tables = _build()
-        Ap = _pad_pow2(A, SENTINEL)
+        Ap = pad_pow2(A, SENTINEL)
         n = A.shape[0]
         (r, l) = _side_tables(Ap, k, canonical)
         out = []

@@ -21,7 +21,7 @@ from typing import List, Sequence
 
 import numpy as np
 
-SENTINEL = np.int64((1 << 62) - 1)
+SENTINEL = np.int64(1 << 62)  # > any 2k-bit k-mer key (k <= 31: max 2^62 - 1)
 
 # Cap on elements per device sort call; larger pair batches are chunked.
 _MAX_ELEMENTS = 1 << 26
@@ -140,16 +140,19 @@ class MeshSketchTable:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.mesh import make_mesh, sharded_sketch_weights_fn
+        from ..parallel.mesh import (
+            _owner_edges,
+            make_mesh,
+            sharded_sketch_weights_fn,
+        )
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_dev = self.mesh.devices.size
         self.k = k
-        space = 1 << (2 * k)
-        self.edges = np.arange(self.n_dev + 1, dtype=np.int64) * (
-            space // self.n_dev
-        )
-        self.edges[-1] = space
+        # The exact key-range decomposition every other sharded structure
+        # uses (parallel/mesh.py) — a k-mer's owning device must agree
+        # across the whole system.
+        self.edges = _owner_edges(k, self.n_dev)
         per = max(1, max((s.shape[0] for s in sketches), default=1))
         self.per_dev = _pow2(per)  # capacity per device per row
         self.S = self.per_dev * self.n_dev
@@ -160,8 +163,12 @@ class MeshSketchTable:
             mat[i] = self._shard_row(s)
         sharding = NamedSharding(self.mesh, P(None, "kv"))
         self._sk = jax.device_put(mat, sharding)
-        self._fn = sharded_sketch_weights_fn(self.mesh, 0)
+        self._fn = sharded_sketch_weights_fn(self.mesh)
         self._sharding = sharding
+        self._set_row_fn = jax.jit(
+            lambda sk, i, row: sk.at[i].set(row),
+            out_shardings=sharding,
+        )
 
     def _shard_row(self, sketch: np.ndarray) -> np.ndarray:
         row = np.full(self.S, SENTINEL, dtype=np.int64)
@@ -177,12 +184,14 @@ class MeshSketchTable:
     def set_row(self, i: int, sketch: np.ndarray) -> None:
         import jax
 
-        mat = np.array(jax.device_get(self._sk))
-        if i >= mat.shape[0]:
+        if i >= self._sk.shape[0]:
+            # Rare growth path: double the row capacity host-side.
+            mat = np.array(jax.device_get(self._sk))
             grow = np.full((mat.shape[0], self.S), SENTINEL, dtype=np.int64)
             mat = np.concatenate([mat, grow], axis=0)
-        mat[i] = self._shard_row(sketch)
-        self._sk = jax.device_put(mat, self._sharding)
+            self._sk = jax.device_put(mat, self._sharding)
+        # In-place device row update (no full-matrix host round trip).
+        self._sk = self._set_row_fn(self._sk, i, self._shard_row(sketch))
         self.n = max(self.n, i + 1)
 
     def append_row(self, sketch: np.ndarray) -> int:
@@ -193,6 +202,10 @@ class MeshSketchTable:
     def pair_weights(self, pairs: List[tuple]) -> np.ndarray:
         if not pairs:
             return np.empty(0, dtype=np.int64)
-        ia = np.array([p[0] for p in pairs], dtype=np.int32)
-        ib = np.array([p[1] for p in pairs], dtype=np.int32)
+        # Pad batches to powers of two so jit caches stay small.
+        n_pad = _pow2(len(pairs))
+        ia = np.zeros(n_pad, dtype=np.int32)
+        ib = np.zeros(n_pad, dtype=np.int32)
+        ia[: len(pairs)] = [p[0] for p in pairs]
+        ib[: len(pairs)] = [p[1] for p in pairs]
         return np.asarray(self._fn(self._sk, ia, ib))[: len(pairs)]

@@ -11,6 +11,7 @@ side tables; the sequential chain walk + string emission stay on the host
 
 Orientation convention matches core/spss.py: node u = (entity << 1) | o,
 o=0 exits the right side, o=1 exits the left; mirror(u) = u ^ 1.
+The side-table construction is shared with ops/neighbors.py.
 """
 
 from __future__ import annotations
@@ -20,15 +21,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-SENTINEL = np.int64((1 << 62) - 1)
-
-
-def _pad_pow2(a: np.ndarray, fill) -> np.ndarray:
-    n = a.shape[0]
-    size = 1 << max(0, (n - 1).bit_length())
-    if size == n:
-        return a
-    return np.concatenate([a, np.full(size - n, fill, dtype=a.dtype)])
+from .neighbors import SENTINEL, pad_pow2, tables_traced
 
 
 def _build():
@@ -37,44 +30,13 @@ def _build():
 
     jax.config.update("jax_enable_x64", True)
 
-    from .join import lookup_join
-
     @partial(jax.jit, static_argnames=("k",))
     def unitig_succ(A, k: int):
         """A: (n,) int64 sorted canonical (sentinel-padded).
 
         Returns (succ (2n,) int32 with -1 at terminal exits,
                  term_l, term_r, both) each (n,) bool."""
-        from ..core import kmer as kmer_ops
-
-        n = A.shape[0]
-        cands = []
-        ncans = []
-        for right in (True, False):
-            for c in range(4):
-                cand = (
-                    kmer_ops.next_kmer(A, k, c)
-                    if right
-                    else kmer_ops.prev_kmer(A, k, c)
-                )
-                cands.append(cand)
-                ncans.append(kmer_ops.canonical(cand, k))
-        found, idx = lookup_join(A, jnp.concatenate(ncans), n_groups=8)
-
-        tables = []
-        for side in range(2):
-            deg = jnp.zeros(n, dtype=jnp.int32)
-            nbr = jnp.zeros(n, dtype=jnp.int32)
-            same = jnp.zeros(n, dtype=bool)
-            for c in range(4):
-                g = side * 4 + c
-                ok = found[g] & (ncans[g] != A)
-                first = ok & (deg == 0)
-                nbr = jnp.where(first, idx[g], nbr)
-                same = jnp.where(first, cands[g] != ncans[g], same)
-                deg += ok
-            tables.append((deg, nbr, same))
-        (rdeg, rnbr, rsame), (ldeg, lnbr, lsame) = tables
+        (rdeg, rnbr, rsame), (ldeg, lnbr, lsame) = tables_traced(A, k, True)
 
         # Terminal tests (reference: lib/core/spss.h:276-313): a side is
         # terminal unless its unique mate's corresponding side also has a
@@ -104,7 +66,7 @@ def device_unitig_succ(A: np.ndarray, k: int) -> Optional[Tuple]:
         if _unitig_succ is None:
             _unitig_succ = _build()
         n = A.shape[0]
-        Ap = _pad_pow2(A, SENTINEL)
+        Ap = pad_pow2(A, SENTINEL)
         succ, term_l, term_r, both = _unitig_succ(Ap, k)
         return (
             np.asarray(succ[: 2 * n]).astype(np.int64),

@@ -170,7 +170,7 @@ def sharded_set_algebra_fn(mesh: Mesh):
     return jax.jit(sharded)
 
 
-def sharded_sketch_weights_fn(mesh: Mesh, n_pairs: int):
+def sharded_sketch_weights_fn(mesh: Mesh):
     """Pairwise sketch-intersection sizes over key-range sharded sketches
     (the distributed KmerSetSet similarity phase, reference:
     lib/core/kmer_set_set.h:158-219).  Each device intersects its key

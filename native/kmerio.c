@@ -13,7 +13,8 @@
 
 #include <stdint.h>
 #include <stddef.h>
-#include <string.h>\n#include <stdlib.h>
+#include <string.h>
+#include <stdlib.h>
 
 #define CODE_SEP 254
 #define CODE_BAD 255
@@ -307,6 +308,7 @@ void kmerio_side_tables(const int64_t *A, long n, int k, int canonical,
                         int32_t *table, int logcap,
                         int32_t *rdeg, int32_t *rnbr, uint8_t *rsame,
                         int32_t *ldeg, int32_t *lnbr, uint8_t *lsame) {
+    if (n <= 0) return;
     hash_build(A, n, table, logcap);
     const uint64_t kmask = (1ULL << (2 * k)) - 1;
     const uint64_t tmask = (1ULL << logcap) - 1;
@@ -366,6 +368,7 @@ void kmerio_side_tables(const int64_t *A, long n, int k, int canonical,
  */
 long kmerio_count_hash(const uint8_t *codes, long n, int k,
                        uint64_t *table, int logcap) {
+    if (n < k) return 0;
     const uint64_t kmask = (1ULL << (2 * k)) - 1;
     const uint64_t tmask = (1ULL << logcap) - 1;
     const uint64_t KEYMASK = (1ULL << 48) - 1;
@@ -456,11 +459,18 @@ long kmerio_overlap_edges(const int64_t *P, const int64_t *S, long n, int k,
         mm_build(S, n, stab, logcap);
     }
     long pos = 0;
+    /* Discovery order matches the vectorized host join exactly (all rows
+     * of one join type per base, core/spss.py): (c: nextP*, nextS*),
+     * then (c: prevS*, prevP*) — matching priority, and therefore the
+     * greedy result, is identical with or without the native lib. */
     for (int c = 0; c < 4; c++) {
         for (long i = 0; i < n; i++) {
             uint64_t q = (((uint64_t)S[i] << 2) | (uint64_t)c) & kmask;
             /* right(i) -- left(j): suffix_next == prefix(j) */
             pos = mm_probe_emit(P, ptab, logcap, (int64_t)q, 2 * i, 1, i, out, pos);
+        }
+        for (long i = 0; i < n; i++) {
+            uint64_t q = (((uint64_t)S[i] << 2) | (uint64_t)c) & kmask;
             /* right(i) -- right(j): rc(suffix_next) == suffix(j) */
             pos = mm_probe_emit(S, stab, logcap, (int64_t)rc_one(q, k), 2 * i, 0,
                                 i, out, pos);
@@ -473,6 +483,10 @@ long kmerio_overlap_edges(const int64_t *P, const int64_t *S, long n, int k,
             /* left(i) -- right(j): prefix_prev == suffix(j) */
             pos = mm_probe_emit(S, stab, logcap, (int64_t)r, 2 * i + 1, 0, i,
                                 out, pos);
+        }
+        for (long i = 0; i < n; i++) {
+            uint64_t r = ((uint64_t)P[i] >> 2) |
+                         ((uint64_t)c << (2 * (k - 1)));
             /* left(i) -- left(j): rc(prefix_prev) == prefix(j) */
             pos = mm_probe_emit(P, ptab, logcap, (int64_t)rc_one(r, k),
                                 2 * i + 1, 1, i, out, pos);

@@ -27,7 +27,7 @@ def test_lookup_join_matches_searchsorted(seed, dtype):
 
 
 def test_lookup_join_with_sentinel_padding():
-    A = np.array([3, 7, 9, (1 << 62) - 1, (1 << 62) - 1], dtype=np.int64)
+    A = np.array([3, 7, 9, 1 << 62, 1 << 62], dtype=np.int64)
     Q = np.array([7, 8, 3, 9], dtype=np.int64)
     found, idx = lookup_join(A, Q)
     np.testing.assert_array_equal(np.asarray(found)[0], [True, False, True, True])

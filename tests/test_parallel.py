@@ -185,7 +185,7 @@ def test_sharded_sketch_weights(n_dev):
     pairs = [(i, j) for i in range(n_sets) for j in range(i + 1, n_sets)]
     ia = np.array([p[0] for p in pairs], dtype=np.int32)
     ib = np.array([p[1] for p in pairs], dtype=np.int32)
-    fn = sharded_sketch_weights_fn(mesh, len(pairs))
+    fn = sharded_sketch_weights_fn(mesh)
     w = np.asarray(fn(sk, ia, ib))
     exp = [np.intersect1d(raw[i], raw[j]).size for i, j in pairs]
     np.testing.assert_array_equal(w, exp)
@@ -212,3 +212,20 @@ def test_mesh_sketch_table():
     idx = t.append_row(sketches[0])
     w2 = t.pair_weights([(1, idx)])
     assert w2[0] == np.intersect1d(new, sketches[0]).size
+
+
+def test_k31_all_T_not_conflated_with_sentinel():
+    """The all-T 31-mer packs to 2^62 - 1; the sharded counter must not
+    confuse it with padding (regression for the old SENTINEL value)."""
+    k = 31
+    mesh = make_mesh(1)
+    codes = np.full(2 * k, 3, dtype=np.int32)  # TTTT...T
+    codes[k] = 0  # one A to create a second distinct kmer
+    valid = np.ones(codes.size, dtype=bool)
+    valid[-(k - 1) :] = False
+    fn = sharded_count_fn(mesh, k, False, capacity=64)
+    uniq, counts, n_unique, total, dropped = fn(codes, valid)
+    from kmerset_tpu.core import kmer as kc2
+
+    host = np.unique(kc2.kmers_from_codes(codes.astype(np.int64), k))
+    assert int(total[0]) == host.shape[0]
