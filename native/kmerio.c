@@ -15,6 +15,15 @@
 #include <stddef.h>
 #include <string.h>
 #include <stdlib.h>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+/* The reference parallelizes its host loops with a thread pool
+ * (boost::asio, reference: lib/core/kmer_counter.h:64-133 and every
+ * parallel region); the equivalents here use OpenMP on the loops whose
+ * iterations are independent.  Single-core builds/degenerate thread
+ * counts run the identical code path. */
 
 #define CODE_SEP 254
 #define CODE_BAD 255
@@ -190,6 +199,7 @@ void kmerio_revcomp(const int64_t *in, long n, int k, int64_t *out) {
                    M32 = 0x00000000FFFFFFFFULL;
     const int sh = 64 - 2 * k;
     const uint64_t mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    #pragma omp parallel for schedule(static)
     for (long i = 0; i < n; i++) {
         uint64_t x = ~(uint64_t)in[i];
         x = ((x >> 2) & M2) | ((x & M2) << 2);
@@ -328,6 +338,7 @@ void kmerio_side_tables(const int64_t *A, long n, int k, int canonical,
         int32_t *nbr = side ? lnbr : rnbr;
         uint8_t *same = side ? lsame : rsame;
         for (int c = 0; c < 4; c++) {
+            #pragma omp parallel for schedule(static)
             for (long i = 0; i < n; i++) {
                 uint64_t cand =
                     side ? (((uint64_t)A[i] >> 2) |
@@ -341,6 +352,7 @@ void kmerio_side_tables(const int64_t *A, long n, int k, int canonical,
                 q[i] = (int64_t)qq;
                 diff[i] = (uint8_t)(cand != qq);
             }
+            #pragma omp parallel for schedule(static)
             for (long i = 0; i < n; i++) {
                 if (i + PD < n)
                     __builtin_prefetch(
@@ -554,6 +566,7 @@ void kmerio_unitig_succ(const int32_t *rdeg, const int32_t *rnbr,
                         const int32_t *lnbr, const uint8_t *lsame, long n,
                         int64_t *succ, uint8_t *term_l, uint8_t *term_r,
                         uint8_t *both) {
+    #pragma omp parallel for schedule(static)
     for (long i = 0; i < n; i++) {
         int32_t mate_r = rsame[i] ? rdeg[rnbr[i]] : ldeg[rnbr[i]];
         int tr = (rdeg[i] != 1) || (mate_r != 1);
@@ -572,6 +585,7 @@ void kmerio_unitig_succ(const int32_t *rdeg, const int32_t *rnbr,
  * lib/core/spss.h:619-695). */
 void kmerio_pack_rows(const uint8_t *codes, const int64_t *offsets, long n,
                       int k, int from_end, int64_t *out) {
+    #pragma omp parallel for schedule(static)
     for (long i = 0; i < n; i++) {
         long start = from_end ? offsets[i + 1] - k : offsets[i];
         uint64_t v = 0;
