@@ -86,7 +86,7 @@ def _call(codes_padded: jnp.ndarray, k: int) -> jnp.ndarray:
         _kernel(k),
         out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK,), jnp.int32),
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((BLOCK + _HALO,), jnp.int32),

@@ -75,16 +75,20 @@ def test_two_process_distributed_mesh(tmp_path):
     port = _free_port()
     script = tmp_path / "child.py"
     script.write_text(_CHILD)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)  # one device per process
+    # The child runs from tmp_path, so the repo root is not on sys.path
+    # automatically; make the package importable without requiring pip install.
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(p), str(nproc), str(port)],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            cwd=repo_root,
         )
         for p in range(nproc)
     ]
