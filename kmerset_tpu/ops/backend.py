@@ -128,6 +128,17 @@ def device_count(
         if total < k:
             return None
         valid = window_validity(offsets, total, k)
+        # Pad so the key count lands on an XLA-sort-friendly size
+        # (2^p / 3*2^p — see ops.count.good_sort_size); padded window
+        # positions are invalid and sort to the sentinel tail.
+        from .count import good_sort_size
+
+        n_keys = total - (k - 1)
+        target = good_sort_size(n_keys)
+        if target != n_keys:
+            pad = target - n_keys
+            codes = np.concatenate([codes, np.zeros(pad, codes.dtype)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
         uniq, counts, n_unique = count_kmers(
             codes.astype(np.int32), valid, k, canonical
         )

@@ -206,6 +206,32 @@ def _compact(order_key: jnp.ndarray, keys, extras=()):
     return res[1:]
 
 
+def good_sort_size(n: int) -> int:
+    """Smallest size >= n that XLA's TPU sort handles efficiently.
+
+    lax.sort cost is strongly size-sensitive: on v5e, sorting 4M+14
+    int32 costs 73% more than exactly 4M, and 5M costs as much as the
+    ragged 4M+14.  Sizes of the form 2^p and 3*2^p measure on the fast
+    path, and the ladder keeps padding overhead <= 33%."""
+    if n <= 1024:
+        return max(n, 1)
+    p2 = 1 << (n - 1).bit_length()
+    three = 3 * (p2 >> 2)
+    return three if three >= n else p2
+
+
+def _slice_windows(codes, valid, k: int):
+    """Drops the trailing k-1 positions before sorting: a window starting
+    there runs off the end of `codes`, so `valid` is False by construction
+    (window_validity) and the keys are sentinels.  XLA's sort is much
+    faster at 2^p-friendly sizes (see good_sort_size), and callers pad
+    `codes` so that len - (k-1) lands on one."""
+    n = codes.shape[0] - (k - 1)
+    if n <= 0:
+        return codes, valid
+    return codes, valid[:n]
+
+
 def _sorted_runs(codes, valid, k: int, canonical: bool):
     """Sort all window keys and mark run boundaries + run lengths.
 
@@ -215,8 +241,10 @@ def _sorted_runs(codes, valid, k: int, canonical: bool):
     compacted keys.  counts is lazy (run lengths come from a reverse
     cummin scan, ~20% of step time) — callers that only threshold on a
     small cutoff use `_run_reaches` instead."""
+    codes, valid = _slice_windows(codes, valid, k)
+    n_keys = valid.shape[0]
     if k <= SINGLE_MAX_K:
-        key = _single_windows(codes, k, canonical)
+        key = _single_windows(codes, k, canonical)[:n_keys]
         key = jnp.where(valid, key, _S_SENT)
         (s,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
         prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s[:-1]])
@@ -229,8 +257,8 @@ def _sorted_runs(codes, valid, k: int, canonical: bool):
         keys = (s,)
     elif k <= PAIR_MAX_K:
         hi, lo = _pair_windows(codes, k, canonical)
-        hi = jnp.where(valid, hi, _HI_SENT)
-        lo = jnp.where(valid, lo, 0)
+        hi = jnp.where(valid, hi[:n_keys], _HI_SENT)
+        lo = jnp.where(valid, lo[:n_keys], 0)
         sh, sl = jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
         ph = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sh[:-1]])
         pl = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sl[:-1]])
@@ -244,7 +272,7 @@ def _sorted_runs(codes, valid, k: int, canonical: bool):
 
         keys = (sh, sl)
     else:
-        can = _int64_windows(codes, k, canonical)
+        can = _int64_windows(codes, k, canonical)[:n_keys]
         key = jnp.where(valid, can, SENTINEL)
         (s,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
         prev = jnp.concatenate([jnp.full((1,), -1, dtype=s.dtype), s[:-1]])
@@ -277,8 +305,25 @@ def _run_reaches(keys, live, c: int) -> jnp.ndarray:
 
 def _compact_runs(to64, keys, select, extras=()):
     """Stable-partitions selected run heads to the front and finalizes the
-    (uniq int64, compacted extras, n_selected) outputs."""
-    res = _compact(jnp.where(select, 0, 1).astype(jnp.int32), keys, extras)
+    (uniq int64, compacted extras, n_selected) outputs.
+
+    The partition flag is fused into unused high bits of the leading sort
+    key (2k-bit keys always leave headroom below the sentinel bit), so the
+    compaction sort carries no separate order-key operand: selected heads
+    keep their value and sort ascending to the front; everything else gets
+    the flag bit and lands behind them in one unstable single/pair-key
+    sort.  The selected prefix is bit-identical to the original keys."""
+    lead = keys[0]
+    if lead.dtype == jnp.int32:
+        # pair layout: hi <= 2*ceil(k/2) <= 24 bits, _HI_SENT = 2^30;
+        # single layout: key <= 30 bits, _S_SENT = 2^31 - 1 (bit 30 set).
+        flag = jnp.int32(1 << 28) if len(keys) > 1 else jnp.int32(1 << 30)
+    else:
+        flag = SENTINEL  # 2^62 > any 2k-bit key (k <= 31)
+    fused = jnp.where(select, lead, lead | flag)
+    res = jax.lax.sort(
+        (fused, *keys[1:], *extras), num_keys=len(keys), is_stable=False
+    )
     nk = len(keys)
     ckeys, cextras = res[:nk], res[nk:]
     n_sel = jnp.sum(select)
