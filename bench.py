@@ -99,7 +99,9 @@ def main() -> None:
 
     def one_step(c):
         out, n_kept, n_cut = count_to_set(c, valid, K, True, 1)
-        return n_kept
+        # Consume the materialized set array (not just its size) so the
+        # compaction stage is part of the measured step.
+        return n_kept + out[0] + out[out.shape[0] // 2]
 
     @jax.jit
     def loop(codes, iters):

@@ -357,14 +357,25 @@ _MAX_SHIFT_CUTOFF = 8
 def count_to_set(codes, valid, k: int, canonical: bool, cutoff: int):
     """Full counter -> cutoff-filtered set step (reference ToKmerSet,
     lib/core/kmer_counter.h:211-243), fused: the cutoff test is applied to
-    the run heads before the single stable-partition compaction."""
+    the run heads before one compaction pass — the O(n) Pallas stream
+    compactor on TPU (ops/pallas_compact.py), a flag-fused partition sort
+    elsewhere."""
     to64, keys, live, boundary = _sorted_runs(codes, valid, k, canonical)
     if cutoff <= _MAX_SHIFT_CUTOFF:
         keep = boundary & _run_reaches(keys, live, cutoff)
     else:
         keep = boundary & (_run_lengths(boundary, live) >= cutoff)
-    uniq, _, n_kept = _compact_runs(to64, keys, keep)
     n_unique = jnp.sum(boundary)
+
+    from .pallas_compact import compact_select_i32, use_compact_kernel
+
+    if len(keys) == 1 and use_compact_kernel(keys[0].shape[0], k):
+        compacted, n_kept = compact_select_i32(keys[0], keep)
+        pos = jax.lax.broadcasted_iota(jnp.int32, compacted.shape, 0)
+        uniq = jnp.where(pos < n_kept, compacted.astype(jnp.int64), SENTINEL)
+        return uniq, n_kept, n_unique - n_kept
+
+    uniq, _, n_kept = _compact_runs(to64, keys, keep)
     return uniq, n_kept, n_unique - n_kept
 
 

@@ -1,0 +1,208 @@
+"""Pallas TPU kernel: zero-slack stream compaction of sorted key arrays.
+
+The counting pipeline ends by compacting selected run heads (distinct
+k-mers passing the cutoff) out of the globally sorted key array
+(reference equivalent: the bucketed hash sets materialized by ToKmerSet,
+lib/core/kmer_counter.h:211-243).  The XLA formulation re-sorts the full
+array with a partition flag fused into the key — a second O(n log^2 n)
+sort pass costing as much as the primary sort.
+
+This kernel replaces it with an O(n) pass built around three TPU facts:
+
+  * Pallas grids run SEQUENTIALLY on a core, so later programs may
+    overwrite earlier programs' trailing garbage — variable-length
+    writes become fixed-size DMAs whose tails are reclaimed by the next
+    program.
+  * HBM DMA slices of int32 arrays must align to the (8, 128) tile
+    (1024 elements).  Each program writes at the 1024-aligned address
+    at/below its true destination and reproduces the previous program's
+    real tail in the overlap from a VMEM `spill` scratch that persists
+    across grid steps.
+  * Arbitrary dynamic shifts are unsupported, but a shift by m
+    decomposes into log2(max_shift) STATIC lane/sublane rolls selected
+    by the bits of m (`flat_shift_left`).
+
+Pipeline: blockwise partition (one cheap row-sort bringing each row's
+kept elements to its prefix — XLA sorts (R, 4096) rows ~7x faster than
+one flat array) -> per-row counts + exclusive scan -> this kernel.
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Tracing a pallas_call nested inside the counting pipeline's jit exceeds
+# CPython's default 1000-frame recursion limit.
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
+
+BLOCK = 16384  # elements per row/program (best of {4K..32K} on v5e)
+_ALIGN = 1024  # int32 HBM DMA alignment quantum: (8, 128) tile
+_SENT_I32 = np.int32((1 << 31) - 1)
+_FLAG = np.int32(1 << 30)  # partition bit; keys are 2k <= 30 bits
+
+
+def _flat_shift_left(x2d: jnp.ndarray, m: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """Shifts a (S, 128) int32 buffer left by m positions in row-major
+    element order, via one static roll + select per bit of m.
+
+    Lane-dim rolls (stride < 128) need a carry from the next sublane row;
+    sublane-dim rolls handle strides that are multiples of 128.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    S = x2d.shape[0]
+    out = x2d
+    one = jnp.int32(1)
+    for j in range(nbits):
+        s = 1 << j
+        if s < 128:
+            a = pltpu.roll(out, jnp.int32(128 - s), axis=1)
+            down1 = pltpu.roll(out, jnp.int32(S - 1), axis=0)
+            b = pltpu.roll(down1, jnp.int32(128 - s), axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+            shifted = jnp.where(lane < jnp.int32(128 - s), a, b)
+        else:
+            shifted = pltpu.roll(out, jnp.int32((S - (s // 128)) % S), axis=0)
+        # explicit int32 scalar ops: mixing tracers with Python ints hits
+        # an infinite weak-type promotion recursion under jax_enable_x64
+        out = jnp.where(
+            jax.lax.shift_right_logical(m, jnp.int32(j)) & one == one, shifted, out
+        )
+    return out
+
+
+def _kernel(c_ref, dst_ref, rows_ref, out_ref, spill, wsem):
+    """Program p writes row p's kept prefix (length c[p]) to the global
+    offset dst[p], 1024-aligned via the spill of the previous program."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p = pl.program_id(0)
+    c = c_ref[p]
+    d = dst_ref[p]
+    align = jnp.int32(_ALIGN)
+    a0 = (d // align) * align
+    g = d - a0  # previous-program reals to reproduce in [a0, d)
+
+    # F = [spill (last 1024 reals emitted) | this row (kept prefix)]
+    F = jnp.concatenate([spill[:], rows_ref[0]], axis=0)
+    # out[a0 + i] = F[(1024 - g) + i]
+    out_buf = _flat_shift_left(F, align - g, 11)
+    # next spill: last 1024 of the real stream = F[c : c + 1024]
+    spill[:] = _flat_shift_left(F, c, BLOCK.bit_length())[: _ALIGN // 128]
+
+    def write(vb):
+        vb[:] = out_buf
+        cp = pltpu.make_async_copy(
+            vb,
+            out_ref.at[pl.ds(a0 // jnp.int32(128), (_ALIGN + BLOCK) // 128), :],
+            wsem,
+        )
+        cp.start()
+        cp.wait()  # writes overlap across programs: must retire in order
+
+    pl.run_scoped(write, pltpu.VMEM(((_ALIGN + BLOCK) // 128, 128), jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _compact_call(rows3, c, dst, interpret=False):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = rows3.shape[0]
+    n_out = R * BLOCK + 2 * (_ALIGN + BLOCK)
+    import contextlib
+
+    # Under jax_enable_x64 the grid index maps trace to i64, which Mosaic
+    # cannot legalize; the kernel is pure int32, so trace it without x64.
+    try:
+        no_x64 = jax.experimental.disable_x64()
+    except Exception:  # noqa: BLE001
+        no_x64 = contextlib.nullcontext()
+    with no_x64:
+        out2 = _pallas_compact(rows3, c, dst, interpret)
+    return out2.reshape(-1)
+
+
+def _pallas_compact(rows3, c, dst, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = rows3.shape[0]
+    n_out = R * BLOCK + 2 * (_ALIGN + BLOCK)
+    # Explicit int32 zeros: under jax_enable_x64 the default index-map
+    # literals trace to i64, which Mosaic cannot legalize.  (np scalar,
+    # not jnp — index maps must not capture tracers.)
+    zero = np.int32(0)
+    out2 = pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(R,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, BLOCK // 128, 128),
+                    lambda p, c, d: (p, zero, zero),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (n_out // 128, 128),
+                lambda p, c, d: (zero, zero),
+                memory_space=pl.ANY,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((_ALIGN // 128, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_out // 128, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(c, dst, rows3)
+    return out2.reshape(-1)
+
+
+def compact_select_i32(keys, keep, interpret=False):
+    """keys: (n,) int32 sorted ascending, values < 2^30 except sentinel
+    tail; keep: (n,) bool (kept values must be strictly increasing, as
+    run heads of a sorted array are).  n must be a multiple of BLOCK.
+
+    Returns (compacted, n_sel): compacted[:n_sel] = keys[keep] in order;
+    entries beyond n_sel are garbage (callers sentinel-fill as needed).
+    """
+    n = keys.shape[0]
+    assert n % BLOCK == 0 and n > 0
+    R = n // BLOCK
+    fused = jnp.where(keep, keys, keys | _FLAG)
+    rows = jax.lax.sort(
+        (fused.reshape(R, BLOCK),), dimension=1, num_keys=1, is_stable=False
+    )[0]
+    c = jnp.sum(keep.reshape(R, BLOCK), axis=1, dtype=jnp.int32)
+    dst = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(c)[:-1].astype(jnp.int32)])
+    out = _compact_call(rows.reshape(R, BLOCK // 128, 128), c, dst, interpret=interpret)
+    n_sel = dst[-1] + c[-1]
+    return out[:n], n_sel
+
+
+def use_compact_kernel(n: int, k: int) -> bool:
+    """The kernel path needs a real TPU backend, the single-int32-key
+    layout, and a BLOCK-divisible length (good_sort_size guarantees this
+    for n >= BLOCK)."""
+    import os
+
+    if os.environ.get("KMERSET_TPU_NO_PALLAS"):
+        return False
+    from .count import SINGLE_MAX_K
+
+    if k > SINGLE_MAX_K or n % BLOCK != 0 or n == 0:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False

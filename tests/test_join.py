@@ -134,3 +134,27 @@ def test_device_unitig_succ_matches_host(k, monkeypatch):
     rt_h = spss.get_kmer_set_from_spss(u_host, k, True)
     np.testing.assert_array_equal(rt_d.kmers, rt_h.kmers)
     np.testing.assert_array_equal(rt_d.kmers, A)
+
+
+@pytest.mark.parametrize("frac", [0.0, 0.05, 0.5, 1.0])
+def test_pallas_compact_interpret_matches_host(frac):
+    """The Pallas stream compactor (interpret mode) equals boolean-mask
+    compaction (kernel design: ops/pallas_compact.py)."""
+    import jax.numpy as jnp
+
+    from kmerset_tpu.ops.pallas_compact import BLOCK, compact_select_i32
+
+    rng = np.random.default_rng(int(frac * 100) + 3)
+    n = 2 * BLOCK
+    keys = np.sort(rng.integers(0, 1 << 30, n).astype(np.int32))
+    keys = np.unique(keys)
+    keys = np.pad(keys, (0, n - keys.size), constant_values=(1 << 31) - 1)
+    keep = rng.random(n) <= frac if frac else np.zeros(n, bool)
+    keep &= keys < (1 << 30)
+    # kept values must be strictly increasing (run heads are)
+    keep[1:] &= keys[1:] != keys[:-1]
+    got, n_sel = compact_select_i32(jnp.array(keys), jnp.array(keep), interpret=True)
+    ns = int(n_sel)
+    expect = keys[keep]
+    assert ns == expect.size
+    assert np.array_equal(np.asarray(got[:ns]), expect)
