@@ -129,7 +129,7 @@ def main() -> None:
         jax.profiler.trace(prof_dir) if prof_dir else contextlib.nullcontext()
     )
 
-    reps = 50
+    reps = 200
     t0 = time.perf_counter()
     with ctx:
         acc = int(loop(codes, reps))  # int() forces full sync
