@@ -341,8 +341,27 @@ def count_kmers(codes: jnp.ndarray, valid: jnp.ndarray, k: int, canonical: bool)
 
     Returns (uniq, counts, n_unique): uniq[:n_unique] are the sorted
     distinct (canonical) k-mers as int64, counts aligned; tail is sentinel.
+
+    On TPU (single-int32 layout) the run-head keys and their positions are
+    compacted by the O(n) Pallas stream compactor and run lengths become
+    position diffs — no reverse-cummin scan and no second full sort.
     """
     to64, keys, live, boundary = _sorted_runs(codes, valid, k, canonical)
+
+    from .pallas_compact import compact_select_pair_i32, use_compact_kernel
+
+    if len(keys) == 1 and use_compact_kernel(keys[0].shape[0], k):
+        n = keys[0].shape[0]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+        ckeys, cpos, n_sel = compact_select_pair_i32(keys[0], pos, boundary)
+        n_live = jnp.sum(live, dtype=jnp.int32)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+        nxt = jnp.concatenate([cpos[1:], jnp.zeros(1, jnp.int32)])
+        cc = jnp.where(idx == n_sel - 1, n_live - cpos, nxt - cpos)
+        in_range = idx < n_sel
+        uniq = jnp.where(in_range, ckeys.astype(jnp.int64), SENTINEL)
+        return uniq, jnp.where(in_range, cc, 0), n_sel
+
     counts = _run_lengths(boundary, live)
     uniq, (cc,), n_sel = _compact_runs(to64, keys, boundary, (counts,))
     return uniq, cc, n_sel

@@ -20,15 +20,19 @@ This kernel replaces it with an O(n) pass built around three TPU facts:
     across grid steps.
   * Arbitrary dynamic shifts are unsupported, but a shift by m
     decomposes into log2(max_shift) STATIC lane/sublane rolls selected
-    by the bits of m (`flat_shift_left`).
+    by the bits of m (`_flat_shift_left`).
 
 Pipeline: blockwise partition (one cheap row-sort bringing each row's
-kept elements to its prefix — XLA sorts (R, 4096) rows ~7x faster than
+kept elements to its prefix — XLA sorts (R, 16K) rows ~4x faster than
 one flat array) -> per-row counts + exclusive scan -> this kernel.
+The pair variant carries one payload lane (e.g. run-head positions, from
+which run lengths are recovered as position diffs) through the same
+shifts.
 """
 
 from __future__ import annotations
 
+import contextlib
 import sys
 from functools import partial
 
@@ -51,7 +55,9 @@ def _flat_shift_left(x2d: jnp.ndarray, m: jnp.ndarray, nbits: int) -> jnp.ndarra
     element order, via one static roll + select per bit of m.
 
     Lane-dim rolls (stride < 128) need a carry from the next sublane row;
-    sublane-dim rolls handle strides that are multiples of 128.
+    sublane-dim rolls handle strides that are multiples of 128.  All
+    scalar ops are explicitly int32: mixing tracers with Python ints hits
+    an infinite weak-type promotion recursion under jax_enable_x64.
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -68,104 +74,131 @@ def _flat_shift_left(x2d: jnp.ndarray, m: jnp.ndarray, nbits: int) -> jnp.ndarra
             shifted = jnp.where(lane < jnp.int32(128 - s), a, b)
         else:
             shifted = pltpu.roll(out, jnp.int32((S - (s // 128)) % S), axis=0)
-        # explicit int32 scalar ops: mixing tracers with Python ints hits
-        # an infinite weak-type promotion recursion under jax_enable_x64
         out = jnp.where(
             jax.lax.shift_right_logical(m, jnp.int32(j)) & one == one, shifted, out
         )
     return out
 
 
-def _kernel(c_ref, dst_ref, rows_ref, out_ref, spill, wsem):
-    """Program p writes row p's kept prefix (length c[p]) to the global
-    offset dst[p], 1024-aligned via the spill of the previous program."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+def _make_kernel(nbuf: int):
+    def kernel(c_ref, dst_ref, rows_ref, out_ref, spill, wsem):
+        """Program p writes row p's kept prefix (length c[p]) of each of
+        the nbuf lanes to global offset dst[p], 1024-aligned via the
+        spill of the previous program."""
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
 
-    p = pl.program_id(0)
-    c = c_ref[p]
-    d = dst_ref[p]
-    align = jnp.int32(_ALIGN)
-    a0 = (d // align) * align
-    g = d - a0  # previous-program reals to reproduce in [a0, d)
+        p = pl.program_id(0)
+        c = c_ref[p]
+        d = dst_ref[p]
+        align = jnp.int32(_ALIGN)
+        a0 = (d // align) * align
+        g = d - a0  # previous-program reals to reproduce in [a0, d)
 
-    # F = [spill (last 1024 reals emitted) | this row (kept prefix)]
-    F = jnp.concatenate([spill[:], rows_ref[0]], axis=0)
-    # out[a0 + i] = F[(1024 - g) + i]
-    out_buf = _flat_shift_left(F, align - g, 11)
-    # next spill: last 1024 of the real stream = F[c : c + 1024]
-    spill[:] = _flat_shift_left(F, c, BLOCK.bit_length())[: _ALIGN // 128]
+        bufs = []
+        for b in range(nbuf):
+            bi = np.int32(b)  # Python-int ref indices trace to i64 under x64
+            # F = [spill (last 1024 reals emitted) | this row's prefix]
+            F = jnp.concatenate([spill[bi], rows_ref[np.int32(0), bi]], axis=0)
+            # out[a0 + i] = F[(1024 - g) + i]
+            bufs.append(_flat_shift_left(F, align - g, 11))
+            # next spill: last 1024 of the real stream = F[c : c + 1024]
+            spill[bi] = _flat_shift_left(F, c, BLOCK.bit_length())[: _ALIGN // 128]
 
-    def write(vb):
-        vb[:] = out_buf
-        cp = pltpu.make_async_copy(
-            vb,
-            out_ref.at[pl.ds(a0 // jnp.int32(128), (_ALIGN + BLOCK) // 128), :],
-            wsem,
+        def write(vb):
+            for b in range(nbuf):
+                vb[np.int32(b)] = bufs[b]
+            cps = [
+                pltpu.make_async_copy(
+                    vb.at[np.int32(b)],
+                    out_ref.at[
+                        np.int32(b),
+                        pl.ds(a0 // jnp.int32(128), (_ALIGN + BLOCK) // 128),
+                        :,
+                    ],
+                    wsem.at[np.int32(b)],
+                )
+                for b in range(nbuf)
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()  # writes overlap across programs: retire in order
+
+        pl.run_scoped(
+            write, pltpu.VMEM((nbuf, (_ALIGN + BLOCK) // 128, 128), jnp.int32)
         )
-        cp.start()
-        cp.wait()  # writes overlap across programs: must retire in order
 
-    pl.run_scoped(write, pltpu.VMEM(((_ALIGN + BLOCK) // 128, 128), jnp.int32))
+    return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _compact_call(rows3, c, dst, interpret=False):
+def _pallas_compact(rows4, c, dst, interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    R = rows3.shape[0]
-    n_out = R * BLOCK + 2 * (_ALIGN + BLOCK)
-    import contextlib
-
-    # Under jax_enable_x64 the grid index maps trace to i64, which Mosaic
-    # cannot legalize; the kernel is pure int32, so trace it without x64.
-    try:
-        no_x64 = jax.experimental.disable_x64()
-    except Exception:  # noqa: BLE001
-        no_x64 = contextlib.nullcontext()
-    with no_x64:
-        out2 = _pallas_compact(rows3, c, dst, interpret)
-    return out2.reshape(-1)
-
-
-def _pallas_compact(rows3, c, dst, interpret):
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    R = rows3.shape[0]
+    R, nbuf = rows4.shape[0], rows4.shape[1]
     n_out = R * BLOCK + 2 * (_ALIGN + BLOCK)
     # Explicit int32 zeros: under jax_enable_x64 the default index-map
     # literals trace to i64, which Mosaic cannot legalize.  (np scalar,
     # not jnp — index maps must not capture tracers.)
     zero = np.int32(0)
-    out2 = pl.pallas_call(
-        _kernel,
+    out = pl.pallas_call(
+        _make_kernel(nbuf),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(R,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, BLOCK // 128, 128),
-                    lambda p, c, d: (p, zero, zero),
+                    (1, nbuf, BLOCK // 128, 128),
+                    lambda p, c, d: (p, zero, zero, zero),
                     memory_space=pltpu.VMEM,
                 )
             ],
             out_specs=pl.BlockSpec(
-                (n_out // 128, 128),
-                lambda p, c, d: (zero, zero),
+                (nbuf, n_out // 128, 128),
+                lambda p, c, d: (zero, zero, zero),
                 memory_space=pl.ANY,
             ),
             scratch_shapes=[
-                pltpu.VMEM((_ALIGN // 128, 128), jnp.int32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((nbuf, _ALIGN // 128, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA((nbuf,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_out // 128, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nbuf, n_out // 128, 128), jnp.int32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(c, dst, rows3)
-    return out2.reshape(-1)
+    )(c, dst, rows4)
+    return out.reshape(nbuf, -1)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _compact_call(rows4, c, dst, interpret=False):
+    # Under jax_enable_x64 parts of the pallas lowering trace to i64,
+    # which Mosaic cannot legalize; the kernel is pure int32.
+    try:
+        no_x64 = jax.experimental.disable_x64()
+    except Exception:  # noqa: BLE001
+        no_x64 = contextlib.nullcontext()
+    with no_x64:
+        return _pallas_compact(rows4, c, dst, interpret)
+
+
+def _partition_rows(lanes, keep):
+    """Blockwise partition: per BLOCK-row, kept elements to the prefix,
+    preserving order (kept values are strictly increasing so an unstable
+    single-key sort on the flag-fused key is order-preserving)."""
+    n = lanes[0].shape[0]
+    assert n % BLOCK == 0 and n > 0
+    R = n // BLOCK
+    fused = jnp.where(keep, lanes[0], lanes[0] | _FLAG)
+    ops = [fused.reshape(R, BLOCK)] + [x.reshape(R, BLOCK) for x in lanes[1:]]
+    rows = jax.lax.sort(tuple(ops), dimension=1, num_keys=1, is_stable=False)
+    c = jnp.sum(keep.reshape(R, BLOCK), axis=1, dtype=jnp.int32)
+    dst = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(c)[:-1].astype(jnp.int32)]
+    )
+    rows4 = jnp.stack([r.reshape(R, BLOCK // 128, 128) for r in rows], axis=1)
+    return rows4, c, dst
 
 
 def compact_select_i32(keys, keep, interpret=False):
@@ -176,18 +209,21 @@ def compact_select_i32(keys, keep, interpret=False):
     Returns (compacted, n_sel): compacted[:n_sel] = keys[keep] in order;
     entries beyond n_sel are garbage (callers sentinel-fill as needed).
     """
-    n = keys.shape[0]
-    assert n % BLOCK == 0 and n > 0
-    R = n // BLOCK
-    fused = jnp.where(keep, keys, keys | _FLAG)
-    rows = jax.lax.sort(
-        (fused.reshape(R, BLOCK),), dimension=1, num_keys=1, is_stable=False
-    )[0]
-    c = jnp.sum(keep.reshape(R, BLOCK), axis=1, dtype=jnp.int32)
-    dst = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(c)[:-1].astype(jnp.int32)])
-    out = _compact_call(rows.reshape(R, BLOCK // 128, 128), c, dst, interpret=interpret)
+    rows4, c, dst = _partition_rows([keys], keep)
+    out = _compact_call(rows4, c, dst, interpret=interpret)
     n_sel = dst[-1] + c[-1]
-    return out[:n], n_sel
+    return out[0, : keys.shape[0]], n_sel
+
+
+def compact_select_pair_i32(keys, vals, keep, interpret=False):
+    """As compact_select_i32 with one int32 payload lane compacted by the
+    same selection (the payload's kept values need not be monotonic; it
+    rides the key sort as payload)."""
+    rows4, c, dst = _partition_rows([keys, vals], keep)
+    out = _compact_call(rows4, c, dst, interpret=interpret)
+    n_sel = dst[-1] + c[-1]
+    n = keys.shape[0]
+    return out[0, :n], out[1, :n], n_sel
 
 
 def use_compact_kernel(n: int, k: int) -> bool:

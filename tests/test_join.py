@@ -158,3 +158,30 @@ def test_pallas_compact_interpret_matches_host(frac):
     expect = keys[keep]
     assert ns == expect.size
     assert np.array_equal(np.asarray(got[:ns]), expect)
+
+
+def test_pallas_compact_pair_interpret_counts():
+    """Pair-lane compaction recovers run lengths as position diffs
+    (count_kmers kernel path, ops/count.py)."""
+    import jax.numpy as jnp
+
+    from kmerset_tpu.ops.pallas_compact import BLOCK, compact_select_pair_i32
+
+    rng = np.random.default_rng(11)
+    n = 2 * BLOCK
+    # sorted keys with duplicates + sentinel tail
+    vals = np.sort(rng.integers(0, n // 3, n - 77).astype(np.int32))
+    keys = np.pad(vals, (0, 77), constant_values=(1 << 31) - 1)
+    live = keys < (1 << 31) - 1
+    boundary = live & np.concatenate([[True], keys[1:] != keys[:-1]])
+    pos = np.arange(n, dtype=np.int32)
+    ck, cp, n_sel = compact_select_pair_i32(
+        jnp.array(keys), jnp.array(pos), jnp.array(boundary), interpret=True
+    )
+    ns = int(n_sel)
+    u, idx, cts = np.unique(vals, return_index=True, return_counts=True)
+    assert ns == u.size
+    assert np.array_equal(np.asarray(ck[:ns]), u)
+    assert np.array_equal(np.asarray(cp[:ns]), idx.astype(np.int32))
+    got_counts = np.diff(np.append(np.asarray(cp[:ns]), vals.size))
+    assert np.array_equal(got_counts, cts)
