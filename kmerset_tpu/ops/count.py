@@ -348,18 +348,21 @@ def count_kmers(codes: jnp.ndarray, valid: jnp.ndarray, k: int, canonical: bool)
     """
     to64, keys, live, boundary = _sorted_runs(codes, valid, k, canonical)
 
-    from .pallas_compact import compact_select_pair_i32, use_compact_kernel
+    from .pallas_compact import compact_select_multi, use_compact_kernel
 
-    if len(keys) == 1 and use_compact_kernel(keys[0].shape[0], k):
+    if len(keys) <= 2 and use_compact_kernel(keys[0].shape[0], k):
         n = keys[0].shape[0]
         pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-        ckeys, cpos, n_sel = compact_select_pair_i32(keys[0], pos, boundary)
+        lanes, n_sel = compact_select_multi(
+            [*keys, pos], boundary, num_keys=len(keys)
+        )
+        cpos = lanes[-1]
         n_live = jnp.sum(live, dtype=jnp.int32)
         idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
         nxt = jnp.concatenate([cpos[1:], jnp.zeros(1, jnp.int32)])
         cc = jnp.where(idx == n_sel - 1, n_live - cpos, nxt - cpos)
         in_range = idx < n_sel
-        uniq = jnp.where(in_range, ckeys.astype(jnp.int64), SENTINEL)
+        uniq = jnp.where(in_range, to64(tuple(lanes[:-1])), SENTINEL)
         return uniq, jnp.where(in_range, cc, 0), n_sel
 
     counts = _run_lengths(boundary, live)
@@ -386,12 +389,12 @@ def count_to_set(codes, valid, k: int, canonical: bool, cutoff: int):
         keep = boundary & (_run_lengths(boundary, live) >= cutoff)
     n_unique = jnp.sum(boundary)
 
-    from .pallas_compact import compact_select_i32, use_compact_kernel
+    from .pallas_compact import compact_select_multi, use_compact_kernel
 
-    if len(keys) == 1 and use_compact_kernel(keys[0].shape[0], k):
-        compacted, n_kept = compact_select_i32(keys[0], keep)
-        pos = jax.lax.broadcasted_iota(jnp.int32, compacted.shape, 0)
-        uniq = jnp.where(pos < n_kept, compacted.astype(jnp.int64), SENTINEL)
+    if len(keys) <= 2 and use_compact_kernel(keys[0].shape[0], k):
+        lanes, n_kept = compact_select_multi(list(keys), keep, num_keys=len(keys))
+        pos = jax.lax.broadcasted_iota(jnp.int32, lanes[0].shape, 0)
+        uniq = jnp.where(pos < n_kept, to64(tuple(lanes)), SENTINEL)
         return uniq, n_kept, n_unique - n_kept
 
     uniq, _, n_kept = _compact_runs(to64, keys, keep)

@@ -183,16 +183,20 @@ def _compact_call(rows4, c, dst, interpret=False):
         return _pallas_compact(rows4, c, dst, interpret)
 
 
-def _partition_rows(lanes, keep):
+def _partition_rows(lanes, keep, num_keys):
     """Blockwise partition: per BLOCK-row, kept elements to the prefix,
-    preserving order (kept values are strictly increasing so an unstable
-    single-key sort on the flag-fused key is order-preserving)."""
+    preserving order.  The partition flag is fused into the leading key
+    lane; with num_keys covering the full key tuple (kept key tuples are
+    strictly increasing run heads), the unstable row sort is
+    order-preserving.  Lanes beyond num_keys ride as payload."""
     n = lanes[0].shape[0]
     assert n % BLOCK == 0 and n > 0
     R = n // BLOCK
     fused = jnp.where(keep, lanes[0], lanes[0] | _FLAG)
     ops = [fused.reshape(R, BLOCK)] + [x.reshape(R, BLOCK) for x in lanes[1:]]
-    rows = jax.lax.sort(tuple(ops), dimension=1, num_keys=1, is_stable=False)
+    rows = jax.lax.sort(
+        tuple(ops), dimension=1, num_keys=num_keys, is_stable=False
+    )
     c = jnp.sum(keep.reshape(R, BLOCK), axis=1, dtype=jnp.int32)
     dst = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(c)[:-1].astype(jnp.int32)]
@@ -201,42 +205,46 @@ def _partition_rows(lanes, keep):
     return rows4, c, dst
 
 
-def compact_select_i32(keys, keep, interpret=False):
-    """keys: (n,) int32 sorted ascending, values < 2^30 except sentinel
-    tail; keep: (n,) bool (kept values must be strictly increasing, as
-    run heads of a sorted array are).  n must be a multiple of BLOCK.
+def compact_select_multi(lanes, keep, num_keys=1, interpret=False):
+    """Compacts the selected positions of each int32 lane to a prefix.
 
-    Returns (compacted, n_sel): compacted[:n_sel] = keys[keep] in order;
-    entries beyond n_sel are garbage (callers sentinel-fill as needed).
-    """
-    rows4, c, dst = _partition_rows([keys], keep)
+    lanes[0] (with lanes[1:num_keys] as tie-breakers) must be sorted
+    ascending with flag-bit headroom (values < 2^30 except sentinels) and
+    the kept key tuples strictly increasing — run heads of a sorted array
+    are.  n must be a multiple of BLOCK.
+
+    Returns (compacted_lanes, n_sel); entries beyond n_sel are garbage
+    (callers sentinel-fill as needed)."""
+    rows4, c, dst = _partition_rows(list(lanes), keep, num_keys)
     out = _compact_call(rows4, c, dst, interpret=interpret)
     n_sel = dst[-1] + c[-1]
-    return out[0, : keys.shape[0]], n_sel
+    n = lanes[0].shape[0]
+    return [out[i, :n] for i in range(len(lanes))], n_sel
+
+
+def compact_select_i32(keys, keep, interpret=False):
+    """Single-lane wrapper: compacted[:n_sel] = keys[keep] in order."""
+    (out,), n_sel = compact_select_multi([keys], keep, 1, interpret)
+    return out, n_sel
 
 
 def compact_select_pair_i32(keys, vals, keep, interpret=False):
-    """As compact_select_i32 with one int32 payload lane compacted by the
-    same selection (the payload's kept values need not be monotonic; it
-    rides the key sort as payload)."""
-    rows4, c, dst = _partition_rows([keys, vals], keep)
-    out = _compact_call(rows4, c, dst, interpret=interpret)
-    n_sel = dst[-1] + c[-1]
-    n = keys.shape[0]
-    return out[0, :n], out[1, :n], n_sel
+    """Key lane + one payload lane compacted by the same selection."""
+    (ck, cv), n_sel = compact_select_multi([keys, vals], keep, 1, interpret)
+    return ck, cv, n_sel
 
 
 def use_compact_kernel(n: int, k: int) -> bool:
-    """The kernel path needs a real TPU backend, the single-int32-key
-    layout, and a BLOCK-divisible length (good_sort_size guarantees this
-    for n >= BLOCK)."""
+    """The kernel path needs a real TPU backend, an int32 key layout
+    (single or pair), and a BLOCK-divisible length (good_sort_size
+    guarantees this for n >= BLOCK)."""
     import os
 
     if os.environ.get("KMERSET_TPU_NO_PALLAS"):
         return False
-    from .count import SINGLE_MAX_K
+    from .count import PAIR_MAX_K
 
-    if k > SINGLE_MAX_K or n % BLOCK != 0 or n == 0:
+    if k > PAIR_MAX_K or n % BLOCK != 0 or n == 0:
         return False
     try:
         return jax.default_backend() == "tpu"
