@@ -185,3 +185,31 @@ def test_pallas_compact_pair_interpret_counts():
     assert np.array_equal(np.asarray(cp[:ns]), idx.astype(np.int32))
     got_counts = np.diff(np.append(np.asarray(cp[:ns]), vals.size))
     assert np.array_equal(got_counts, cts)
+
+
+def test_pallas_compact_two_key_interpret():
+    """Pair key layout (k in 16..23): hi/lo int32 lanes with num_keys=2
+    partition (count paths for k=19/23, ops/count.py)."""
+    import jax.numpy as jnp
+
+    from kmerset_tpu.ops.pallas_compact import BLOCK, compact_select_multi
+
+    rng = np.random.default_rng(5)
+    n = 2 * BLOCK
+    pairs = np.unique(
+        rng.integers(0, 1 << 24, (n, 2)).astype(np.int32), axis=0
+    )
+    pairs = pairs[np.lexsort((pairs[:, 1], pairs[:, 0]))]
+    m = pairs.shape[0]
+    hi = np.full(n, 1 << 30, np.int32)
+    lo = np.zeros(n, np.int32)
+    hi[:m], lo[:m] = pairs[:, 0], pairs[:, 1]
+    keep = rng.random(n) < 0.4
+    keep &= hi < (1 << 30)
+    lanes, n_sel = compact_select_multi(
+        [jnp.array(hi), jnp.array(lo)], jnp.array(keep), num_keys=2, interpret=True
+    )
+    ns = int(n_sel)
+    assert ns == int(keep.sum())
+    assert np.array_equal(np.asarray(lanes[0][:ns]), hi[keep])
+    assert np.array_equal(np.asarray(lanes[1][:ns]), lo[keep])
