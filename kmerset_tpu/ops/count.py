@@ -217,7 +217,13 @@ def good_sort_size(n: int) -> int:
         return max(n, 1)
     p2 = 1 << (n - 1).bit_length()
     three = 3 * (p2 >> 2)
-    return three if three >= n else p2
+    from .pallas_compact import BLOCK
+
+    # 3*2^q sizes below/at the compactor block must stay block-divisible
+    # or the kernel path would be silently skipped (e.g. 24576 % 16384).
+    if three >= n and (three < BLOCK or three % BLOCK == 0):
+        return three
+    return p2
 
 
 def _slice_windows(codes, valid, k: int):
@@ -358,10 +364,9 @@ def count_kmers(codes: jnp.ndarray, valid: jnp.ndarray, k: int, canonical: bool)
         )
         cpos = lanes[-1]
         n_live = jnp.sum(live, dtype=jnp.int32)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
         nxt = jnp.concatenate([cpos[1:], jnp.zeros(1, jnp.int32)])
-        cc = jnp.where(idx == n_sel - 1, n_live - cpos, nxt - cpos)
-        in_range = idx < n_sel
+        cc = jnp.where(pos == n_sel - 1, n_live - cpos, nxt - cpos)
+        in_range = pos < n_sel
         uniq = jnp.where(in_range, to64(tuple(lanes[:-1])), SENTINEL)
         return uniq, jnp.where(in_range, cc, 0), n_sel
 

@@ -46,7 +46,6 @@ sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
 
 BLOCK = 16384  # elements per row/program (best of {4K..32K} on v5e)
 _ALIGN = 1024  # int32 HBM DMA alignment quantum: (8, 128) tile
-_SENT_I32 = np.int32((1 << 31) - 1)
 _FLAG = np.int32(1 << 30)  # partition bit; keys are 2k <= 30 bits
 
 
@@ -236,17 +235,11 @@ def compact_select_pair_i32(keys, vals, keep, interpret=False):
 
 def use_compact_kernel(n: int, k: int) -> bool:
     """The kernel path needs a real TPU backend, an int32 key layout
-    (single or pair), and a BLOCK-divisible length (good_sort_size
-    guarantees this for n >= BLOCK)."""
-    import os
-
-    if os.environ.get("KMERSET_TPU_NO_PALLAS"):
-        return False
-    from .count import PAIR_MAX_K
+    (single or pair), and a BLOCK-divisible length (good_sort_size emits
+    only BLOCK-divisible sizes at or above BLOCK; shorter inputs fall
+    back to the flag-fused partition sort)."""
+    from .count import PAIR_MAX_K, _use_pallas
 
     if k > PAIR_MAX_K or n % BLOCK != 0 or n == 0:
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # noqa: BLE001
-        return False
+    return _use_pallas()
