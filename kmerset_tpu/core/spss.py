@@ -29,6 +29,9 @@ reference, whose results are thread-interleaving-dependent anyway.
 
 from __future__ import annotations
 
+import logging
+import time
+from contextlib import contextmanager
 from typing import List, Tuple
 
 import numpy as np
@@ -38,6 +41,17 @@ from . import native
 from .graph import expand_ranges, handshake_matching, pointer_double
 from .kmer_set import KmerSet
 from .strings import PackedStrings
+
+logger = logging.getLogger("kmerset")
+
+
+@contextmanager
+def _phase(name: str):
+    """Debug-level phase timing, mirroring the reference's debug-log
+    narration of algorithm phases (reference: lib/core/spss.h:315-353)."""
+    t0 = time.perf_counter()
+    yield
+    logger.debug("%s: %.2fs", name, time.perf_counter() - t0)
 
 
 # ---------------------------------------------------------------------------
@@ -322,6 +336,7 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
 
     from ..ops import backend
 
+    t_start = time.perf_counter()
     dev = None
     if backend.should_use_device_graph(n):
         from ..ops import unitigs as dev_unitigs
@@ -358,6 +373,10 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
             )
 
             both = term_l & term_r
+    logger.debug(
+        "unitigs: side tables + successor: %.2fs", time.perf_counter() - t_start
+    )
+    t_start = time.perf_counter()
     starts_r_exit = np.flatnonzero(term_l & ~term_r & ~both) * 2
     starts_l_exit = np.flatnonzero(term_r & ~term_l) * 2 + 1
     starts = np.concatenate([starts_r_exit, starts_l_exit])
@@ -369,6 +388,8 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
     firsts, lasts, nonempty = _group_endpoints(nodes, groups)
     keep = nonempty & (A[firsts >> 1] >= A[lasts >> 1])
     nodes_kept, groups_kept = _filter_groups(nodes, groups, keep)
+    logger.debug("unitigs: chain walk: %.2fs", time.perf_counter() - t_start)
+    t_start = time.perf_counter()
     chains = _emit_kmer_chains(A, k, nodes_kept, groups_kept, oriented=True)
 
     parts: List[PackedStrings] = [chains]
@@ -398,6 +419,7 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
     visited[nodes >> 1] = True
     visited[both_idx] = True
     parts.append(_walk_cycles(A, k, succ, visited, oriented=True))
+    logger.debug("unitigs: emission + cycles: %.2fs", time.perf_counter() - t_start)
 
     return _concat_packed(parts)
 
@@ -647,18 +669,22 @@ def get_spss_canonical_from_unitigs(
     n = len(unitigs)
     if n == 0:
         return PackedStrings.empty()
-    pa, pb = _candidate_port_edges_canonical(unitigs, k)
-    if not fast:
-        match = _sequential_matching(n, pa, pb)
-    else:
-        match = handshake_matching(pa, pb, 2 * n)
+    with _phase("spss: candidate overlap edges"):
+        pa, pb = _candidate_port_edges_canonical(unitigs, k)
+    with _phase("spss: greedy matching"):
+        if not fast:
+            match = _sequential_matching(n, pa, pb)
+        else:
+            match = handshake_matching(pa, pb, 2 * n)
 
     # Exiting port u continues through the matched partner port and leaves
     # by that node's other side: succ[u] = match[u] ^ 1.
     succ = np.where(match >= 0, match ^ 1, -1)
     if fast:
-        succ = _break_cycles(succ, match, oriented=True)
-    return _emit_matched_paths(unitigs, k, succ)
+        with _phase("spss: cycle breaking"):
+            succ = _break_cycles(succ, match, oriented=True)
+    with _phase("spss: path emission"):
+        return _emit_matched_paths(unitigs, k, succ)
 
 
 def get_spss_from_unitigs(unitigs: PackedStrings, k: int) -> PackedStrings:
