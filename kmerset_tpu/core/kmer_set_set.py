@@ -147,12 +147,16 @@ class KmerSetSet:
         if n_inputs == 0:
             return
 
-        # ~2% of buckets sampled (reference: kmer_set_set.h:120-128).
+        # ~2% of buckets sampled (reference: kmer_set_set.h:120-128,
+        # via GetRandomInts(unique, sorted) — core/random.h:13; seeded
+        # here, fixing the reference's run-to-run nondeterminism).
+        from ..utils.random import get_random_ints
+
         n_sample = max(1, cfg.n_buckets // 50)
         rng = np.random.default_rng(seed)
-        bucket_ids = np.sort(
-            rng.choice(cfg.n_buckets, size=n_sample, replace=False)
-        ).astype(np.int64)
+        bucket_ids = get_random_ints(
+            n_sample, True, True, 0, cfg.n_buckets - 1, rng
+        )
 
         sampled: List[np.ndarray] = [
             s.sampled_kmers(cfg, bucket_ids, canonical) for s in sets

@@ -14,6 +14,24 @@ from ..core import kmer as kmer_ops
 from ..core.kmer_set import KmerSet
 
 
+def get_random_ints(
+    n: int,
+    unique: bool,
+    sorted_: bool,
+    lo: int,
+    hi: int,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """n random ints in [lo, hi], optionally distinct and/or sorted
+    (reference: lib/core/random.h:13-41, GetRandomInts — used there for
+    the multi-set compressor's bucket sampling)."""
+    if unique:
+        out = rng.choice(np.arange(lo, hi + 1, dtype=np.int64), size=n, replace=False)
+    else:
+        out = rng.integers(lo, hi + 1, size=n, dtype=np.int64)
+    return np.sort(out) if sorted_ else out
+
+
 def get_random_kmer(k: int, rng: np.random.Generator) -> int:
     return int(rng.integers(0, 1 << (2 * k), dtype=np.int64))
 

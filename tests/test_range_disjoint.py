@@ -77,3 +77,19 @@ def test_connected_components_matches_union_find(seed):
     for x in range(n):
         members = np.flatnonzero(labels == labels[x])
         assert labels[x] == members.min()
+
+
+def test_get_random_ints_properties():
+    """GetRandomInts parity (reference: lib/core/random.h:13-41)."""
+    import numpy as np
+
+    from kmerset_tpu.utils.random import get_random_ints
+
+    rng = np.random.default_rng(0)
+    a = get_random_ints(50, True, True, 10, 99, rng)
+    assert a.size == 50
+    assert np.all((a >= 10) & (a <= 99))
+    assert np.unique(a).size == 50
+    assert np.all(np.diff(a) > 0)
+    b = get_random_ints(200, False, False, 0, 3, rng)
+    assert b.size == 200 and np.all((b >= 0) & (b <= 3))
