@@ -54,12 +54,27 @@ class KmerSetCompact:
         return KmerSet(self.k, self.kmers(canonical), _sorted=True)
 
     def kmers(self, canonical: bool) -> np.ndarray:
-        """Sorted unique decoded k-mers (cached)."""
+        """Sorted unique decoded k-mers (cached).  Large decodes run the
+        device counting pipeline at cutoff 1 when the accelerator pays off
+        (same policy as the counter, ops/backend.py)."""
         if self._kmers_cache is None or self._cache_canonical != canonical:
-            raw = self.spss.all_kmers(self.k, canonical)
-            from .arrays import sorted_unique
+            from ..ops import backend
 
-            self._kmers_cache = sorted_unique(raw)
+            result = None
+            n_windows = int(self.spss.codes.shape[0]) - self.k + 1
+            if n_windows > 0 and backend.should_use_device(n_windows):
+                backend.enable_compile_cache()
+                result = backend.device_unique(
+                    self.spss.codes.astype(np.int32),
+                    self.spss.offsets,
+                    self.k,
+                    canonical,
+                )
+            if result is None:
+                from .arrays import sorted_unique
+
+                result = sorted_unique(self.spss.all_kmers(self.k, canonical))
+            self._kmers_cache = result
             self._cache_canonical = canonical
         return self._kmers_cache
 

@@ -725,7 +725,18 @@ def get_spss_canonical(kmer_set: KmerSet, fast: bool = True) -> PackedStrings:
 
 def get_kmer_set_from_spss(spss: PackedStrings, k: int, canonical: bool) -> KmerSet:
     """Decode: sliding k-windows over every string
-    (reference: lib/core/spss.h:1862-1941)."""
+    (reference: lib/core/spss.h:1862-1941).  Large decodes use the device
+    counting pipeline at cutoff 1 (ops/backend.py policy)."""
+    from ..ops import backend
+
+    n_windows = int(spss.codes.shape[0]) - k + 1
+    if n_windows > 0 and backend.should_use_device(n_windows):
+        backend.enable_compile_cache()
+        uniq = backend.device_unique(
+            spss.codes.astype(np.int32), spss.offsets, k, canonical
+        )
+        if uniq is not None:
+            return KmerSet(k, uniq, _sorted=True)
     return KmerSet(k, spss.all_kmers(k, canonical))
 
 

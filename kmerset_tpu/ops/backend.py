@@ -112,6 +112,36 @@ def enable_compile_cache() -> None:
         pass
 
 
+def device_unique(
+    codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool
+) -> Optional[np.ndarray]:
+    """Sorted distinct (canonical) k-mers of the fragment stream on the
+    accelerator — the decode direction (GetKmerSetFromSPSS, reference:
+    lib/core/spss.h:1862-1941) runs the counting pipeline at cutoff 1 and
+    skips count materialization entirely."""
+    try:
+        from .count import count_to_set, good_sort_size, window_validity
+    except Exception:  # noqa: BLE001
+        return None
+    try:
+        total = codes.shape[0]
+        if total < k:
+            return None
+        valid = window_validity(offsets, total, k)
+        n_keys = total - (k - 1)
+        target = good_sort_size(n_keys)
+        if target != n_keys:
+            pad = target - n_keys
+            codes = np.concatenate([codes, np.zeros(pad, codes.dtype)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        uniq, n_kept, _ = count_to_set(
+            codes.astype(np.int32), valid, k, canonical, 1
+        )
+        return np.asarray(uniq[: int(n_kept)])
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def device_count(
     codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
