@@ -538,3 +538,33 @@ def emit_string_chains(
         out.ctypes.data_as(u8p),
     )
     return out[:total], offsets
+
+
+def cycle_leaders(succ: np.ndarray, oriented: bool):
+    """Min-label leader of every cycle of the matched port graph, or None
+    (native one-pass walk replacing pointer-doubling leader election,
+    reference union-find loop removal: lib/core/spss.h:877-933,1541-1647)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_cl_ready"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.kmerio_cycle_leaders.restype = ctypes.c_long
+        lib.kmerio_cycle_leaders.argtypes = [
+            i64p,
+            ctypes.c_long,
+            ctypes.c_int,
+            i64p,
+        ]
+        lib._cl_ready = True
+    succ = np.ascontiguousarray(succ, dtype=np.int64)
+    # one leader per cycle; cycles have length >= 1 so n bounds the count
+    out = np.empty(max(succ.size, 1), dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    cnt = lib.kmerio_cycle_leaders(
+        succ.ctypes.data_as(i64p), succ.size, int(oriented),
+        out.ctypes.data_as(i64p),
+    )
+    if cnt < 0:
+        return None
+    return out[:cnt]

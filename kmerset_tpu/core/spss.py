@@ -554,14 +554,20 @@ def _break_cycles(succ: np.ndarray, match: np.ndarray | None, oriented: bool) ->
     """Detects succ-cycles, elects the min-entity leader of each, and cuts
     one edge so every component becomes a chain (replacing union-find
     loop-removal, reference: lib/core/spss.h:877-933,1541-1647)."""
-    ids = np.arange(succ.shape[0], dtype=np.int64)
-    labels = (ids >> 1) if oriented else ids
-    _, _, is_chain, mins = pointer_double(succ, labels)
-    cyc = ~is_chain
-    if not cyc.any():
+    leaders = native.cycle_leaders(succ, oriented)
+    if leaders is not None:
+        # oriented cycles are discovered once per orientation with the
+        # same entity min — collapse mirrors like unique(mins[cyc]) does
+        leaders = np.unique(leaders)
+    else:
+        ids = np.arange(succ.shape[0], dtype=np.int64)
+        labels = (ids >> 1) if oriented else ids
+        _, _, is_chain, mins = pointer_double(succ, labels)
+        cyc = ~is_chain
+        leaders = np.unique(mins[cyc]) if cyc.any() else np.empty(0, np.int64)
+    if leaders.size == 0:
         return succ
     succ = succ.copy()
-    leaders = np.unique(mins[cyc])
     for r in leaders:
         if oriented:
             # Cut the match at the leader's left port (reference removes

@@ -626,3 +626,39 @@ void kmerio_emit_string_chains(const uint8_t *codes, const int64_t *uoffsets,
         offsets[g + 1] = pos;
     }
 }
+
+/* Cycle leader election on a functional successor graph whose components
+ * are simple chains or simple cycles (unique predecessor — the matched
+ * port graph of the SPSS greedy cover).  For every cycle, emits the
+ * minimum label (entity id when oriented) — the edge-cut leader
+ * (replacing union-find loop removal, reference:
+ * lib/core/spss.h:877-933,1541-1647).  Returns the number of leaders.
+ * A node u is on a cycle iff walking from an unvisited u returns to u. */
+long kmerio_cycle_leaders(const int64_t *succ, long n, int oriented,
+                          int64_t *leaders_out) {
+    uint8_t *vis = (uint8_t *)calloc((size_t)n, 1);
+    if (!vis) return -1;
+    long cnt = 0;
+    for (long u = 0; u < n; u++) {
+        if (vis[u]) continue;
+        int64_t v = u;
+        while (1) {
+            vis[v] = 1;
+            int64_t w = succ[v];
+            if (w < 0) break; /* chain end */
+            if (w == u) {     /* closed a cycle through u */
+                int64_t best = oriented ? (u >> 1) : u;
+                for (int64_t x = succ[u]; x != u; x = succ[x]) {
+                    int64_t lab = oriented ? (x >> 1) : x;
+                    if (lab < best) best = lab;
+                }
+                leaders_out[cnt++] = best;
+                break;
+            }
+            if (vis[w]) break; /* joined an earlier chain */
+            v = w;
+        }
+    }
+    free(vis);
+    return cnt;
+}
