@@ -229,3 +229,28 @@ def test_k31_all_T_not_conflated_with_sentinel():
 
     host = np.unique(kc2.kmers_from_codes(codes.astype(np.int64), k))
     assert int(total[0]) == host.shape[0]
+
+
+def test_device_unique_matches_host_decode():
+    """backend.device_unique (the decode-direction device path) equals the
+    host extract+unique on fragmented inputs of awkward sizes."""
+    from kmerset_tpu.core import kmer as kc
+    from kmerset_tpu.ops import backend
+
+    rng = np.random.default_rng(17)
+    for total in (100, 16384 + 13, 50001):
+        codes = rng.integers(0, 4, total).astype(np.int32)
+        cuts = np.sort(rng.choice(np.arange(1, total), 3, replace=False))
+        offsets = np.concatenate([[0], cuts, [total]]).astype(np.int64)
+        got = backend.device_unique(codes, offsets, K, True)
+        assert got is not None
+        frags = np.split(codes, cuts)
+        parts = []
+        for f in frags:
+            if f.size >= K:
+                w = kc.kmers_from_codes(f.astype(np.int64), K)[: f.size - K + 1]
+                parts.append(kc.canonical(w, K))
+        expect = (
+            np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        )
+        assert np.array_equal(got, expect)
