@@ -54,27 +54,12 @@ class KmerSetCompact:
         return KmerSet(self.k, self.kmers(canonical), _sorted=True)
 
     def kmers(self, canonical: bool) -> np.ndarray:
-        """Sorted unique decoded k-mers (cached).  Large decodes run the
-        device counting pipeline at cutoff 1 when the accelerator pays off
-        (same policy as the counter, ops/backend.py)."""
+        """Sorted unique decoded k-mers (cached; decode policy lives in
+        spss.decode_unique_kmers)."""
         if self._kmers_cache is None or self._cache_canonical != canonical:
-            from ..ops import backend
-
-            result = None
-            n_windows = int(self.spss.codes.shape[0]) - self.k + 1
-            if n_windows > 0 and backend.should_use_device(n_windows):
-                backend.enable_compile_cache()
-                result = backend.device_unique(
-                    self.spss.codes.astype(np.int32),
-                    self.spss.offsets,
-                    self.k,
-                    canonical,
-                )
-            if result is None:
-                from .arrays import sorted_unique
-
-                result = sorted_unique(self.spss.all_kmers(self.k, canonical))
-            self._kmers_cache = result
+            self._kmers_cache = spss_mod.decode_unique_kmers(
+                self.spss, self.k, canonical
+            )
             self._cache_canonical = canonical
         return self._kmers_cache
 

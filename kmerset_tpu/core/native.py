@@ -51,7 +51,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.kmerio_unpack2.restype = None
         lib.kmerio_unpack2.argtypes = [u8p, ctypes.c_long, u8p]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):  # missing lib or stale build
         _LIB = None
     return _LIB
 
@@ -548,14 +548,17 @@ def cycle_leaders(succ: np.ndarray, oriented: bool):
     if lib is None:
         return None
     if not hasattr(lib, "_cl_ready"):
-        i64p = ctypes.POINTER(ctypes.c_int64)
-        lib.kmerio_cycle_leaders.restype = ctypes.c_long
-        lib.kmerio_cycle_leaders.argtypes = [
-            i64p,
-            ctypes.c_long,
-            ctypes.c_int,
-            i64p,
-        ]
+        try:
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.kmerio_cycle_leaders.restype = ctypes.c_long
+            lib.kmerio_cycle_leaders.argtypes = [
+                i64p,
+                ctypes.c_long,
+                ctypes.c_int,
+                i64p,
+            ]
+        except AttributeError:  # stale libkmerio.so without this symbol
+            return None
         lib._cl_ready = True
     succ = np.ascontiguousarray(succ, dtype=np.int64)
     # one leader per cycle; cycles have length >= 1 so n bounds the count

@@ -729,21 +729,28 @@ def get_spss_canonical(kmer_set: KmerSet, fast: bool = True) -> PackedStrings:
     return get_spss_canonical_from_unitigs(unitigs, kmer_set.k, fast)
 
 
-def get_kmer_set_from_spss(spss: PackedStrings, k: int, canonical: bool) -> KmerSet:
-    """Decode: sliding k-windows over every string
-    (reference: lib/core/spss.h:1862-1941).  Large decodes use the device
-    counting pipeline at cutoff 1 (ops/backend.py policy)."""
+def decode_unique_kmers(spss: PackedStrings, k: int, canonical: bool) -> np.ndarray:
+    """Sorted distinct (canonical) k-mers of an SPSS — the decode
+    direction (reference: lib/core/spss.h:1862-1941).  Large decodes run
+    the device counting pipeline at cutoff 1 under the link-aware offload
+    policy (ops/backend.py); otherwise host extract + unique."""
     from ..ops import backend
 
     n_windows = int(spss.codes.shape[0]) - k + 1
     if n_windows > 0 and backend.should_use_device(n_windows):
         backend.enable_compile_cache()
-        uniq = backend.device_unique(
-            spss.codes.astype(np.int32), spss.offsets, k, canonical
-        )
+        uniq = backend.device_unique(spss.codes, spss.offsets, k, canonical)
         if uniq is not None:
-            return KmerSet(k, uniq, _sorted=True)
-    return KmerSet(k, spss.all_kmers(k, canonical))
+            return uniq
+    from .arrays import sorted_unique
+
+    return sorted_unique(spss.all_kmers(k, canonical))
+
+
+def get_kmer_set_from_spss(spss: PackedStrings, k: int, canonical: bool) -> KmerSet:
+    """Decode: sliding k-windows over every string
+    (reference: lib/core/spss.h:1862-1941)."""
+    return KmerSet(k, decode_unique_kmers(spss, k, canonical), _sorted=True)
 
 
 # ---------------------------------------------------------------------------

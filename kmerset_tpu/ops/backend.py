@@ -134,9 +134,8 @@ def device_unique(
             pad = target - n_keys
             codes = np.concatenate([codes, np.zeros(pad, codes.dtype)])
             valid = np.concatenate([valid, np.zeros(pad, bool)])
-        uniq, n_kept, _ = count_to_set(
-            codes.astype(np.int32), valid, k, canonical, 1
-        )
+        codes = codes.astype(np.int32, copy=False)  # one conversion, here
+        uniq, n_kept, _ = count_to_set(codes, valid, k, canonical, 1)
         return np.asarray(uniq[: int(n_kept)])
     except Exception:  # noqa: BLE001
         return None

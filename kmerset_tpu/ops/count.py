@@ -212,7 +212,8 @@ def good_sort_size(n: int) -> int:
     lax.sort cost is strongly size-sensitive: on v5e, sorting 4M+14
     int32 costs 73% more than exactly 4M, and 5M costs as much as the
     ragged 4M+14.  Sizes of the form 2^p and 3*2^p measure on the fast
-    path, and the ladder keeps padding overhead <= 33%."""
+    path; worst-case padding is ~50% (just above a power of two), ~17%
+    amortized over uniform sizes."""
     if n <= 1024:
         return max(n, 1)
     p2 = 1 << (n - 1).bit_length()

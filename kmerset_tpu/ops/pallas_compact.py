@@ -40,10 +40,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Tracing a pallas_call nested inside the counting pipeline's jit exceeds
-# CPython's default 1000-frame recursion limit.
-sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
-
 BLOCK = 16384  # elements per row/program (best of {4K..32K} on v5e)
 _ALIGN = 1024  # int32 HBM DMA alignment quantum: (8, 128) tile
 _FLAG = np.int32(1 << 30)  # partition bit; keys are 2k <= 30 bits
@@ -172,6 +168,10 @@ def _pallas_compact(rows4, c, dst, interpret):
 
 @partial(jax.jit, static_argnames=("interpret",))
 def _compact_call(rows4, c, dst, interpret=False):
+    # Tracing a pallas_call nested inside the counting pipeline's jit
+    # exceeds CPython's default 1000-frame recursion limit; raise it only
+    # for the trace (not as an import side effect).
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
     # Under jax_enable_x64 parts of the pallas lowering trace to i64,
     # which Mosaic cannot legalize; the kernel is pure int32.
     try:
