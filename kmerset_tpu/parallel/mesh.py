@@ -28,7 +28,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.count import SENTINEL, _compact, _run_lengths, canonical_windows
+from ..ops.count import (
+    SENTINEL,
+    SINGLE_MAX_K,
+    _S_SENT,
+    _compact,
+    _run_lengths,
+    _single_windows,
+    canonical_windows,
+)
 
 AXIS = "kv"
 
@@ -60,28 +68,36 @@ def sharded_count_fn(mesh: Mesh, k: int, canonical: bool, capacity: int):
     """
     n_dev = mesh.devices.size
     edges = _owner_edges(k, n_dev)
+    # TPU has no native int64: for k <= 15 the whole pipeline — window
+    # keys, the local sorts, and the all_to_all exchange — runs on int32
+    # (2k <= 30 bits), halving ICI bytes and avoiding emulated-s64 sorts.
+    narrow = k <= SINGLE_MAX_K
+    sent = _S_SENT if narrow else SENTINEL
 
     def step(codes_local, valid_local):
-        can = canonical_windows(codes_local, k, canonical)
-        key = jnp.where(valid_local, can, SENTINEL)
+        if narrow:
+            can = _single_windows(codes_local.astype(jnp.int32), k, canonical)
+        else:
+            can = canonical_windows(codes_local, k, canonical)
+        key = jnp.where(valid_local, can, sent)
         (s,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
         # Destination ranges: sorted keys are already grouped by owner.
-        bounds = jnp.searchsorted(s, jnp.asarray(edges[1:-1]))
-        lo = jnp.concatenate([jnp.zeros(1, jnp.int64), bounds])
-        n_valid = jnp.sum(key != SENTINEL)
+        bounds = jnp.searchsorted(s, jnp.asarray(edges[1:-1], dtype=s.dtype))
+        lo = jnp.concatenate([jnp.zeros(1, bounds.dtype), bounds])
+        n_valid = jnp.sum(key != sent).astype(bounds.dtype)
         hi = jnp.concatenate([bounds, n_valid[None]])
         # Build fixed-capacity send buffer (n_dev, capacity).
-        slot = jnp.arange(capacity, dtype=jnp.int64)[None, :]
+        slot = jnp.arange(capacity, dtype=bounds.dtype)[None, :]
         src_idx = lo[:, None] + slot
         in_range = src_idx < hi[:, None]
         gathered = s[jnp.clip(src_idx, 0, s.shape[0] - 1)]
-        send = jnp.where(in_range, gathered, SENTINEL)
+        send = jnp.where(in_range, gathered, sent)
         dropped = jnp.sum(jnp.maximum(hi - lo - capacity, 0))
 
         recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0, tiled=False)
         (mine,) = jax.lax.sort((recv.reshape(-1),), num_keys=1, is_stable=False)
         prev = jnp.concatenate([jnp.full((1,), -1, dtype=mine.dtype), mine[:-1]])
-        live = mine != SENTINEL
+        live = mine != sent
         boundary = live & (mine != prev)
         counts = _run_lengths(boundary, live)
         cs, cc = _compact(
@@ -91,7 +107,7 @@ def sharded_count_fn(mesh: Mesh, k: int, canonical: bool, capacity: int):
         m = mine.shape[0]
         pos = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
         in_range = pos < n_unique
-        uniq = jnp.where(in_range, cs, SENTINEL)
+        uniq = jnp.where(in_range, cs.astype(jnp.int64), SENTINEL)
         counts = jnp.where(in_range, cc, 0)
         total = jax.lax.psum(n_unique, AXIS)
         dropped_total = jax.lax.psum(dropped, AXIS)
