@@ -41,18 +41,32 @@ _SLOW_LINK_FACTOR = 64
 _link_slow: Optional[bool] = None
 
 
+def _link_cache_path() -> str:
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "kmerset_tpu_link"
+    )
+
+
 def _slow_link() -> bool:
     """True when host<->device transfers run far below PCIe speed (e.g. a
     tunneled/remote device).  Offload pipelines that round-trip data per
     byte of input only pay off on a fast link, so slow links scale every
-    size threshold up by _SLOW_LINK_FACTOR.  Probed once per process
-    (one ~8 MB round trip); override with KMERSET_TPU_LINK=fast|slow."""
+    size threshold up by _SLOW_LINK_FACTOR.  Probed once per MACHINE (one
+    ~8 MB round trip; the verdict is cached on disk so host-only CLIs like
+    kmerset-multiple-decompress don't pay the backend dial every process);
+    override with KMERSET_TPU_LINK=fast|slow."""
     global _link_slow
     if _link_slow is None:
         env = os.environ.get("KMERSET_TPU_LINK", "")
         if env in ("fast", "slow"):
             _link_slow = env == "slow"
             return _link_slow
+        try:
+            with open(_link_cache_path()) as f:
+                _link_slow = f.read().strip() == "slow"
+                return _link_slow
+        except OSError:
+            pass
         try:
             import time
 
@@ -69,6 +83,12 @@ def _slow_link() -> bool:
             _link_slow = bw < (1 << 30)  # < 1 GB/s round trip
         except Exception:  # noqa: BLE001
             _link_slow = True
+        try:
+            os.makedirs(os.path.dirname(_link_cache_path()), exist_ok=True)
+            with open(_link_cache_path(), "w") as f:
+                f.write("slow" if _link_slow else "fast")
+        except OSError:
+            pass
     return _link_slow
 
 
