@@ -61,10 +61,16 @@ def _slow_link() -> bool:
         if env in ("fast", "slow"):
             _link_slow = env == "slow"
             return _link_slow
+        # The verdict is specific to the selected jax platform (a CPU
+        # "device" is in-process); key the cache on the env selection so
+        # switching JAX_PLATFORMS re-probes.
+        cache_key = os.environ.get("JAX_PLATFORMS", "default")
         try:
             with open(_link_cache_path()) as f:
-                _link_slow = f.read().strip() == "slow"
-                return _link_slow
+                key, _, verdict = f.read().strip().partition(":")
+                if key == cache_key:
+                    _link_slow = verdict == "slow"
+                    return _link_slow
         except OSError:
             pass
         try:
@@ -86,7 +92,7 @@ def _slow_link() -> bool:
         try:
             os.makedirs(os.path.dirname(_link_cache_path()), exist_ok=True)
             with open(_link_cache_path(), "w") as f:
-                f.write("slow" if _link_slow else "fast")
+                f.write(f"{cache_key}:{'slow' if _link_slow else 'fast'}")
         except OSError:
             pass
     return _link_slow
