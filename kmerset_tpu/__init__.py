@@ -23,3 +23,37 @@ axis is the shard axis for multi-device meshes.
 """
 
 __version__ = "0.1.0"
+
+
+def _install_pool_allocator() -> None:
+    """Installs the pooling NumPy data allocator (native/pool_alloc.c),
+    the host-runtime counterpart of the reference's mimalloc link
+    (reference: CMakeLists.txt:36-38).  Large NumPy temporaries recycle
+    warm pages instead of paying OS first-touch provisioning per
+    allocation.  Opt out with KMERSET_TPU_POOL=0; best-effort (silently
+    skipped when the extension is unbuilt: `make -C native`)."""
+    import os
+
+    if os.environ.get("KMERSET_TPU_POOL", "1") == "0":
+        return
+    try:
+        import importlib.util
+        import sysconfig
+
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+        path = os.path.join(here, "native", "kmerset_pool" + suffix)
+        if not os.path.exists(path):
+            return
+        spec = importlib.util.spec_from_file_location("kmerset_pool", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.install()
+        import sys
+
+        sys.modules.setdefault("kmerset_pool", mod)
+    except Exception:  # noqa: BLE001 - allocator is an optional accelerator
+        pass
+
+
+_install_pool_allocator()

@@ -1,5 +1,7 @@
 """Native kmerio loader tests — parity against the pure-Python paths."""
 
+import sys
+
 import numpy as np
 import pytest
 
@@ -169,3 +171,28 @@ def test_native_sorted_algebra():
         np.testing.assert_array_equal(inter, np.intersect1d(a, b))
         np.testing.assert_array_equal(a_only, np.setdiff1d(a, b))
         np.testing.assert_array_equal(b_only, np.setdiff1d(b, a))
+
+
+def test_pool_allocator_roundtrip():
+    """The NEP-49 pooling allocator (native/pool_alloc.c, reference
+    mimalloc-parity, CMakeLists.txt:36-38) recycles large blocks and
+    zeroes recycled calloc pages."""
+    import kmerset_tpu  # noqa: F401 - triggers install
+
+    pool = sys.modules.get("kmerset_pool")
+    if pool is None:
+        pytest.skip("pool allocator extension not built")
+    before = pool.stats()
+    a = np.ones(1 << 19, dtype=np.int64)  # 4MB: pooled size class
+    checksum = int(a.sum())
+    del a
+    b = np.zeros(1 << 19, dtype=np.int64)  # recycled block must be zeroed
+    assert int(b.sum()) == 0
+    assert checksum == 1 << 19
+    after = pool.stats()
+    assert after["pool_hits"] + after["pool_misses"] > before["pool_hits"] + before["pool_misses"]
+    # realloc both growth directions through np.resize
+    c = np.resize(np.arange(1 << 18, dtype=np.int64), 1 << 20)
+    assert int(c[123]) == 123
+    d = np.resize(c, 16)
+    assert int(d[15]) == 15
