@@ -155,6 +155,58 @@ def chain_walk(succ: np.ndarray, starts: np.ndarray):
     return nodes[:total], groups
 
 
+def chain_walk_kept(
+    succ: np.ndarray, starts: np.ndarray, keep_fn
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Canonical-dedup chain walk: pass 1 measures every start's chain
+    (length + end node), `keep_fn(starts, ends)` picks the orientation
+    winners (reference skip rule, lib/core/spss.h:511,555), pass 2 emits
+    only kept chains — 3n visits vs the 4n of walk-everything-and-filter.
+    Returns (nodes, group_starts) over kept chains in `starts` order, or
+    None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_chain_kept_ready"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        try:
+            lib.kmerio_chain_lens_ends.restype = None
+            lib.kmerio_chain_lens_ends.argtypes = [
+                i64p, ctypes.c_long, i64p, ctypes.c_long, i64p, i64p,
+            ]
+            lib.kmerio_chain_emit.restype = None
+            lib.kmerio_chain_emit.argtypes = [
+                i64p, ctypes.c_long, i64p, ctypes.c_long, i64p, i64p,
+            ]
+        except AttributeError:  # stale lib without the new symbols
+            return None
+        lib._chain_kept_ready = True
+    succ = np.ascontiguousarray(succ, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    n = succ.shape[0]
+    ns = starts.shape[0]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lens = np.empty(ns, dtype=np.int64)
+    ends = np.empty(ns, dtype=np.int64)
+    lib.kmerio_chain_lens_ends(
+        succ.ctypes.data_as(i64p), n,
+        starts.ctypes.data_as(i64p), ns,
+        lens.ctypes.data_as(i64p), ends.ctypes.data_as(i64p),
+    )
+    keep = keep_fn(starts, ends)
+    kept = np.ascontiguousarray(starts[keep])
+    kept_lens = lens[keep]
+    groups = np.zeros(kept.shape[0] + 1, dtype=np.int64)
+    np.cumsum(kept_lens, out=groups[1:])
+    nodes = np.empty(int(groups[-1]), dtype=np.int64)
+    lib.kmerio_chain_emit(
+        succ.ctypes.data_as(i64p), n,
+        kept.ctypes.data_as(i64p), kept.shape[0],
+        groups.ctypes.data_as(i64p), nodes.ctypes.data_as(i64p),
+    )
+    return nodes, groups
+
+
 def revcomp(kmers: np.ndarray, k: int) -> Optional[np.ndarray]:
     """Native reverse complement; None without the lib."""
     lib = get_lib()

@@ -381,13 +381,22 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
     starts_l_exit = np.flatnonzero(term_r & ~term_l) * 2 + 1
     starts = np.concatenate([starts_r_exit, starts_l_exit])
 
-    # Walk every chain (both orientations), then dedup: each chain exists
-    # once per orientation; keep the one whose start k-mer is >= its end
-    # k-mer (reference skip rule, lib/core/spss.h:511,555).
-    nodes, groups = _chains_grouped(succ, starts)
-    firsts, lasts, nonempty = _group_endpoints(nodes, groups)
-    keep = nonempty & (A[firsts >> 1] >= A[lasts >> 1])
-    nodes_kept, groups_kept = _filter_groups(nodes, groups, keep)
+    # Each chain exists once per orientation; keep the one whose start
+    # k-mer is >= its end k-mer (reference skip rule,
+    # lib/core/spss.h:511,555).  Native fast path: measure all chains,
+    # apply the rule, emit only winners (3n visits); fallback: walk
+    # everything and filter.
+    kept = native.chain_walk_kept(
+        succ, starts, lambda s, e: A[s >> 1] >= A[e >> 1]
+    )
+    if kept is not None:
+        nodes_kept, groups_kept = kept
+        nodes = nodes_kept  # kept chains cover the same entities
+    else:
+        nodes, groups = _chains_grouped(succ, starts)
+        firsts, lasts, nonempty = _group_endpoints(nodes, groups)
+        keep = nonempty & (A[firsts >> 1] >= A[lasts >> 1])
+        nodes_kept, groups_kept = _filter_groups(nodes, groups, keep)
     logger.debug("unitigs: chain walk: %.2fs", time.perf_counter() - t_start)
     t_start = time.perf_counter()
     chains = _emit_kmer_chains(A, k, nodes_kept, groups_kept, oriented=True)

@@ -190,6 +190,79 @@ long kmerio_chain_walk(const int64_t *succ, long n,
     return group_starts[n_starts];
 }
 
+/* Chain-walk pass 1 for the canonical (bidirected) dedup: walks every
+ * start once, recording length and final node.  The caller applies the
+ * reference's orientation tie-break (keep iff A[first] >= A[last],
+ * reference: lib/core/spss.h:511,555) and re-walks ONLY kept chains via
+ * kmerio_chain_emit — 3n total visits instead of the 4n of walking both
+ * orientations through the generic two-pass kmerio_chain_walk and
+ * filtering afterwards. */
+void kmerio_chain_lens_ends(const int64_t *succ, long n,
+                            const int64_t *starts, long n_starts,
+                            int64_t *lens, int64_t *ends) {
+    enum { W = 8 };
+    for (long base = 0; base < n_starts; base += W) {
+        long m = n_starts - base < W ? n_starts - base : W;
+        int64_t cur[W], last[W];
+        long len[W];
+        int live = (int)m;
+        long steps = 0;
+        for (long w = 0; w < m; w++) {
+            cur[w] = starts[base + w];
+            last[w] = cur[w];
+            len[w] = 0;
+        }
+        while (live > 0 && steps++ <= n) {
+            live = 0;
+            for (long w = 0; w < m; w++) {
+                int64_t u = cur[w];
+                if (u < 0) continue;
+                len[w]++;
+                last[w] = u;
+                int64_t nx = succ[u];
+                if (nx >= 0) __builtin_prefetch(&succ[nx]);
+                cur[w] = nx;
+                if (nx >= 0) live++;
+            }
+        }
+        for (long w = 0; w < m; w++) {
+            lens[base + w] = len[w];
+            ends[base + w] = last[w];
+        }
+    }
+}
+
+/* Chain-walk pass 2: emits node sequences at caller-precomputed offsets
+ * (group_starts = exclusive prefix sum of kept lengths). */
+void kmerio_chain_emit(const int64_t *succ, long n,
+                       const int64_t *starts, long n_starts,
+                       const int64_t *group_starts, int64_t *out_nodes) {
+    enum { W = 8 };
+    for (long base = 0; base < n_starts; base += W) {
+        long m = n_starts - base < W ? n_starts - base : W;
+        int64_t cur[W];
+        long pos[W];
+        int live = (int)m;
+        long steps = 0;
+        for (long w = 0; w < m; w++) {
+            cur[w] = starts[base + w];
+            pos[w] = group_starts[base + w];
+        }
+        while (live > 0 && steps++ <= n) {
+            live = 0;
+            for (long w = 0; w < m; w++) {
+                int64_t u = cur[w];
+                if (u < 0) continue;
+                out_nodes[pos[w]++] = u;
+                int64_t nx = succ[u];
+                if (nx >= 0) __builtin_prefetch(&succ[nx]);
+                cur[w] = nx;
+                if (nx >= 0) live++;
+            }
+        }
+    }
+}
+
 /* Reverse complement of 2-bit packed k-mers: complement every lane and
  * reverse lane order (reference per-base loop: lib/core/kmer.h:103-129;
  * here the 5-round lane shuffle, one pass over the array). */

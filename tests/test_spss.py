@@ -121,3 +121,25 @@ def test_reconstruction_round_trip():
     out = spss.get_spss_canonical(s)
     back = spss.get_kmer_set_from_spss(out, K, True)
     assert back.equals(s)
+
+
+def test_chain_walk_kept_native_parity():
+    """The native measure-then-emit-winners chain walk
+    (kmerio_chain_lens_ends/chain_emit) produces the same unitig string
+    set as the walk-everything-and-filter fallback (reference skip rule,
+    lib/core/spss.h:511,555)."""
+    import kmerset_tpu.core.native as nat
+
+    if nat.get_lib() is None:
+        pytest.skip("native lib not built")
+    for trial in range(3):
+        rng = np.random.default_rng(500 + trial)
+        ks = get_random_kmer_set(9, int(rng.integers(100, 1 << 13)), True, rng)
+        a = spss.get_unitigs_canonical(ks)
+        lib = nat._LIB
+        nat._LIB = None
+        try:
+            b = spss.get_unitigs_canonical(ks)
+        finally:
+            nat._LIB = lib
+        assert sorted(a.to_strings()) == sorted(b.to_strings())
