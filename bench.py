@@ -54,15 +54,25 @@ def host_rate(codes: np.ndarray, k: int) -> float:
 
 def reference_style_rate(codes: np.ndarray, k: int) -> float:
     """The reference's counting algorithm (canonical window -> hash bucket
-    count, lib/core/kmer_counter.h:80-133) in C, single-threaded."""
+    count, lib/core/kmer_counter.h:80-133) in C, single-threaded.
+
+    Steady-state: one untimed warm-up run first.  The loop's hash-table
+    allocation pays OS first-touch page provisioning on a cold machine
+    (up to ~2x slowdown on the virtualized eval host), which would make
+    the baseline — and therefore vs_baseline — vary with machine state
+    rather than compute speed.  Warm-first is also the generous reading
+    for the reference: its CLI pays that provisioning once per process.
+    """
     from kmerset_tpu.core import native
 
     n_windows = codes.shape[0] - k + 1
+    codes_u8 = codes.astype(np.uint8)
+    if native.count_hash(codes_u8, k) is None:  # warm-up (untimed)
+        return 0.0
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        if native.count_hash(codes.astype(np.uint8), k) is None:
-            return 0.0
+        native.count_hash(codes_u8, k)
         best = max(best, n_windows / (time.perf_counter() - t0))
     return best
 
