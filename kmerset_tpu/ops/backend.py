@@ -98,6 +98,22 @@ def _slow_link() -> bool:
     return _link_slow
 
 
+def _cpu_backend() -> bool:
+    """True when jax's default backend is the host CPU itself.  The
+    offload pipelines exist to use an accelerator; routed to XLA-CPU they
+    lose to the native/NumPy host paths (measured: an 8-set compress ran
+    >20x slower under JAX_PLATFORMS=cpu on a single-core host, paying an
+    XLA-CPU recompile per distinct greedy-loop size class).  Tests that
+    exercise the device code paths on CPU set
+    KMERSET_TPU_FORCE_BACKEND=device, which bypasses this check."""
+    try:
+        import jax
+
+        return jax.default_backend() == "cpu"
+    except Exception:  # noqa: BLE001 - no jax => no device either
+        return True
+
+
 def should_use_device(n_windows: int) -> bool:
     force = _force()
     if force == "host":
@@ -105,6 +121,8 @@ def should_use_device(n_windows: int) -> bool:
     if force == "device":
         return True
     if n_windows < _threshold():
+        return False
+    if _cpu_backend():
         return False
     return not _slow_link() or n_windows >= _threshold() * _SLOW_LINK_FACTOR
 
@@ -116,6 +134,8 @@ def should_use_device_graph(n_kmers: int) -> bool:
     if force == "device":
         return True
     if n_kmers < _graph_threshold():
+        return False
+    if _cpu_backend():
         return False
     return not _slow_link() or n_kmers >= _graph_threshold() * _SLOW_LINK_FACTOR
 

@@ -254,3 +254,17 @@ def test_device_unique_matches_host_decode():
             np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
         )
         assert np.array_equal(got, expect)
+
+
+def test_offload_gating_cpu_backend(monkeypatch):
+    """With jax's default backend on the host CPU, size-based offload is
+    disabled (XLA-CPU loses to the native host paths); explicit force
+    still wins (ops/backend.py)."""
+    from kmerset_tpu.ops import backend
+
+    monkeypatch.delenv("KMERSET_TPU_FORCE_BACKEND", raising=False)
+    assert not backend.should_use_device(1 << 30)
+    assert not backend.should_use_device_graph(1 << 34)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    assert backend.should_use_device(1)
+    assert backend.should_use_device_graph(1)
