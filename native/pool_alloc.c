@@ -32,6 +32,7 @@
 #include <stdint.h>
 #include <string.h>
 #include <sys/mman.h>
+#include <unistd.h>
 
 #define CHUNK (2UL << 20)        /* bin granularity: 2 MB */
 #define POOL_MIN (1UL << 20)     /* pool blocks at/above 1 MB */
@@ -55,6 +56,7 @@ static size_t stat_pool_hits = 0, stat_pool_misses = 0, stat_unmapped = 0;
 static size_t bin_index(size_t block_size) { return block_size / CHUNK; }
 
 static void *pool_malloc_impl(size_t size) {
+    if (size > SIZE_MAX - HDR - CHUNK) return NULL; /* round-up overflow */
     size_t need = size + HDR;
     if (size < POOL_MIN) {
         header_t *h = (header_t *)malloc(need);
@@ -113,18 +115,16 @@ static void pool_free_impl(void *ptr) {
     }
     size_t block = h->block_size;
     size_t bi = bin_index(block);
-    if (bi < NBINS) {
-        pthread_mutex_lock(&lock);
-        if (retained_bytes + block <= retain_cap) {
-            h->next = bins[bi];
-            bins[bi] = h;
-            retained_bytes += block;
-            pthread_mutex_unlock(&lock);
-            return;
-        }
+    pthread_mutex_lock(&lock);
+    if (bi < NBINS && retained_bytes + block <= retain_cap) {
+        h->next = bins[bi];
+        bins[bi] = h;
+        retained_bytes += block;
         pthread_mutex_unlock(&lock);
+        return;
     }
     stat_unmapped++;
+    pthread_mutex_unlock(&lock);
     munmap(h, block);
 }
 
@@ -205,16 +205,18 @@ static PyObject *py_install(PyObject *self, PyObject *args) {
 static PyObject *py_stats(PyObject *self, PyObject *args) {
     (void)self;
     (void)args;
+    /* Snapshot first, build the dict unlocked: Python allocation can
+     * trigger GC, GC can dealloc a pooled array, and its free hook would
+     * re-enter this non-recursive mutex. */
     pthread_mutex_lock(&lock);
-    PyObject *d = Py_BuildValue(
-        "{s:K,s:K,s:K,s:K,s:K}",
-        "retained_bytes", (unsigned long long)retained_bytes,
-        "retain_cap", (unsigned long long)retain_cap,
-        "pool_hits", (unsigned long long)stat_pool_hits,
-        "pool_misses", (unsigned long long)stat_pool_misses,
-        "unmapped", (unsigned long long)stat_unmapped);
+    unsigned long long rb = retained_bytes, rc = retain_cap,
+                       h = stat_pool_hits, m = stat_pool_misses,
+                       u = stat_unmapped;
     pthread_mutex_unlock(&lock);
-    return d;
+    return Py_BuildValue(
+        "{s:K,s:K,s:K,s:K,s:K}",
+        "retained_bytes", rb, "retain_cap", rc, "pool_hits", h,
+        "pool_misses", m, "unmapped", u);
 }
 
 static PyObject *py_trim(PyObject *self, PyObject *args) {
@@ -256,13 +258,30 @@ static struct PyModuleDef moduledef = {
     -1, methods, NULL, NULL, NULL, NULL,
 };
 
+/* fork() while another thread holds the pool mutex would leave the
+ * child's mutex locked forever (mimalloc installs the same handlers). */
+static void fork_prepare(void) { pthread_mutex_lock(&lock); }
+static void fork_release(void) { pthread_mutex_unlock(&lock); }
+
 PyMODINIT_FUNC PyInit_kmerset_pool(void) {
     import_array();
+    /* Default retention: min(16 GB, half of physical RAM) — hoarding
+     * freed pages must not push a small host into swap. */
+    long pages = sysconf(_SC_PHYS_PAGES), psize = sysconf(_SC_PAGE_SIZE);
+    if (pages > 0 && psize > 0) {
+        size_t half = ((size_t)pages / 2) * (size_t)psize;
+        if (half < retain_cap) retain_cap = half > CHUNK ? half : CHUNK;
+    }
     const char *cap = getenv("KMERSET_TPU_POOL_MAX");
     if (cap && cap[0]) {
         char *end = NULL;
         unsigned long long v = strtoull(cap, &end, 10);
         if (end && *end == 0 && v > 0) retain_cap = (size_t)v;
+    }
+    static int atfork_installed = 0;
+    if (!atfork_installed) {
+        atfork_installed = 1;
+        pthread_atfork(fork_prepare, fork_release, fork_release);
     }
     return PyModule_Create(&moduledef);
 }

@@ -263,6 +263,9 @@ def test_offload_gating_cpu_backend(monkeypatch):
     from kmerset_tpu.ops import backend
 
     monkeypatch.delenv("KMERSET_TPU_FORCE_BACKEND", raising=False)
+    # Pin the backend probe so the test is deterministic even on a host
+    # where jax's default backend is a real accelerator.
+    monkeypatch.setattr(backend, "_cpu_backend", lambda: True)
     assert not backend.should_use_device(1 << 30)
     assert not backend.should_use_device_graph(1 << 34)
     monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
