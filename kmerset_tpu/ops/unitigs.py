@@ -48,9 +48,12 @@ def _build():
 
         succ_r = jnp.where(term_r, -1, 2 * rnbr + rsame)
         succ_l = jnp.where(term_l, -1, 2 * lnbr + (~lsame).astype(jnp.int32))
-        succ = jnp.stack([succ_r, succ_l], axis=1).reshape(-1)
+        # Orientation-major (2, n), interleaved on the host: a (n, 2)
+        # stack would be tile-padded 2 -> 128 in the minor dim on TPU —
+        # a 64x HBM blowup that OOMs at ~30M k-mers.
+        succ2 = jnp.stack([succ_r, succ_l], axis=0)
         both = term_l & term_r
-        return succ.astype(jnp.int32), term_l, term_r, both
+        return succ2.astype(jnp.int32), term_l, term_r, both
 
     return unitig_succ
 
@@ -67,9 +70,13 @@ def device_unitig_succ(A: np.ndarray, k: int) -> Optional[Tuple]:
             _unitig_succ = _build()
         n = A.shape[0]
         Ap = pad_pow2(A, SENTINEL)
-        succ, term_l, term_r, both = _unitig_succ(Ap, k)
+        succ2, term_l, term_r, both = _unitig_succ(Ap, k)
+        s2 = np.asarray(succ2)
+        succ = np.empty(2 * n, dtype=np.int64)
+        succ[0::2] = s2[0, :n]
+        succ[1::2] = s2[1, :n]
         return (
-            np.asarray(succ[: 2 * n]).astype(np.int64),
+            succ,
             np.asarray(term_l[:n]),
             np.asarray(term_r[:n]),
             np.asarray(both[:n]),
