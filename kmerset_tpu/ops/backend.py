@@ -14,11 +14,16 @@ from typing import Optional, Tuple
 import numpy as np
 
 DEFAULT_MIN_DEVICE_WINDOWS = 1 << 21
-# Graph-side offload (neighbor tables) moves ~26 bytes/k-mer across the
-# host<->device link, so it needs a much larger problem to amortize than
-# streaming counts; through a tunneled/remote device it only pays off for
-# very large sets.
-DEFAULT_MIN_DEVICE_GRAPH = 1 << 26
+# Graph-side offload (fused side tables -> successor, ops/unitigs.py)
+# moves ~15 bytes/k-mer over the host<->device link (int32 up, (2,n)
+# int32 succ + three bool masks down).  On a fast (PCIe-class) link it
+# wins from ~8M k-mers.  Through a ~60 MB/s tunneled link a warm process
+# runs 21.5s vs 34s host at 29M, but a fresh CLI process pays device
+# init + cold transfers and measured 65s — so the slow-link gate stays
+# effectively closed (x64) and only deliberate long-lived processes
+# (KMERSET_TPU_FORCE_BACKEND=device) use it there.
+DEFAULT_MIN_DEVICE_GRAPH = 1 << 23
+_GRAPH_SLOW_FACTOR = 64
 
 
 def _threshold() -> int:
@@ -137,7 +142,7 @@ def should_use_device_graph(n_kmers: int) -> bool:
         return False
     if _cpu_backend():
         return False
-    return not _slow_link() or n_kmers >= _graph_threshold() * _SLOW_LINK_FACTOR
+    return not _slow_link() or n_kmers >= _graph_threshold() * _GRAPH_SLOW_FACTOR
 
 
 def enable_compile_cache() -> None:

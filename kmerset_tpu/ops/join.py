@@ -67,6 +67,44 @@ def lookup_join(A: jnp.ndarray, Q: jnp.ndarray, n_groups: int = 1):
     return found_q[n:].reshape(n_groups, gsz), idx_q[n:].reshape(n_groups, gsz)
 
 
+@partial(jax.jit, static_argnames=("n_groups",))
+def lookup_join32(A: jnp.ndarray, Q: jnp.ndarray, n_groups: int = 1):
+    """int32 fast path of `lookup_join` for keys < 2^31 - 1 after tag
+    fusion (2k <= 30-bit k-mer keys: fused = key << 1 | tag fits int32).
+
+    Halves the sort bytes and replaces emulated 64-bit compares with
+    native int32 ones: sort 1 carries (fused_key, slot) instead of
+    (key64, tag, slot); sort 2 carries (tag<<30|slot, idx|found<<30)
+    instead of four lanes.  Requires n + m < 2^30 and A sorted unique
+    int32 (set padding rows must hold values no query can equal).
+    """
+    n, m = A.shape[0], Q.shape[0]
+    one = jnp.int32(1)
+    fused = jnp.concatenate([A << 1, (Q << 1) | one])
+    slot = jnp.concatenate(
+        [
+            jax.lax.broadcasted_iota(jnp.int32, (n,), 0),
+            jax.lax.broadcasted_iota(jnp.int32, (m,), 0),
+        ]
+    )
+    fused_s, slot_s = jax.lax.sort((fused, slot), num_keys=1, is_stable=False)
+    is_set = (fused_s & one) == 0
+    key_s = jax.lax.shift_right_logical(fused_s, one)
+    akey = jax.lax.cummax(jnp.where(is_set, key_s, jnp.int32(-1)), axis=0)
+    aidx = jax.lax.cummax(jnp.where(is_set, slot_s, jnp.int32(-1)), axis=0)
+    found = ~is_set & (akey == key_s)
+    idx = jnp.maximum(aidx, 0)
+    # Restore query order: tag in bit 30 puts set rows first (slot < 2^30).
+    rkey = jnp.where(is_set, slot_s, slot_s | jnp.int32(1 << 30))
+    payload = idx | jnp.where(found, jnp.int32(1 << 30), jnp.int32(0))
+    _, payload_q = jax.lax.sort((rkey, payload), num_keys=1, is_stable=False)
+    pq = payload_q[n:]
+    gsz = m // n_groups
+    found_q = (pq & jnp.int32(1 << 30)) != 0
+    idx_q = pq & jnp.int32((1 << 30) - 1)
+    return found_q.reshape(n_groups, gsz), idx_q.reshape(n_groups, gsz)
+
+
 def intersection_count(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """|A ∩ B| for sorted-unique A, B via one sort + one shifted compare
     (the sketch-similarity kernel, reference: lib/core/kmer_set_set.h:158-184)."""

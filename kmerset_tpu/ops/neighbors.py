@@ -30,29 +30,74 @@ def pad_pow2(a: np.ndarray, fill) -> np.ndarray:
     return np.concatenate([a, np.full(size - n, fill, dtype=a.dtype)])
 
 
+PAD32 = np.int32((1 << 30) - 1)  # all-T: never a canonical value (odd k)
+
+
+def _rc32(x, k: int):
+    """Reverse complement of 2k <= 30-bit packed k-mers in int32 lanes
+    (the int64 5-round shuffle of core/kmer.py reverse_complement, one
+    round shorter).  x must be non-negative."""
+    import jax
+    import jax.numpy as jnp
+
+    M2 = jnp.int32(0x33333333)
+    M4 = jnp.int32(0x0F0F0F0F)
+    M8 = jnp.int32(0x00FF00FF)
+    x = ~x
+    x = ((x >> 2) & M2) | ((x & M2) << 2)
+    x = ((x >> 4) & M4) | ((x & M4) << 4)
+    x = ((x >> 8) & M8) | ((x & M8) << 8)
+    x = ((x >> 16) & jnp.int32(0xFFFF)) | (x << 16)
+    return jax.lax.shift_right_logical(x, jnp.int32(32 - 2 * k)) & jnp.int32(
+        (1 << (2 * k)) - 1
+    )
+
+
 def tables_traced(A, k: int, canonical: bool):
     """Traced side-table construction (call under jit with jnp arrays).
 
-    A: (n,) int64 sorted (sentinel-padded).  Returns
-    ((rdeg, rnbr, rsame), (ldeg, lnbr, lsame)) of int32/int32/bool shape
-    (n,) arrays; padding rows carry junk the caller trims.
+    A: (n,) int64 sorted (sentinel-padded) — or int32 with PAD32 padding
+    for the canonical k <= 15 fast path (half the sort bytes, native
+    int32 compares).  Returns ((rdeg, rnbr, rsame), (ldeg, lnbr, lsame))
+    of int32/int32/bool shape (n,) arrays; padding rows carry junk the
+    caller trims.
     """
+    import jax
     import jax.numpy as jnp
 
     from ..core import kmer as kmer_ops
-    from .join import lookup_join
+    from .join import lookup_join, lookup_join32
 
     n = A.shape[0]
+    use32 = A.dtype == jnp.int32
     cands = []
     ncans = []
-    for right in (True, False):
-        for c in range(4):
-            cand = (
-                kmer_ops.next_kmer(A, k, c) if right else kmer_ops.prev_kmer(A, k, c)
-            )
-            ncans.append(kmer_ops.canonical(cand, k) if canonical else cand)
-            cands.append(cand)
-    found, idx = lookup_join(A, jnp.concatenate(ncans), n_groups=8)
+    if use32:
+        # canonical-only int32 path: PAD32 (all-T) can never equal a
+        # canonical query, so set-padding rows cannot false-match.
+        assert canonical and k <= 15
+        m30 = jnp.int32((1 << (2 * k)) - 1)
+        for right in (True, False):
+            for c in range(4):
+                cc = jnp.int32(c)
+                if right:
+                    cand = ((A << 2) & m30) | cc
+                else:
+                    cand = jax.lax.shift_right_logical(A, jnp.int32(2)) | (
+                        cc << (2 * (k - 1))
+                    )
+                ncans.append(jnp.minimum(cand, _rc32(cand, k)))
+                cands.append(cand)
+        found, idx = lookup_join32(A, jnp.concatenate(ncans), n_groups=8)
+    else:
+        for right in (True, False):
+            for c in range(4):
+                cand = (
+                    kmer_ops.next_kmer(A, k, c) if right else kmer_ops.prev_kmer(A, k, c)
+                )
+                ncans.append(kmer_ops.canonical(cand, k) if canonical else cand)
+                cands.append(cand)
+        found, idx = lookup_join(A, jnp.concatenate(ncans), n_groups=8)
 
     out = []
     for side in range(2):
@@ -92,7 +137,10 @@ def device_side_tables(
     try:
         if _side_tables is None:
             _side_tables = _build()
-        Ap = pad_pow2(A, SENTINEL)
+        if canonical and k <= 15:
+            Ap = pad_pow2(A.astype(np.int32), PAD32)
+        else:
+            Ap = pad_pow2(A, SENTINEL)
         n = A.shape[0]
         (r, l) = _side_tables(Ap, k, canonical)
         out = []

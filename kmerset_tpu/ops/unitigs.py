@@ -69,7 +69,14 @@ def device_unitig_succ(A: np.ndarray, k: int) -> Optional[Tuple]:
         if _unitig_succ is None:
             _unitig_succ = _build()
         n = A.shape[0]
-        Ap = pad_pow2(A, SENTINEL)
+        if k <= 15:
+            # Canonical int32 fast path (ops/neighbors.py tables_traced):
+            # half the join sort bytes, native int32 compares.
+            from .neighbors import PAD32
+
+            Ap = pad_pow2(A.astype(np.int32), PAD32)
+        else:
+            Ap = pad_pow2(A, SENTINEL)
         succ2, term_l, term_r, both = _unitig_succ(Ap, k)
         s2 = np.asarray(succ2)
         succ = np.empty(2 * n, dtype=np.int64)

@@ -213,3 +213,27 @@ def test_pallas_compact_two_key_interpret():
     assert ns == int(keep.sum())
     assert np.array_equal(np.asarray(lanes[0][:ns]), hi[keep])
     assert np.array_equal(np.asarray(lanes[1][:ns]), lo[keep])
+
+
+def test_lookup_join32_matches_int64():
+    """The fused-tag int32 join (ops/join.py lookup_join32) agrees with
+    the generic path, including keys adjacent to the PAD32 sentinel."""
+    import jax.numpy as jnp
+
+    from kmerset_tpu.ops.join import lookup_join, lookup_join32
+
+    rng = np.random.default_rng(9)
+    A = np.unique(rng.integers(0, (1 << 30) - 1, 4096)).astype(np.int32)
+    A = np.unique(np.concatenate([A, np.int32([(1 << 30) - 2, 0])]))
+    Q = np.concatenate(
+        [
+            rng.integers(0, (1 << 30) - 1, 8192).astype(np.int32),
+            A[rng.integers(0, A.shape[0], 512)],  # guaranteed hits
+        ]
+    )
+    f64, i64 = lookup_join(jnp.asarray(A.astype(np.int64)), jnp.asarray(Q.astype(np.int64)), n_groups=1)
+    f32, i32 = lookup_join32(jnp.asarray(A), jnp.asarray(Q), n_groups=1)
+    np.testing.assert_array_equal(np.asarray(f64), np.asarray(f32))
+    np.testing.assert_array_equal(
+        np.asarray(i64)[np.asarray(f64)], np.asarray(i32)[np.asarray(f32)]
+    )
