@@ -119,13 +119,20 @@ def _cpu_backend() -> bool:
         return True
 
 
+# Single-chip capacity ceiling for the one-shot counting sort: the sort
+# carries ~3-4x its int32 operands in HBM (16 GB on v5e).  Above this the
+# attempt would OOM and fall back to host anyway; skip the wasted upload.
+# Larger-than-chip sets are the mesh backend's job (parallel/mesh.py).
+MAX_DEVICE_WINDOWS = 1 << 29
+
+
 def should_use_device(n_windows: int) -> bool:
     force = _force()
     if force == "host":
         return False
     if force == "device":
         return True
-    if n_windows < _threshold():
+    if n_windows < _threshold() or n_windows > MAX_DEVICE_WINDOWS:
         return False
     if _cpu_backend():
         return False
