@@ -105,6 +105,47 @@ def lookup_join32(A: jnp.ndarray, Q: jnp.ndarray, n_groups: int = 1):
     return found_q.reshape(n_groups, gsz), idx_q.reshape(n_groups, gsz)
 
 
+@partial(jax.jit, static_argnames=("n_groups",))
+def lookup_join_pair(Ahi, Alo, Qhi, Qlo, n_groups: int = 1):
+    """Pair-key (int32 hi/lo lanes) variant of `lookup_join32` for
+    38/46-bit k-mer keys (k = 19/23): the tag fuses into the lo lane's
+    bit 0 (2*klo <= 22 bits leaves headroom), so sort 1 carries three
+    int32 lanes with num_keys=2 instead of (key64, tag, slot).  The
+    found/idx scan packs (hi, lo) into int64 — scans are bandwidth-cheap;
+    only the sorts matter.  Requires n + m < 2^30 and A sorted unique
+    with padding rows no query can equal (all-T keys are non-canonical).
+    """
+    n, m = Ahi.shape[0], Qhi.shape[0]
+    one = jnp.int32(1)
+    hi = jnp.concatenate([Ahi, Qhi])
+    lof = jnp.concatenate([Alo << 1, (Qlo << 1) | one])
+    slot = jnp.concatenate(
+        [
+            jax.lax.broadcasted_iota(jnp.int32, (n,), 0),
+            jax.lax.broadcasted_iota(jnp.int32, (m,), 0),
+        ]
+    )
+    hi_s, lof_s, slot_s = jax.lax.sort(
+        (hi, lof, slot), num_keys=2, is_stable=False
+    )
+    is_set = (lof_s & one) == 0
+    key64 = (hi_s.astype(jnp.int64) << 32) | jax.lax.shift_right_logical(
+        lof_s, one
+    ).astype(jnp.int64)
+    akey = jax.lax.cummax(jnp.where(is_set, key64, jnp.int64(-1)), axis=0)
+    aidx = jax.lax.cummax(jnp.where(is_set, slot_s, jnp.int32(-1)), axis=0)
+    found = ~is_set & (akey == key64)
+    idx = jnp.maximum(aidx, 0)
+    rkey = jnp.where(is_set, slot_s, slot_s | jnp.int32(1 << 30))
+    payload = idx | jnp.where(found, jnp.int32(1 << 30), jnp.int32(0))
+    _, payload_q = jax.lax.sort((rkey, payload), num_keys=1, is_stable=False)
+    pq = payload_q[n:]
+    gsz = m // n_groups
+    found_q = (pq & jnp.int32(1 << 30)) != 0
+    idx_q = pq & jnp.int32((1 << 30) - 1)
+    return found_q.reshape(n_groups, gsz), idx_q.reshape(n_groups, gsz)
+
+
 def intersection_count(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """|A ∩ B| for sorted-unique A, B via one sort + one shifted compare
     (the sketch-similarity kernel, reference: lib/core/kmer_set_set.h:158-184)."""

@@ -70,8 +70,83 @@ def tables_traced(A, k: int, canonical: bool):
 
     n = A.shape[0]
     use32 = A.dtype == jnp.int32
+    use_pair = (not use32) and canonical and 15 < k <= 23
     cands = []
     ncans = []
+    if use_pair:
+        # Pair-lane fast path for 38/46-bit keys: int32 (hi, lo) lanes
+        # with khi = ceil(k/2) bases in hi (count.py _khi convention).
+        # Sentinel padding clamps to the all-T key, which is never
+        # canonical, so set padding cannot false-match.
+        khi = (k + 1) // 2
+        klo = k - khi
+        mlo = jnp.int32((1 << (2 * klo)) - 1)
+        mhi = jnp.int32((1 << (2 * khi)) - 1)
+        Ac = jnp.minimum(A, jnp.int64((1 << (2 * k)) - 1))
+        Ahi = jax.lax.shift_right_logical(Ac, jnp.int64(2 * klo)).astype(
+            jnp.int32
+        )
+        Alo = (Ac & jnp.int64(mlo)).astype(jnp.int32)
+
+        def rc_pair(h, l):
+            rcl = _rc32(l, klo)
+            rch = _rc32(h, khi)
+            rh = ((rcl << (2 * (khi - klo))) | jax.lax.shift_right_logical(
+                rch, jnp.int32(2 * klo)
+            )) & mhi
+            rl = rch & mlo
+            return rh, rl
+
+        pair_cands = []
+        for right in (True, False):
+            for c in range(4):
+                cc = jnp.int32(c)
+                if right:
+                    # ((key << 2) | c) & mask(2k)
+                    ch = ((Ahi << 2) | jax.lax.shift_right_logical(
+                        Alo, jnp.int32(2 * klo - 2)
+                    )) & mhi
+                    cl = ((Alo << 2) | cc) & mlo
+                else:
+                    # (key >> 2) | (c << (2k - 2))
+                    cl = jax.lax.shift_right_logical(Alo, jnp.int32(2)) | (
+                        (Ahi & jnp.int32(3)) << (2 * klo - 2)
+                    )
+                    ch = jax.lax.shift_right_logical(Ahi, jnp.int32(2)) | (
+                        cc << (2 * khi - 2)
+                    )
+                rh, rl = rc_pair(ch, cl)
+                less = (ch < rh) | ((ch == rh) & (cl <= rl))
+                nh = jnp.where(less, ch, rh)
+                nl = jnp.where(less, cl, rl)
+                pair_cands.append((ch, cl))
+                ncans.append((nh, nl))
+        from .join import lookup_join_pair
+
+        found, idx = lookup_join_pair(
+            Ahi,
+            Alo,
+            jnp.concatenate([h for h, _ in ncans]),
+            jnp.concatenate([l for _, l in ncans]),
+            n_groups=8,
+        )
+
+        out = []
+        for side in range(2):
+            deg = jnp.zeros(n, dtype=jnp.int32)
+            nbr = jnp.zeros(n, dtype=jnp.int32)
+            same = jnp.zeros(n, dtype=bool)
+            for c in range(4):
+                g = side * 4 + c
+                nh, nl = ncans[g]
+                ok = found[g] & ((nh != Ahi) | (nl != Alo))
+                first = ok & (deg == 0)
+                nbr = jnp.where(first, idx[g], nbr)
+                ch, cl = pair_cands[g]
+                same = jnp.where(first, (ch != nh) | (cl != nl), same)
+                deg += ok
+            out.append((deg, nbr, same))
+        return out[0], out[1]
     if use32:
         # canonical-only int32 path: PAD32 (all-T) can never equal a
         # canonical query, so set-padding rows cannot false-match.

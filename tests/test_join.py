@@ -42,7 +42,7 @@ def test_intersection_count(seed):
     assert int(intersection_count(A, B)) == np.intersect1d(A, B).size
 
 
-@pytest.mark.parametrize("k", [9, 15, 19])
+@pytest.mark.parametrize("k", [9, 15, 19, 23])
 @pytest.mark.parametrize("canonical", [True, False])
 def test_device_side_tables_match_host(k, canonical):
     from kmerset_tpu.core import kmer as kc
@@ -93,7 +93,7 @@ def test_pallas_pack_interpret_matches_host(k):
     np.testing.assert_array_equal(got[: exp.shape[0]], exp)
 
 
-@pytest.mark.parametrize("k", [9, 15])
+@pytest.mark.parametrize("k", [9, 15, 19, 23])
 def test_device_unitig_succ_matches_host(k, monkeypatch):
     """The fused device successor front-end must reproduce the host
     terminal/successor construction, and the full unitig build must be
