@@ -143,3 +143,38 @@ def test_chain_walk_kept_native_parity():
         finally:
             nat._LIB = lib
         assert sorted(a.to_strings()) == sorted(b.to_strings())
+
+
+def test_handshake_matching_is_maximum_per_signature_block():
+    """The directed overlap graph is a disjoint union of complete
+    bipartite blocks (one per (k-1)-mer signature), so the maximum
+    matching size is sum_s min(#out_ports(s), #in_ports(s)); the
+    handshake matching must reach exactly that (docs/DESIGN.md)."""
+    from kmerset_tpu.core.graph import handshake_matching
+
+    rng = np.random.default_rng(77)
+    for _ in range(5):
+        n_sig = int(rng.integers(1, 6))
+        out_ports, in_ports = [], []
+        edges_a, edges_b = [], []
+        pid = 0
+        expected = 0
+        for s in range(n_sig):
+            po = [pid + i for i in range(int(rng.integers(0, 5)))]
+            pid += len(po)
+            pi = [pid + i for i in range(int(rng.integers(0, 5)))]
+            pid += len(pi)
+            expected += min(len(po), len(pi))
+            for a in po:
+                for b in pi:
+                    edges_a.append(a)
+                    edges_b.append(b)
+            out_ports += po
+            in_ports += pi
+        if not edges_a:
+            continue
+        order = rng.permutation(len(edges_a))
+        pa = np.array(edges_a, dtype=np.int64)[order]
+        pb = np.array(edges_b, dtype=np.int64)[order]
+        match = handshake_matching(pa, pb, pid)
+        assert int((match >= 0).sum()) // 2 == expected
