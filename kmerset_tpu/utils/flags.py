@@ -8,6 +8,7 @@ absl.
 from __future__ import annotations
 
 import argparse
+import sys
 from typing import List
 
 from ..core.config import CLI_SUPPORTED_K
@@ -95,4 +96,8 @@ def add_common_flags(
 
 def check_k(k: int) -> None:
     if k not in CLI_SUPPORTED_K:
-        raise SystemExit(f"unsupported k value: {k}")
+        # Exit code 1 like the reference (kmerset-build.cc:140-142;
+        # SystemExit with a string message exits 1, with an int exits
+        # that int — a bare message would exit 0 via argparse paths).
+        print(f"unsupported k value: {k}", file=sys.stderr)
+        raise SystemExit(1)
