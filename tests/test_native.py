@@ -196,3 +196,41 @@ def test_pool_allocator_roundtrip():
     assert int(c[123]) == 123
     d = np.resize(c, 16)
     assert int(d[15]) == 15
+
+
+def test_pool_allocator_thread_safety():
+    """Concurrent large alloc/free across threads while stats() runs
+    (native/pool_alloc.c mutex + GC-reentrancy contract)."""
+    import threading
+
+    import kmerset_tpu  # noqa: F401
+
+    pool = sys.modules.get("kmerset_pool")
+    if pool is None:
+        pytest.skip("pool allocator extension not built")
+    stop = threading.Event()
+    errors = []
+
+    def churn():
+        try:
+            for i in range(50):
+                a = np.ones((1 << 18) + i * 128, dtype=np.int64)
+                assert a[0] == 1
+                del a
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def poll_stats():
+        while not stop.is_set():
+            pool.stats()
+
+    threads = [threading.Thread(target=churn) for _ in range(4)]
+    poller = threading.Thread(target=poll_stats)
+    poller.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    poller.join()
+    assert not errors
