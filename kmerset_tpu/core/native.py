@@ -319,6 +319,16 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
             i32p, i32p, u8p,
             i32p, i32p, u8p,
         ]
+        # Merge-join edition (half the probes become sequential merges);
+        # absent in stale builds -> fall back to the hash version.
+        try:
+            lib.kmerio_side_tables_merge.restype = None
+            lib.kmerio_side_tables_merge.argtypes = (
+                lib.kmerio_side_tables.argtypes
+            )
+            lib._st_merge = True
+        except AttributeError:
+            lib._st_merge = False
         lib._st_ready = True
     A = np.ascontiguousarray(A, dtype=np.int64)
     n = A.shape[0]
@@ -329,7 +339,8 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
     rsame = np.empty(n, np.uint8); lsame = np.empty(n, np.uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    lib.kmerio_side_tables(
+    fn = lib.kmerio_side_tables_merge if lib._st_merge else lib.kmerio_side_tables
+    fn(
         A.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n, k,
         1 if canonical else 0,
         table.ctypes.data_as(i32p), logcap,

@@ -443,6 +443,111 @@ void kmerio_side_tables(const int64_t *A, long n, int k, int canonical,
     free(diff);
 }
 
+static long lower_bound64(const int64_t *A, long n, int64_t key) {
+    long lo = 0, hi = n;
+    while (lo < hi) {
+        long mid = lo + ((hi - lo) >> 1);
+        if (A[mid] < key) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+}
+
+/* Side tables, merge-join edition.  The hash version pays one
+ * latency-bound probe per (k-mer, side, base).  But half of those
+ * lookups query the RAW candidate (the canonical form when cand < rc —
+ * always in the directed case), and raw candidates inherit A's order:
+ *   prev(A, c) = (A >> 2) | c<<..   is globally non-decreasing;
+ *   next(A, c) = ((A << 2) | c) & m is strictly increasing within each
+ *     top-2-bit class of A, whose index ranges are contiguous slices.
+ * Those lookups become sequential two-pointer merges against A (~2 ns
+ * per element vs ~150 ns per probe); only rc-canonical candidates
+ * (canonical mode, cand > rc) still probe the hash table.
+ * Same outputs/contract as kmerio_side_tables. */
+void kmerio_side_tables_merge(const int64_t *A, long n, int k, int canonical,
+                              int32_t *table, int logcap,
+                              int32_t *rdeg, int32_t *rnbr, uint8_t *rsame,
+                              int32_t *ldeg, int32_t *lnbr, uint8_t *lsame) {
+    if (n <= 0) return;
+    if (canonical) hash_build(A, n, table, logcap);
+    const uint64_t kmask = (1ULL << (2 * k)) - 1;
+    const uint64_t tmask = (1ULL << logcap) - 1;
+    memset(rdeg, 0, (size_t)n * 4); memset(ldeg, 0, (size_t)n * 4);
+    memset(rnbr, 0, (size_t)n * 4); memset(lnbr, 0, (size_t)n * 4);
+    memset(rsame, 0, (size_t)n);    memset(lsame, 0, (size_t)n);
+    enum { PD = 16 };
+    int64_t *q = (int64_t *)malloc((size_t)n * sizeof(int64_t));
+    int64_t *qr = canonical
+        ? (int64_t *)malloc((size_t)n * sizeof(int64_t)) : NULL;
+    if (!q || (canonical && !qr)) { free(q); free(qr); return; }
+    long class_lo[5];
+    for (int b = 0; b < 4; b++)
+        class_lo[b] = lower_bound64(A, n, (int64_t)((uint64_t)b << (2 * k - 2)));
+    class_lo[4] = n;
+    for (int side = 0; side < 2; side++) {
+        int32_t *deg = side ? ldeg : rdeg;
+        int32_t *nbr = side ? lnbr : rnbr;
+        uint8_t *same = side ? lsame : rsame;
+        for (int c = 0; c < 4; c++) {
+            #pragma omp parallel for schedule(static)
+            for (long i = 0; i < n; i++) {
+                uint64_t cand =
+                    side ? (((uint64_t)A[i] >> 2) |
+                            ((uint64_t)c << (2 * (k - 1))))
+                         : ((((uint64_t)A[i] << 2) | (uint64_t)c) & kmask);
+                q[i] = (int64_t)cand;
+                if (canonical) qr[i] = (int64_t)rc_one(cand, k);
+            }
+            if (canonical) {
+                /* rc-canonical candidates: probe (latency-bound). */
+                #pragma omp parallel for schedule(static)
+                for (long i = 0; i < n; i++) {
+                    if (i + PD < n && qr[i + PD] < q[i + PD])
+                        __builtin_prefetch(
+                            &table[mix64((uint64_t)qr[i + PD]) & tmask]);
+                    if (qr[i] >= q[i]) continue;
+                    if (qr[i] == A[i]) continue; /* self loop */
+                    int32_t idx = hash_find(A, table, logcap, qr[i]);
+                    if (idx >= 0) {
+                        if (deg[i] == 0) { nbr[i] = idx; same[i] = 1; }
+                        deg[i]++;
+                    }
+                }
+            }
+            /* direct candidates: two-pointer merges over sorted runs. */
+            if (side == 0) {
+                #pragma omp parallel for schedule(static)
+                for (int b = 0; b < 4; b++) {
+                    long j = 0;
+                    for (long i = class_lo[b]; i < class_lo[b + 1]; i++) {
+                        if (canonical && qr[i] < q[i]) continue;
+                        int64_t v = q[i];
+                        while (j < n && A[j] < v) j++;
+                        if (j >= n) break;
+                        if (A[j] == v && v != A[i]) {
+                            if (deg[i] == 0) { nbr[i] = (int32_t)j; }
+                            deg[i]++;
+                        }
+                    }
+                }
+            } else {
+                long j = 0;
+                for (long i = 0; i < n; i++) {
+                    if (canonical && qr[i] < q[i]) continue;
+                    int64_t v = q[i];
+                    while (j < n && A[j] < v) j++;
+                    if (j >= n) break;
+                    if (A[j] == v && v != A[i]) {
+                        if (deg[i] == 0) { nbr[i] = (int32_t)j; }
+                        deg[i]++;
+                    }
+                }
+            }
+        }
+    }
+    free(q);
+    free(qr);
+}
+
 /* Reference-style canonical k-mer counter: rolling window + rolling
  * reverse complement + open-addressing hash count.  This reproduces the
  * reference's counting hot loop (lib/core/kmer_counter.h:80-133: per
