@@ -137,7 +137,7 @@ long kmerio_chain_walk(const int64_t *succ, long n,
      * dependent-load latency of each succ[] chase behind its siblings.
      * Pass 1 measures lengths (W-way interleaved), pass 2 emits with
      * per-chain output cursors. */
-    enum { W = 8 };
+    enum { W = 64 };
     for (long base = 0; base < n_starts; base += W) {
         long m = n_starts - base < W ? n_starts - base : W;
         int64_t cur[W];
@@ -200,7 +200,7 @@ long kmerio_chain_walk(const int64_t *succ, long n,
 void kmerio_chain_lens_ends(const int64_t *succ, long n,
                             const int64_t *starts, long n_starts,
                             int64_t *lens, int64_t *ends) {
-    enum { W = 8 };
+    enum { W = 64 };
     for (long base = 0; base < n_starts; base += W) {
         long m = n_starts - base < W ? n_starts - base : W;
         int64_t cur[W], last[W];
@@ -237,7 +237,7 @@ void kmerio_chain_lens_ends(const int64_t *succ, long n,
 void kmerio_chain_emit(const int64_t *succ, long n,
                        const int64_t *starts, long n_starts,
                        const int64_t *group_starts, int64_t *out_nodes) {
-    enum { W = 8 };
+    enum { W = 64 };
     for (long base = 0; base < n_starts; base += W) {
         long m = n_starts - base < W ? n_starts - base : W;
         int64_t cur[W];
