@@ -402,7 +402,7 @@ void kmerio_side_tables(const int64_t *A, long n, int k, int canonical,
      * is memory-latency bound (the table exceeds L3), so queries are
      * precomputed per pass and the slot PD iterations ahead is
      * prefetched. */
-    enum { PD = 16 };
+    enum { PD = 32 };
     int64_t *q = (int64_t *)malloc((size_t)(n > 0 ? n : 1) * sizeof(int64_t));
     uint8_t *diff = (uint8_t *)malloc((size_t)(n > 0 ? n : 1));
     if (!q || !diff) { free(q); free(diff); return; }
@@ -474,7 +474,7 @@ void kmerio_side_tables_merge(const int64_t *A, long n, int k, int canonical,
     memset(rdeg, 0, (size_t)n * 4); memset(ldeg, 0, (size_t)n * 4);
     memset(rnbr, 0, (size_t)n * 4); memset(lnbr, 0, (size_t)n * 4);
     memset(rsame, 0, (size_t)n);    memset(lsame, 0, (size_t)n);
-    enum { PD = 16 };
+    enum { PD = 32 };
     int64_t *q = (int64_t *)malloc((size_t)n * sizeof(int64_t));
     int64_t *qr = canonical
         ? (int64_t *)malloc((size_t)n * sizeof(int64_t)) : NULL;
