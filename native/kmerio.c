@@ -324,8 +324,13 @@ void kmerio_emit_kmer_chains(const int64_t *A, int k,
                              uint8_t *out_codes) {
     long pos = 0;
     offsets[0] = 0;
+    const long total = groups[n_groups];
     for (long g = 0; g < n_groups; g++) {
         for (long i = groups[g]; i < groups[g + 1]; i++) {
+            if (i + 32 < total) {
+                int64_t un = nodes[i + 32];
+                __builtin_prefetch(&A[oriented ? (un >> 1) : un]);
+            }
             int64_t u = nodes[i];
             uint64_t v;
             if (oriented) {
