@@ -107,6 +107,16 @@ def handshake_matching(
     n_e = pa.shape[0]
     if n_e == 0:
         return match
+    # Native fast path: the priority-ordered handshake fixpoint equals
+    # the sequential greedy scan (an edge survives all rounds iff it is
+    # the minimum live edge at both ports, which is exactly the
+    # greedy-accept condition), so one O(E) C pass replaces the
+    # O(rounds * E) vectorized loop below.
+    from . import native
+
+    nm = native.greedy_match(pa, pb, n_ports)
+    if nm is not None:
+        return nm
     prio = np.arange(n_e, dtype=np.int64)
     alive = np.ones(n_e, dtype=bool)
     free = np.ones(n_ports, dtype=bool)

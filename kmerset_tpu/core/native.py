@@ -207,6 +207,37 @@ def chain_walk_kept(
     return nodes, groups
 
 
+def greedy_match(
+    pa: np.ndarray, pb: np.ndarray, n_ports: int
+) -> Optional[np.ndarray]:
+    """Priority-ordered greedy maximal matching in one O(E) C pass
+    (native/kmerio.c kmerio_greedy_match) — provably identical to the
+    handshake-rounds result with edge-index priorities.  Returns
+    match[port] (or -1), or None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_gm_ready"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        try:
+            lib.kmerio_greedy_match.restype = None
+            lib.kmerio_greedy_match.argtypes = [
+                i64p, i64p, ctypes.c_long, i64p,
+            ]
+        except AttributeError:  # stale lib
+            return None
+        lib._gm_ready = True
+    pa = np.ascontiguousarray(pa, dtype=np.int64)
+    pb = np.ascontiguousarray(pb, dtype=np.int64)
+    match = np.full(n_ports, -1, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.kmerio_greedy_match(
+        pa.ctypes.data_as(i64p), pb.ctypes.data_as(i64p),
+        pa.shape[0], match.ctypes.data_as(i64p),
+    )
+    return match
+
+
 def revcomp(kmers: np.ndarray, k: int) -> Optional[np.ndarray]:
     """Native reverse complement; None without the lib."""
     lib = get_lib()

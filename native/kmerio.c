@@ -448,6 +448,25 @@ void kmerio_side_tables(const int64_t *A, long n, int k, int canonical,
     free(diff);
 }
 
+/* Greedy maximal matching over ports, edges in priority order.  One
+ * sequential pass accepts an edge iff both ports are still free — the
+ * lexicographically-first maximal matching, identical to the
+ * handshake-rounds result with the same priorities (an edge wins a
+ * handshake round iff it is the minimum live edge at both ports, which
+ * accepts exactly the greedy-scan edges).  Replaces the O(rounds * E)
+ * vectorized host loop (core/graph.py::handshake_matching) with O(E).
+ * match: int64[n_ports], caller-filled with -1. */
+void kmerio_greedy_match(const int64_t *pa, const int64_t *pb, long n_e,
+                         int64_t *match) {
+    for (long e = 0; e < n_e; e++) {
+        int64_t a = pa[e], b = pb[e];
+        if (match[a] < 0 && match[b] < 0 && a != b) {
+            match[a] = b;
+            match[b] = a;
+        }
+    }
+}
+
 static long lower_bound64(const int64_t *A, long n, int64_t key) {
     long lo = 0, hi = n;
     while (lo < hi) {

@@ -178,3 +178,29 @@ def test_handshake_matching_is_maximum_per_signature_block():
         pb = np.array(edges_b, dtype=np.int64)[order]
         match = handshake_matching(pa, pb, pid)
         assert int((match >= 0).sum()) // 2 == expected
+
+
+def test_greedy_match_native_equals_handshake_rounds():
+    """The one-pass native greedy scan equals the priority-ordered
+    handshake fixpoint (the locally-minimal-edge equivalence,
+    core/graph.py::handshake_matching)."""
+    from kmerset_tpu.core import graph, native
+
+    if native.get_lib() is None:
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(13)
+    for _ in range(10):
+        n_ports = int(rng.integers(2, 300))
+        n_e = int(rng.integers(0, 800))
+        pa = rng.integers(0, n_ports, n_e).astype(np.int64)
+        pb = rng.integers(0, n_ports, n_e).astype(np.int64)
+        keep = pa != pb
+        pa, pb = pa[keep], pb[keep]
+        nm = native.greedy_match(pa, pb, n_ports)
+        lib = native._LIB
+        native._LIB = None
+        try:
+            hm = graph.handshake_matching(pa, pb, n_ports)
+        finally:
+            native._LIB = lib
+        np.testing.assert_array_equal(nm, hm)
