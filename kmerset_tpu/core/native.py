@@ -447,6 +447,26 @@ def overlap_edges(P: np.ndarray, S: np.ndarray, k: int):
         P.ctypes.data_as(i64p), S.ctypes.data_as(i64p), n, k,
         ptab.ctypes.data_as(i64p), stab.ctypes.data_as(i64p), logcap,
     )
+    # Single pass with a generous capacity (8 candidate edges per
+    # unitig covers non-degenerate graphs); highly repetitive inputs can
+    # exceed any linear bound (edge counts are quadratic per signature
+    # class), in which case the two-pass count+fill API runs instead.
+    if hasattr(lib, "kmerio_overlap_edges_cap"):
+        cap = 8 * n + 1024
+        out = np.empty(2 * cap, dtype=np.int64)
+        lib.kmerio_overlap_edges_cap.restype = ctypes.c_long
+        lib.kmerio_overlap_edges_cap.argtypes = [
+            i64p, i64p, ctypes.c_long, ctypes.c_int,
+            i64p, i64p, ctypes.c_int, ctypes.c_long, i64p,
+        ]
+        count = lib.kmerio_overlap_edges_cap(
+            *args, cap, out.ctypes.data_as(i64p)
+        )
+        if count >= 0:
+            pairs = out[: 2 * count].reshape(-1, 2)
+            return pairs[:, 0], pairs[:, 1]
+        ptab.fill(-1)
+        stab.fill(-1)
     count = lib.kmerio_overlap_edges(*args, 1, None)
     out = np.empty(2 * max(count, 1), dtype=np.int64)
     lib.kmerio_overlap_edges(*args, 0, out.ctypes.data_as(i64p))

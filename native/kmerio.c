@@ -709,6 +709,68 @@ long kmerio_overlap_edges(const int64_t *P, const int64_t *S, long n, int k,
     return pos;
 }
 
+static long mm_probe_emit_cap(const int64_t *keys, const int64_t *table,
+                              int logcap, int64_t q, int64_t a_port,
+                              int dst_side_bit, long skip_id,
+                              int64_t *out, long pos, long cap) {
+    const uint64_t mask = (1ULL << logcap) - 1;
+    uint64_t h = mix64((uint64_t)q) & mask;
+    for (;;) {
+        int64_t j = table[h];
+        if (j == -1) return pos;
+        if (keys[j] == q && j != skip_id) {
+            if (pos >= cap) return -1;
+            out[2 * pos] = a_port;
+            out[2 * pos + 1] = 2 * j + dst_side_bit;
+            pos++;
+        }
+        h = (h + 1) & mask;
+    }
+}
+
+/* Single-pass edition: emits into a caller-sized buffer and returns -1
+ * on overflow (the caller then falls back to the two-pass count+fill
+ * API above) — the count pass re-ran every probe, doubling the
+ * latency-bound work of the phase.  Table arrays must be fresh (-1). */
+long kmerio_overlap_edges_cap(const int64_t *P, const int64_t *S, long n,
+                              int k, int64_t *ptab, int64_t *stab,
+                              int logcap, long cap, int64_t *out) {
+    const uint64_t kmask = (1ULL << (2 * k)) - 1;
+    mm_build(P, n, ptab, logcap);
+    mm_build(S, n, stab, logcap);
+    long pos = 0;
+    #define EMIT(keys, tab, q, a_port, bit, skip)                          \
+        do {                                                               \
+            pos = mm_probe_emit_cap(keys, tab, logcap, (int64_t)(q),       \
+                                    a_port, bit, skip, out, pos, cap);     \
+            if (pos < 0) return -1;                                        \
+        } while (0)
+    for (int c = 0; c < 4; c++) {
+        for (long i = 0; i < n; i++) {
+            uint64_t q = (((uint64_t)S[i] << 2) | (uint64_t)c) & kmask;
+            EMIT(P, ptab, q, 2 * i, 1, i);
+        }
+        for (long i = 0; i < n; i++) {
+            uint64_t q = (((uint64_t)S[i] << 2) | (uint64_t)c) & kmask;
+            EMIT(S, stab, rc_one(q, k), 2 * i, 0, i);
+        }
+    }
+    for (int c = 0; c < 4; c++) {
+        for (long i = 0; i < n; i++) {
+            uint64_t r = ((uint64_t)P[i] >> 2) |
+                         ((uint64_t)c << (2 * (k - 1)));
+            EMIT(S, stab, r, 2 * i + 1, 0, i);
+        }
+        for (long i = 0; i < n; i++) {
+            uint64_t r = ((uint64_t)P[i] >> 2) |
+                         ((uint64_t)c << (2 * (k - 1)));
+            EMIT(P, ptab, rc_one(r, k), 2 * i + 1, 1, i);
+        }
+    }
+    #undef EMIT
+    return pos;
+}
+
 /* One-pass set algebra over sorted-unique arrays: fills intersection,
  * a-only, and b-only in a single merge (the reference's bucket-local
  * Add/Sub/Intersection, lib/core/kmer_set.h:164-219,286-305; numpy's

@@ -234,3 +234,19 @@ def test_pool_allocator_thread_safety():
     stop.set()
     poller.join()
     assert not errors
+
+
+def test_overlap_edges_overflow_fallback():
+    """Degenerate same-signature inputs exceed the single-pass capacity
+    (edge counts are quadratic per signature class); the two-pass
+    count+fill path must kick in and return the full edge set."""
+    if native.get_lib() is None:
+        pytest.skip("native lib not built")
+    n = 64
+    S = np.full(n, 5, dtype=np.int64)
+    P = np.full(n, (5 << 2) | 2, dtype=np.int64)  # next(S, c=2) == P
+    res = native.overlap_edges(P, S, 9)
+    assert res is not None
+    pa, pb = res
+    assert pa.shape[0] == 2 * n * (n - 1)  # both join families, no self
+    assert pa.shape[0] > 8 * n
