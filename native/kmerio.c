@@ -745,28 +745,42 @@ long kmerio_overlap_edges_cap(const int64_t *P, const int64_t *S, long n,
                                     a_port, bit, skip, out, pos, cap);     \
             if (pos < 0) return -1;                                        \
         } while (0)
+    enum { OPD = 32 };
+    const uint64_t tmask = (1ULL << logcap) - 1;
+    #define PF(tab, qexpr)                                                 \
+        do {                                                               \
+            if (i + OPD < n)                                               \
+                __builtin_prefetch(&(tab)[mix64((uint64_t)(qexpr)) & tmask]); \
+        } while (0)
     for (int c = 0; c < 4; c++) {
         for (long i = 0; i < n; i++) {
+            PF(ptab, ((((uint64_t)S[i + OPD] << 2) | (uint64_t)c) & kmask));
             uint64_t q = (((uint64_t)S[i] << 2) | (uint64_t)c) & kmask;
             EMIT(P, ptab, q, 2 * i, 1, i);
         }
         for (long i = 0; i < n; i++) {
+            PF(stab, rc_one((((uint64_t)S[i + OPD] << 2) | (uint64_t)c) & kmask, k));
             uint64_t q = (((uint64_t)S[i] << 2) | (uint64_t)c) & kmask;
             EMIT(S, stab, rc_one(q, k), 2 * i, 0, i);
         }
     }
     for (int c = 0; c < 4; c++) {
         for (long i = 0; i < n; i++) {
+            PF(stab, (((uint64_t)P[i + OPD] >> 2) |
+                      ((uint64_t)c << (2 * (k - 1)))));
             uint64_t r = ((uint64_t)P[i] >> 2) |
                          ((uint64_t)c << (2 * (k - 1)));
             EMIT(S, stab, r, 2 * i + 1, 0, i);
         }
         for (long i = 0; i < n; i++) {
+            PF(ptab, rc_one(((uint64_t)P[i + OPD] >> 2) |
+                            ((uint64_t)c << (2 * (k - 1))), k));
             uint64_t r = ((uint64_t)P[i] >> 2) |
                          ((uint64_t)c << (2 * (k - 1)));
             EMIT(P, ptab, rc_one(r, k), 2 * i + 1, 1, i);
         }
     }
+    #undef PF
     #undef EMIT
     return pos;
 }
