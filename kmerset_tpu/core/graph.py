@@ -104,6 +104,13 @@ def handshake_matching(
     (reference: lib/core/spss.h:796-817 directed, 1445-1498 bidirected).
     """
     match = np.full(n_ports, -1, dtype=np.int64)
+    # Self-loop edges (a == b) are meaningless for a path-cover matching
+    # (a port cannot join a string to itself); strip them up front so the
+    # native greedy scan and the vectorized fixpoint below agree by
+    # construction on any input.
+    loop = pa == pb
+    if loop.any():
+        pa, pb = pa[~loop], pb[~loop]
     n_e = pa.shape[0]
     if n_e == 0:
         return match

@@ -71,11 +71,18 @@ def _slow_link() -> bool:
         # switching JAX_PLATFORMS re-probes.
         cache_key = os.environ.get("JAX_PLATFORMS", "default")
         try:
-            with open(_link_cache_path()) as f:
-                key, _, verdict = f.read().strip().partition(":")
-                if key == cache_key:
-                    _link_slow = verdict == "slow"
-                    return _link_slow
+            st = os.stat(_link_cache_path())
+            import time as _time
+
+            # 24h TTL: the verdict goes stale when the machine's device
+            # topology changes (e.g. tunneled device -> local PCIe), which
+            # no env-var key can see without initializing jax.
+            if _time.time() - st.st_mtime < 24 * 3600:
+                with open(_link_cache_path()) as f:
+                    key, _, verdict = f.read().strip().partition(":")
+                    if key == cache_key:
+                        _link_slow = verdict == "slow"
+                        return _link_slow
         except OSError:
             pass
         try:
@@ -139,13 +146,20 @@ def should_use_device(n_windows: int) -> bool:
     return not _slow_link() or n_windows >= _threshold() * _SLOW_LINK_FACTOR
 
 
+# Upper cap for the graph-side joins: lookup_join32/lookup_join_pair
+# (ops/join.py) pack slots and found-flags into int32 bits [0, 30), and
+# the side-table path issues m = 8 * padded_n queries — so padded_n must
+# stay well under 2^27.  Mirrors MAX_DEVICE_WINDOWS for the count path.
+MAX_DEVICE_GRAPH_KMERS = 1 << 26
+
+
 def should_use_device_graph(n_kmers: int) -> bool:
     force = _force()
     if force == "host":
         return False
     if force == "device":
-        return True
-    if n_kmers < _graph_threshold():
+        return n_kmers <= MAX_DEVICE_GRAPH_KMERS
+    if n_kmers < _graph_threshold() or n_kmers > MAX_DEVICE_GRAPH_KMERS:
         return False
     if _cpu_backend():
         return False

@@ -79,6 +79,10 @@ def lookup_join32(A: jnp.ndarray, Q: jnp.ndarray, n_groups: int = 1):
     int32 (set padding rows must hold values no query can equal).
     """
     n, m = A.shape[0], Q.shape[0]
+    # Slot/idx/found pack into bits [0,30) with the tag/found flag at
+    # bit 30 — silently wrong beyond that, so fail the trace instead
+    # (callers gate via backend.MAX_DEVICE_GRAPH_KMERS well below this).
+    assert max(n, m) < (1 << 30), "lookup_join32: slot packing needs n, m < 2^30"
     one = jnp.int32(1)
     fused = jnp.concatenate([A << 1, (Q << 1) | one])
     slot = jnp.concatenate(
@@ -116,6 +120,7 @@ def lookup_join_pair(Ahi, Alo, Qhi, Qlo, n_groups: int = 1):
     with padding rows no query can equal (all-T keys are non-canonical).
     """
     n, m = Ahi.shape[0], Qhi.shape[0]
+    assert max(n, m) < (1 << 30), "lookup_join_pair: slot packing needs n, m < 2^30"
     one = jnp.int32(1)
     hi = jnp.concatenate([Ahi, Qhi])
     lof = jnp.concatenate([Alo << 1, (Qlo << 1) | one])

@@ -26,7 +26,9 @@ def get_random_ints(
     (reference: lib/core/random.h:13-41, GetRandomInts — used there for
     the multi-set compressor's bucket sampling)."""
     if unique:
-        out = rng.choice(np.arange(lo, hi + 1, dtype=np.int64), size=n, replace=False)
+        # Generator.choice accepts an int population — O(n) draw without
+        # materializing the [lo, hi] range.
+        out = rng.choice(hi - lo + 1, size=n, replace=False).astype(np.int64) + lo
     else:
         out = rng.integers(lo, hi + 1, size=n, dtype=np.int64)
     return np.sort(out) if sorted_ else out

@@ -194,8 +194,8 @@ def test_greedy_match_native_equals_handshake_rounds():
         n_e = int(rng.integers(0, 800))
         pa = rng.integers(0, n_ports, n_e).astype(np.int64)
         pb = rng.integers(0, n_ports, n_e).astype(np.int64)
-        keep = pa != pb
-        pa, pb = pa[keep], pb[keep]
+        # Self-loops (a == b) included on purpose: both paths must agree
+        # on them (native skips; handshake strips before its fixpoint).
         nm = native.greedy_match(pa, pb, n_ports)
         lib = native._LIB
         native._LIB = None
