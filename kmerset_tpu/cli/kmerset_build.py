@@ -43,6 +43,12 @@ def main(argv=None) -> None:
     flag_util.check_k(args.k)
     cfg = get_config(args.k)
 
+    # Multi-host bring-up (KMERSET_TPU_DISTRIBUTED): joins this process
+    # into a jax.distributed mesh so counting shards across hosts.
+    from ..parallel.driver import maybe_init_distributed
+
+    maybe_init_distributed()
+
     logger.info("constructing kmer_counter")
     try:
         counter = KmerCounter.from_fasta(

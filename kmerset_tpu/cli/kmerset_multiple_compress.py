@@ -44,6 +44,10 @@ def main(argv=None) -> None:
     flag_util.check_k(args.k)
     cfg = get_config(args.k)
 
+    from ..parallel.driver import maybe_init_distributed
+
+    maybe_init_distributed()
+
     # Parallel per-file load under --workers (reference:
     # src/kmerset-multiple-compress.cc:45-82); the decompressor pipes and
     # file reads overlap even on one core.

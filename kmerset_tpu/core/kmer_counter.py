@@ -122,6 +122,16 @@ class KmerCounter:
         if n_windows:
             from ..ops import backend
 
+            # Multi-device mesh first (counts inputs one chip cannot hold,
+            # parallel/driver.py); then the single-chip fused pipeline.
+            from ..parallel import driver
+
+            if driver.should_use_mesh(n_windows):
+                backend.enable_compile_cache()
+                result = driver.mesh_count(codes, offsets, k, canonical)
+                if result is not None:
+                    uniq, counts = result
+                    return cls(k, uniq, np.minimum(counts, value_max), value_max)
             if backend.should_use_device(n_windows):
                 backend.enable_compile_cache()
                 result = backend.device_count(codes, offsets, k, canonical)

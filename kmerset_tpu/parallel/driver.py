@@ -1,0 +1,215 @@
+"""Production multi-device counting driver.
+
+Routes `KmerCounter` construction onto a device mesh when one is
+available: shards the input code stream across devices (with k-1 halos so
+no window is lost at shard boundaries — unlike the reference, whose
+shared-memory merge never faces the problem, lib/core/kmer_counter.h:105-126),
+runs the radix-exchange counting step (`parallel.mesh.sharded_count_fn`),
+and retries with doubled exchange capacity whenever key skew overflows a
+(src, dst) lane — the `dropped` counter exists exactly for this loop.
+
+Single-process: plain numpy in, numpy out (jit scatters to local devices).
+Multi-process (`jax.distributed`): every process holds the same input
+stream (each CLI process reads the same file), feeds its addressable
+shards via `make_array_from_process_local_data`, and the compacted
+results are gathered back with `multihost_utils.process_allgather`.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..utils.log import get_logger
+
+_log = get_logger()
+
+
+def _mesh_env_capacity() -> Optional[int]:
+    v = os.environ.get("KMERSET_TPU_MESH_CAPACITY", "")
+    return int(v) if v else None
+
+
+def should_use_mesh(n_windows: int) -> bool:
+    """Mesh counting pays a full all_to_all; it wins when there is more
+    than one device and the input is big enough (or too big for one chip,
+    ops/backend.py MAX_DEVICE_WINDOWS)."""
+    from ..ops import backend
+
+    force = os.environ.get("KMERSET_TPU_FORCE_BACKEND", "")
+    if force == "mesh":
+        return True
+    if force in ("host", "device"):
+        return False
+    try:
+        import jax
+
+        if len(jax.devices()) < 2:
+            return False
+    except Exception:  # noqa: BLE001 - no jax => no mesh
+        return False
+    if backend._cpu_backend():
+        return False  # virtual CPU meshes are for tests, not production
+    if n_windows > backend.MAX_DEVICE_WINDOWS:
+        return True  # too big for the one-shot single-chip sort
+    if n_windows < backend._threshold():
+        return False
+    return not backend._slow_link() or n_windows >= (
+        backend._threshold() * backend._SLOW_LINK_FACTOR
+    )
+
+
+def _shard_layout(n_windows: int, n_dev: int, k: int):
+    """Per-device window count W (sort-friendly) and code length Lh with
+    the k-1 halo; device d covers global window starts [d*W, (d+1)*W)."""
+    from ..ops.count import good_sort_size
+
+    W = good_sort_size(max(1, math.ceil(n_windows / n_dev)))
+    return W, W + k - 1
+
+
+def _initial_capacity(W: int, n_dev: int) -> int:
+    env = _mesh_env_capacity()
+    if env:
+        return env
+    # Expected (src, dst) load is W / n_dev for uniform keys; 2x headroom
+    # rounded to a power of two keeps the exchange + recv sort on XLA's
+    # fast sizes (n_dev is a power of two on real meshes).
+    target = max(1024, 2 * W // n_dev)
+    return 1 << (target - 1).bit_length()
+
+
+def mesh_count(
+    codes: np.ndarray,
+    offsets: np.ndarray,
+    k: int,
+    canonical: bool,
+    mesh=None,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Counts k-mers across the device mesh; returns (uniq, counts) or
+    None when unavailable (caller falls back to single-device/host)."""
+    try:
+        import jax
+
+        from ..ops.count import window_validity
+        from .mesh import AXIS, make_mesh, sharded_count_fn
+    except Exception:  # noqa: BLE001
+        return None
+    try:
+        total = codes.shape[0]
+        n_windows = total - (k - 1)
+        if n_windows <= 0:
+            return None
+        if mesh is None:
+            mesh = make_mesh()
+        n_dev = int(mesh.devices.size)
+        if n_dev < 1:
+            return None
+        valid = window_validity(offsets, total, k)
+        W, Lh = _shard_layout(n_windows, n_dev, k)
+
+        codes_sh = np.zeros((n_dev, Lh), dtype=np.int32)
+        valid_sh = np.zeros((n_dev, Lh), dtype=bool)
+        for d in range(n_dev):
+            lo = d * W
+            span = min(max(total - lo, 0), Lh)
+            if span > 0:
+                codes_sh[d, :span] = codes[lo : lo + span]
+            vspan = min(max(n_windows - lo, 0), W)
+            if vspan > 0:
+                valid_sh[d, :vspan] = valid[lo : lo + vspan]
+        codes_flat = codes_sh.reshape(-1)
+        valid_flat = valid_sh.reshape(-1)
+
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(mesh, P(AXIS))
+            n_local = len([d for d in mesh.devices.flat if d.process_index == jax.process_index()])
+            li = jax.process_index() * n_local
+            codes_in = jax.make_array_from_process_local_data(
+                sharding, codes_sh[li : li + n_local].reshape(-1), (n_dev * Lh,)
+            )
+            valid_in = jax.make_array_from_process_local_data(
+                sharding, valid_sh[li : li + n_local].reshape(-1), (n_dev * Lh,)
+            )
+        else:
+            codes_in, valid_in = codes_flat, valid_flat
+
+        capacity = _initial_capacity(W, n_dev)
+        for _attempt in range(8):
+            fn = sharded_count_fn(mesh, k, canonical, capacity)
+            uniq, counts, n_unique, tot, dropped = fn(codes_in, valid_in)
+            n_dropped = int(np.asarray(jax.device_get(dropped))[0])
+            if n_dropped == 0:
+                break
+            # Key skew overflowed a (src, dst) lane; the step dropped
+            # k-mers, so the result is unusable — double and re-run.
+            # capacity == W cannot drop (a src holds at most W windows).
+            if capacity >= W:  # pragma: no cover - defensive
+                return None
+            _log.info(
+                "mesh exchange overflow (dropped = %d, capacity = %d); retrying",
+                n_dropped,
+                capacity,
+            )
+            capacity = min(2 * capacity, W)
+        else:
+            return None
+
+        m = n_dev * capacity  # per-device output width
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            def collect(arr, dtype):
+                # Reassemble the P(kv)-sharded global array on every host:
+                # fill this process's shard slices into a zero buffer and
+                # sum buffers across processes (each position is owned by
+                # exactly one process, so the sum is a placement union).
+                buf = np.zeros(arr.shape, dtype=dtype)
+                for s in arr.addressable_shards:
+                    buf[s.index] = np.asarray(s.data, dtype=dtype)
+                return multihost_utils.process_allgather(buf).sum(axis=0)
+
+            uniq = collect(uniq, np.int64)
+            counts = collect(counts, np.int64)
+            n_unique = collect(n_unique, np.int64)
+        uniq = np.asarray(uniq).reshape(n_dev, m)
+        counts = np.asarray(counts).reshape(n_dev, m)
+        n_unique = np.asarray(n_unique).reshape(n_dev)
+        parts_k = [uniq[d, : n_unique[d]] for d in range(n_dev)]
+        parts_c = [counts[d, : n_unique[d]] for d in range(n_dev)]
+        # Device d owns key range d: concatenation is globally sorted.
+        out_k = np.concatenate(parts_k).astype(np.int64)
+        out_c = np.concatenate(parts_c).astype(np.int64)
+        return out_k, out_c
+    except Exception as e:  # noqa: BLE001 - mesh path is best-effort
+        _log.debug("mesh count unavailable, falling back: %r", e)
+        return None
+
+
+def maybe_init_distributed() -> None:
+    """Env-gated multi-host bring-up for the CLI layer.
+
+    KMERSET_TPU_DISTRIBUTED=auto  -> jax.distributed.initialize() (TPU pod
+                                     env auto-detection)
+    KMERSET_TPU_DISTRIBUTED=addr:port,N,i -> explicit coordinator spec
+    unset/empty                   -> no-op (single host)
+    """
+    spec = os.environ.get("KMERSET_TPU_DISTRIBUTED", "")
+    if not spec:
+        return
+    import jax
+
+    if spec in ("1", "auto"):
+        jax.distributed.initialize()
+    else:
+        addr, n, pid = spec.split(",")
+        jax.distributed.initialize(addr, int(n), int(pid))
+    _log.info(
+        "jax.distributed: process %d / %d", jax.process_index(), jax.process_count()
+    )

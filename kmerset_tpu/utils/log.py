@@ -32,3 +32,9 @@ def init_default_logger() -> logging.Logger:
 
 def enable_debug_logs() -> None:
     logging.getLogger("kmerset").setLevel(logging.DEBUG)
+
+
+def get_logger() -> logging.Logger:
+    """The package logger (a no-handler logger is silent until a CLI
+    calls init_default_logger, matching library-vs-app behavior)."""
+    return logging.getLogger("kmerset")

@@ -166,3 +166,35 @@ def test_build_check_other_k(tmp_path, genome_reads, k):
     r2 = _run(["kmerset_tpu.cli.kmerset_stat", "--k", str(k), out])
     assert r2.returncode == 0, r2.stderr
     assert int(r2.stdout.strip().split("\t")[2]) > 0
+
+
+def test_build_mesh_backend_matches_host(tmp_path, genome_reads):
+    """kmerset-build routed through the 8-virtual-device mesh produces a
+    byte-identical output file and hash to the host backend (the
+    production scale-out wiring, parallel/driver.py)."""
+    import os
+
+    genome, reads = genome_reads
+    fasta = str(tmp_path / "reads.fasta")
+    _write_fasta(fasta, reads)
+    outs = {}
+    hashes = {}
+    for mode in ("host", "mesh"):
+        out = str(tmp_path / f"set_{mode}.txt")
+        env = dict(os.environ)
+        env["KMERSET_TPU_FORCE_BACKEND"] = mode
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        r = _run(
+            ["kmerset_tpu.cli.kmerset_build", "--k", "15", "--check",
+             "--out", out, fasta],
+            env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        m = re.search(r"kmer_set\.Hash\(\) = (\d+)", r.stderr)
+        assert m, r.stderr
+        hashes[mode] = m.group(1)
+        with open(out) as f:
+            outs[mode] = f.read()
+    assert hashes["mesh"] == hashes["host"]
+    assert outs["mesh"] == outs["host"]

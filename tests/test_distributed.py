@@ -57,6 +57,20 @@ inter, a_only, b_only, sizes = sharded_set_algebra_fn(mesh)(garr, garr)
 s = np.asarray(jax.device_get(sizes))[0]
 assert int(s[0]) == allk.size and int(s[1]) == 0 and int(s[2]) == 0, s
 
+# Production counting driver across processes: every process holds the
+# same input stream; mesh_count shards it (with halos), runs the
+# all_to_all radix exchange, and gathers exact global counts back.
+from kmerset_tpu.core.kmer_counter import extract_kmers
+from kmerset_tpu.parallel import driver
+
+codes = rng.integers(0, 4, 5000).astype(np.int32)
+offsets = np.array([0, 2200, 5000], dtype=np.int64)
+got = driver.mesh_count(codes, offsets, 11, True, mesh=mesh)
+assert got is not None
+uniq, counts = got
+hu, hc = np.unique(extract_kmers(codes, offsets, 11, True), return_counts=True)
+assert np.array_equal(uniq, hu) and np.array_equal(counts, hc)
+
 print(f"proc {pid}: ok")
 """
 

@@ -271,3 +271,84 @@ def test_offload_gating_cpu_backend(monkeypatch):
     monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
     assert backend.should_use_device(1)
     assert backend.should_use_device_graph(1)
+
+
+# --- production mesh driver (parallel/driver.py) -------------------------
+
+
+def _frag_host_counts(codes, offsets, k, canonical):
+    from kmerset_tpu.core.kmer_counter import extract_kmers
+
+    kmers = extract_kmers(codes, offsets.astype(np.int64), k, canonical)
+    return np.unique(kmers, return_counts=True)
+
+
+@pytest.mark.parametrize("k", [9, 15, 19])
+def test_mesh_driver_matches_host(k):
+    """mesh_count on the virtual 8-device mesh equals host counting —
+    including windows that straddle shard boundaries (the k-1 halo) and
+    fragment breaks."""
+    from kmerset_tpu.parallel import driver
+
+    rng = np.random.default_rng(21)
+    total = 10000
+    codes = rng.integers(0, 4, total).astype(np.int32)
+    cuts = np.sort(rng.choice(np.arange(1, total), 4, replace=False))
+    offsets = np.concatenate([[0], cuts, [total]]).astype(np.int64)
+    got = driver.mesh_count(codes, offsets, k, True)
+    assert got is not None
+    uniq, counts = got
+    hu, hc = _frag_host_counts(codes, offsets, k, True)
+    np.testing.assert_array_equal(uniq, hu)
+    np.testing.assert_array_equal(counts, hc)
+
+
+def test_mesh_driver_capacity_retry(monkeypatch):
+    """A deliberately tiny initial exchange capacity must trigger the
+    overflow-retry loop (dropped > 0 -> double) and still produce exact
+    counts."""
+    from kmerset_tpu.parallel import driver
+
+    monkeypatch.setenv("KMERSET_TPU_MESH_CAPACITY", "8")
+    rng = np.random.default_rng(22)
+    total = 4096
+    # Skewed keys: long runs of 'A' concentrate k-mers in device 0's range.
+    codes = rng.integers(0, 4, total).astype(np.int32)
+    codes[: total // 2] = 0
+    offsets = np.array([0, total], dtype=np.int64)
+    got = driver.mesh_count(codes, offsets, 9, False)
+    assert got is not None
+    uniq, counts = got
+    hu, hc = _frag_host_counts(codes, offsets, 9, False)
+    np.testing.assert_array_equal(uniq, hu)
+    np.testing.assert_array_equal(counts, hc)
+
+
+def test_should_use_mesh_gating(monkeypatch):
+    from kmerset_tpu.parallel import driver
+
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "mesh")
+    assert driver.should_use_mesh(1)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    assert not driver.should_use_mesh(1 << 30)
+    # CPU backend (virtual mesh) without force: off in production.
+    monkeypatch.delenv("KMERSET_TPU_FORCE_BACKEND", raising=False)
+    assert not driver.should_use_mesh(1 << 30)
+
+
+def test_mesh_driver_via_kmer_counter(monkeypatch):
+    """KmerCounter.from_reads routes through the mesh when forced — the
+    production wiring, end to end through the public API."""
+    from kmerset_tpu.core.kmer_counter import KmerCounter
+
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "mesh")
+    rng = np.random.default_rng(23)
+    reads = [
+        "".join("ACGT"[c] for c in rng.integers(0, 4, 500))
+        for _ in range(6)
+    ]
+    c_mesh = KmerCounter.from_reads(15, reads, True)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    c_host = KmerCounter.from_reads(15, reads, True)
+    np.testing.assert_array_equal(c_mesh.kmers, c_host.kmers)
+    np.testing.assert_array_equal(c_mesh.counts, c_host.counts)
