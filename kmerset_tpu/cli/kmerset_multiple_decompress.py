@@ -34,6 +34,7 @@ def main(argv=None) -> None:
     if args.debug:
         enable_debug_logs()
     flag_util.check_k(args.k)
+    flag_util.apply_workers(args)
     cfg = get_config(args.k)
 
     logger.info("loading kmer_set_set_reader")

@@ -38,7 +38,18 @@ def main(argv=None) -> None:
     if args.debug:
         enable_debug_logs()
     flag_util.check_k(args.k)
+    flag_util.apply_workers(args)
     cfg = get_config(args.k)
+    if args.buckets != 1:
+        # Loud, documented no-op (reference: src/spss-benchmark.cc:28
+        # feeds n_buckets into GetSPSSCanonical's lock-bucket partition,
+        # spss.h:701,1044, trading determinism for concurrency; the
+        # matching here is bucket-free and deterministic by design).
+        logger.warning(
+            "--buckets has no effect: SPSS construction is bucket-free "
+            "(deterministic handshake matching); flag accepted for "
+            "reference CLI compatibility"
+        )
 
     try:
         compact = KmerSetCompact.load(cfg.k, args.file, args.decompressor)

@@ -169,6 +169,16 @@ class KmerSetSet:
         weights: Dict[Tuple[int, int], int] = dict(
             zip(all_pairs, oracle.batch(all_pairs).tolist())
         )
+        # Lazy-deletion max-heap over (weight, pair): selection is
+        # O(log P) amortized instead of a full O(P) dict scan per
+        # iteration (reference scans its whole map each round,
+        # lib/core/kmer_set_set.h:308-316 — quadratic-times-iterations at
+        # the 1000-set scale the sharded config targets).  Entries are
+        # validated against `weights` on pop; stale ones are discarded.
+        import heapq
+
+        heap = [(-w, p) for p, w in weights.items()]
+        heapq.heapify(heap)
 
         # Stopping rule (reference: kmer_set_set.h:240-302).
         def total_spss_weight() -> int:
@@ -188,15 +198,15 @@ class KmerSetSet:
                 total_weight = updated
             it += 1
 
-            # Max-weight pair; deterministic smallest-pair tie-break.
-            best_w = 0
+            # Max-weight pair; deterministic smallest-pair tie-break
+            # ((-w, pair) heap order pops exactly the scan's choice).
             best_pair: Tuple[int, int] | None = None
-            for pair, w in weights.items():
-                if w > best_w or (
-                    w == best_w and best_pair is not None and pair < best_pair
-                ):
-                    best_w = w
-                    best_pair = pair
+            while heap:
+                negw, pair = heapq.heappop(heap)
+                if weights.get(pair) == -negw:
+                    if negw < 0:  # all-zero weights end the loop
+                        best_pair = pair
+                    break
             if best_pair is None:
                 break
             j, k = best_pair
@@ -240,7 +250,10 @@ class KmerSetSet:
                 if l != k:
                     touched.append((min(k, l), max(k, l)))
                 touched.append((l, n))
-            weights.update(zip(touched, oracle.batch(touched).tolist()))
+            upd = dict(zip(touched, oracle.batch(touched).tolist()))
+            weights.update(upd)
+            for p, w in upd.items():
+                heapq.heappush(heap, (-w, p))
 
     # -- queries (reference: kmer_set_set.h:429-454) -----------------------
 

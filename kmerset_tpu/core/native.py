@@ -56,6 +56,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
     return _LIB
 
 
+def set_threads(n: int) -> bool:
+    """Sizes the native OpenMP pool from the CLI --workers flag
+    (reference thread-pool sizing, lib/flags.h:25-53; default 1 keeps the
+    reference's single-threaded default).  Returns False when the native
+    library is unavailable (the NumPy fallbacks are single-threaded
+    anyway)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    try:
+        lib.kmerio_set_threads(ctypes.c_int(int(n)))
+        return True
+    except AttributeError:  # stale library without the symbol
+        return False
+
+
 def parse_fasta_bytes(data: bytes) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """One native pass: FASTA text -> (codes, fragment offsets).
 

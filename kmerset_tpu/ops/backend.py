@@ -13,6 +13,21 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from ..utils.log import get_logger
+
+_log = get_logger()
+
+# Count of device-path attempts that fell back to host with an exception
+# (visible via debug logs; tests assert on it so a dead TPU path cannot
+# silently masquerade as a host-speed "regression").
+FALLBACK_COUNT = 0
+
+
+def _note_fallback(where: str, e: Exception) -> None:
+    global FALLBACK_COUNT
+    FALLBACK_COUNT += 1
+    _log.debug("device path %s failed, falling back to host: %r", where, e)
+
 DEFAULT_MIN_DEVICE_WINDOWS = 1 << 21
 # Graph-side offload (fused side tables -> successor, ops/unitigs.py)
 # moves ~15 bytes/k-mer over the host<->device link (int32 up, (2,n)
@@ -209,7 +224,8 @@ def device_unique(
         codes = codes.astype(np.int32, copy=False)  # one conversion, here
         uniq, n_kept, _ = count_to_set(codes, valid, k, canonical, 1)
         return np.asarray(uniq[: int(n_kept)])
-    except Exception:  # noqa: BLE001
+    except Exception as e:  # noqa: BLE001
+        _note_fallback("device_unique", e)
         return None
 
 
@@ -245,5 +261,6 @@ def device_count(
         )
         n = int(n_unique)
         return np.asarray(uniq[:n]), np.asarray(counts[:n], dtype=np.int64)
-    except Exception:  # noqa: BLE001
+    except Exception as e:  # noqa: BLE001
+        _note_fallback("device_count", e)
         return None

@@ -148,6 +148,10 @@ def _single_windows(codes: jnp.ndarray, k: int, canonical: bool) -> jnp.ndarray:
 
 def _pair_windows(codes: jnp.ndarray, k: int, canonical: bool):
     """(hi, lo) int32 canonical window keys."""
+    if canonical and _use_pallas():
+        from .pallas_pack import canonical_windows_pair_pallas
+
+        return canonical_windows_pair_pallas(codes.astype(jnp.int32), k)
     kh = _khi(k)
     hi = _pack_span(codes, range(0, kh), jnp.int32)
     lo = _pack_span(codes, range(kh, k), jnp.int32)

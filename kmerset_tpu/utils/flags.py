@@ -94,6 +94,15 @@ def add_common_flags(
         add_bool_flag(parser, "canonical", True, get_flag_message("canonical"))
 
 
+def apply_workers(args) -> None:
+    """Applies --workers to the native OpenMP pool — the reference sizes
+    its boost::asio thread pools from this flag (lib/flags.h:25-53);
+    here every OpenMP-parallel native loop honors it the same way."""
+    from ..core import native
+
+    native.set_threads(getattr(args, "workers", 1))
+
+
 def check_k(k: int) -> None:
     if k not in CLI_SUPPORTED_K:
         # Exit code 1 like the reference (kmerset-build.cc:140-142;

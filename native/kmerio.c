@@ -25,6 +25,17 @@
  * iterations are independent.  Single-core builds/degenerate thread
  * counts run the identical code path. */
 
+/* Ties the OpenMP pool to the CLI --workers flag (the reference sizes
+ * its boost::asio thread pools from the same flag, lib/flags.h:25-53;
+ * default 1 = single-threaded, matching the reference default). */
+void kmerio_set_threads(int n) {
+#ifdef _OPENMP
+    if (n > 0) omp_set_num_threads(n);
+#else
+    (void)n;
+#endif
+}
+
 #define CODE_SEP 254
 #define CODE_BAD 255
 

@@ -198,3 +198,42 @@ def test_build_mesh_backend_matches_host(tmp_path, genome_reads):
             outs[mode] = f.read()
     assert hashes["mesh"] == hashes["host"]
     assert outs["mesh"] == outs["host"]
+
+
+def test_spss_benchmark_buckets_warns(tmp_path, genome_reads):
+    """--buckets != 1 is accepted but warns loudly (documented no-op:
+    the SPSS matching here is bucket-free and deterministic)."""
+    genome, reads = genome_reads
+    fasta = str(tmp_path / "reads.fasta")
+    _write_fasta(fasta, reads)
+    out = str(tmp_path / "set.txt")
+    r = _run(["kmerset_tpu.cli.kmerset_build", "--k", "15", "--out", out, fasta])
+    assert r.returncode == 0, r.stderr
+    r2 = _run(
+        ["kmerset_tpu.cli.spss_benchmark", "--k", "15", "--buckets", "4", out]
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert "--buckets has no effect" in r2.stderr
+    # One line: t weight t' ok per mode, ok = 1 for both.
+    fields = r2.stdout.strip().split()
+    assert len(fields) == 8 and fields[3] == "1" and fields[7] == "1"
+
+
+def test_workers_flag_accepted_and_applied(tmp_path, genome_reads):
+    """--workers N runs the whole pipeline with the native OpenMP pool
+    sized to N (reference thread-pool semantics, lib/flags.h:25-53)."""
+    genome, reads = genome_reads
+    fasta = str(tmp_path / "reads.fasta")
+    _write_fasta(fasta, reads)
+    outs = {}
+    for w in ("1", "2"):
+        out = str(tmp_path / f"set_w{w}.txt")
+        r = _run(
+            ["kmerset_tpu.cli.kmerset_build", "--k", "15", "--workers", w,
+             "--out", out, fasta]
+        )
+        assert r.returncode == 0, r.stderr
+        with open(out) as f:
+            outs[w] = f.read()
+    # Output is deterministic regardless of thread count.
+    assert outs["1"] == outs["2"]

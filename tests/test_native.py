@@ -250,3 +250,14 @@ def test_overlap_edges_overflow_fallback():
     pa, pb = res
     assert pa.shape[0] == 2 * n * (n - 1)  # both join families, no self
     assert pa.shape[0] > 8 * n
+
+
+def test_set_threads_binds():
+    from kmerset_tpu.core import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib not built")
+    assert native.set_threads(2)
+    assert native.set_threads(1)

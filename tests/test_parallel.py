@@ -352,3 +352,29 @@ def test_mesh_driver_via_kmer_counter(monkeypatch):
     c_host = KmerCounter.from_reads(15, reads, True)
     np.testing.assert_array_equal(c_mesh.kmers, c_host.kmers)
     np.testing.assert_array_equal(c_mesh.counts, c_host.counts)
+
+
+def test_device_fallback_is_logged(monkeypatch, caplog):
+    """A failing device path must not be silent: backend.device_count
+    logs the exception at debug level and bumps FALLBACK_COUNT, so a
+    dead TPU path is diagnosable instead of masquerading as a slow
+    host run (ops/backend.py)."""
+    import logging
+
+    import kmerset_tpu.ops.count as count_mod
+    from kmerset_tpu.ops import backend
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    monkeypatch.setattr(count_mod, "count_kmers", boom)
+    before = backend.FALLBACK_COUNT
+    caplog.set_level(logging.DEBUG, logger="kmerset")
+    codes = np.zeros(100, dtype=np.int32)
+    offsets = np.array([0, 100], dtype=np.int64)
+    assert backend.device_count(codes, offsets, 9, True) is None
+    assert backend.FALLBACK_COUNT == before + 1
+    assert any(
+        "falling back to host" in r.message and "device_count" in r.message
+        for r in caplog.records
+    )
