@@ -138,6 +138,28 @@ class KmerCounter:
                 if result is not None:
                     uniq, counts = result
                     return cls(k, uniq, np.minimum(counts, value_max), value_max)
+        # Host int32 fast path for the 30-bit key widths (k <= 15): one
+        # native rolling pass emits dense int32 canonical keys — half the
+        # sort bytes and none of the int64 window/rc temporaries of the
+        # generic path (the same representation choice as the device
+        # pipeline, ops/count.py).
+        if k <= 15:
+            from . import native
+
+            keys = native.canonical_windows32(
+                codes.astype(np.uint8, copy=False), offsets, k, canonical
+            )
+            if keys is not None:
+                if keys.shape[0] == 0:
+                    return cls(k, None, None, value_max)
+                keys.sort(kind="stable")
+                boundary = np.empty(keys.shape[0], dtype=bool)
+                boundary[0] = True
+                np.not_equal(keys[1:], keys[:-1], out=boundary[1:])
+                idx = np.flatnonzero(boundary)
+                uniq = keys[idx].astype(np.int64)
+                counts = np.diff(np.append(idx, keys.shape[0]))
+                return cls(k, uniq, np.minimum(counts, value_max), value_max)
         kmers = extract_kmers(codes, offsets, k, canonical)
         uniq, counts = arrays.sorted_unique_counts(kmers)
         return cls(k, uniq, np.minimum(counts, value_max), value_max)

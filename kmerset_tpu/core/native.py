@@ -376,21 +376,42 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
             lib._st_merge = True
         except AttributeError:
             lib._st_merge = False
+        # fp edition (packed single-read probe table, fused candidates).
+        try:
+            lib.kmerio_side_tables_fp.restype = None
+            lib.kmerio_side_tables_fp.argtypes = (
+                lib.kmerio_side_tables.argtypes[:4]
+                + [ctypes.POINTER(ctypes.c_uint64)]
+                + lib.kmerio_side_tables.argtypes[5:]
+            )
+            lib._st_fp = True
+        except AttributeError:
+            lib._st_fp = False
         lib._st_ready = True
     A = np.ascontiguousarray(A, dtype=np.int64)
     n = A.shape[0]
     logcap = max(4, int(n * 2 - 1).bit_length())
-    table = np.full(1 << logcap, -1, dtype=np.int32)
+    if lib._st_fp:
+        table = np.zeros(1 << logcap, dtype=np.uint64)
+        tptr = table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+        fn = lib.kmerio_side_tables_fp
+    else:
+        table = np.full(1 << logcap, -1, dtype=np.int32)
+        tptr = table.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        fn = (
+            lib.kmerio_side_tables_merge
+            if lib._st_merge
+            else lib.kmerio_side_tables
+        )
     rdeg = np.empty(n, np.int32); rnbr = np.empty(n, np.int32)
     ldeg = np.empty(n, np.int32); lnbr = np.empty(n, np.int32)
     rsame = np.empty(n, np.uint8); lsame = np.empty(n, np.uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    fn = lib.kmerio_side_tables_merge if lib._st_merge else lib.kmerio_side_tables
     fn(
         A.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n, k,
         1 if canonical else 0,
-        table.ctypes.data_as(i32p), logcap,
+        tptr, logcap,
         rdeg.ctypes.data_as(i32p), rnbr.ctypes.data_as(i32p),
         rsame.ctypes.data_as(u8p),
         ldeg.ctypes.data_as(i32p), lnbr.ctypes.data_as(i32p),
@@ -402,6 +423,49 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
         (rdeg, rnbr, rsame.view(bool)),
         (ldeg, lnbr, lsame.view(bool)),
     )
+
+
+def canonical_windows32(
+    codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool
+) -> Optional[np.ndarray]:
+    """Dense int32 canonical window keys of every in-fragment window
+    (k <= 15; the host analogue of the device pack kernel).  Returns the
+    key array or None when the native library is unavailable."""
+    if k > 15:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_cw_ready"):
+        try:
+            lib.kmerio_canonical_windows32.restype = ctypes.c_long
+            lib.kmerio_canonical_windows32.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib._cw = True
+        except AttributeError:
+            lib._cw = False
+        lib._cw_ready = True
+    if not lib._cw:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = codes.shape[0]
+    out = np.empty(max(n, 1), dtype=np.int32)
+    m = lib.kmerio_canonical_windows32(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        k,
+        1 if canonical else 0,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        offsets.shape[0] - 1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out[:m]
 
 
 def count_hash(codes: np.ndarray, k: int) -> Optional[int]:
@@ -456,9 +520,12 @@ def overlap_edges(P: np.ndarray, S: np.ndarray, k: int):
     S = np.ascontiguousarray(S, dtype=np.int64)
     n = P.shape[0]
     logcap = max(4, int(max(n, 1) * 2 - 1).bit_length())
-    ptab = np.full(1 << logcap, -1, dtype=np.int64)
-    stab = np.full(1 << logcap, -1, dtype=np.int64)
+    # fp tables are uint64 zero-initialized; the legacy two-pass API
+    # reuses the same buffers as int64 filled with -1 (same byte layout).
+    ptab = np.zeros(1 << logcap, dtype=np.uint64)
+    stab = np.zeros(1 << logcap, dtype=np.uint64)
     i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
     args = (
         P.ctypes.data_as(i64p), S.ctypes.data_as(i64p), n, k,
         ptab.ctypes.data_as(i64p), stab.ctypes.data_as(i64p), logcap,
@@ -467,22 +534,42 @@ def overlap_edges(P: np.ndarray, S: np.ndarray, k: int):
     # unitig covers non-degenerate graphs); highly repetitive inputs can
     # exceed any linear bound (edge counts are quadratic per signature
     # class), in which case the two-pass count+fill API runs instead.
-    if hasattr(lib, "kmerio_overlap_edges_cap"):
-        cap = 8 * n + 1024
-        out = np.empty(2 * cap, dtype=np.int64)
+    cap_fn = None
+    if hasattr(lib, "kmerio_overlap_edges_fp"):
+        lib.kmerio_overlap_edges_fp.restype = ctypes.c_long
+        lib.kmerio_overlap_edges_fp.argtypes = [
+            i64p, i64p, ctypes.c_long, ctypes.c_int,
+            u64p, u64p, ctypes.c_int, ctypes.c_long, i64p,
+        ]
+
+        def cap_fn(cap, outp):
+            return lib.kmerio_overlap_edges_fp(
+                P.ctypes.data_as(i64p), S.ctypes.data_as(i64p), n, k,
+                ptab.ctypes.data_as(u64p), stab.ctypes.data_as(u64p),
+                logcap, cap, outp,
+            )
+
+    elif hasattr(lib, "kmerio_overlap_edges_cap"):
         lib.kmerio_overlap_edges_cap.restype = ctypes.c_long
         lib.kmerio_overlap_edges_cap.argtypes = [
             i64p, i64p, ctypes.c_long, ctypes.c_int,
             i64p, i64p, ctypes.c_int, ctypes.c_long, i64p,
         ]
-        count = lib.kmerio_overlap_edges_cap(
-            *args, cap, out.ctypes.data_as(i64p)
-        )
+        ptab.fill(np.uint64(2**64 - 1))
+        stab.fill(np.uint64(2**64 - 1))
+
+        def cap_fn(cap, outp):
+            return lib.kmerio_overlap_edges_cap(*args, cap, outp)
+
+    if cap_fn is not None:
+        cap = 8 * n + 1024
+        out = np.empty(2 * cap, dtype=np.int64)
+        count = cap_fn(cap, out.ctypes.data_as(i64p))
         if count >= 0:
             pairs = out[: 2 * count].reshape(-1, 2)
             return pairs[:, 0], pairs[:, 1]
-        ptab.fill(-1)
-        stab.fill(-1)
+        ptab.fill(np.uint64(2**64 - 1))
+        stab.fill(np.uint64(2**64 - 1))
     count = lib.kmerio_overlap_edges(*args, 1, None)
     out = np.empty(2 * max(count, 1), dtype=np.int64)
     lib.kmerio_overlap_edges(*args, 0, out.ctypes.data_as(i64p))

@@ -376,6 +376,23 @@ static inline uint64_t mix64(uint64_t x) {
     x ^= x >> 33; return x;
 }
 
+/* KMERIO_TIMING=1 prints per-section wall times of the probe-heavy
+ * functions to stderr — the roofline instrumentation behind
+ * docs/DESIGN.md's host-phase numbers. */
+#include <stdio.h>
+#include <time.h>
+static int timing_on(void) {
+    static int v = -1;
+    if (v < 0) { const char *e = getenv("KMERIO_TIMING"); v = (e && *e) ? 1 : 0; }
+    return v;
+}
+static double now_s(void) {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
+#define TLOG(...) do { if (timing_on()) fprintf(stderr, __VA_ARGS__); } while (0)
+
 /* table: 2^logcap slots of int32 indices into A, -1 = empty. */
 static void hash_build(const int64_t *A, long n, int32_t *table, int logcap) {
     const uint64_t mask = (1ULL << logcap) - 1;
@@ -503,7 +520,10 @@ void kmerio_side_tables_merge(const int64_t *A, long n, int k, int canonical,
                               int32_t *rdeg, int32_t *rnbr, uint8_t *rsame,
                               int32_t *ldeg, int32_t *lnbr, uint8_t *lsame) {
     if (n <= 0) return;
+    double t0 = now_s();
     if (canonical) hash_build(A, n, table, logcap);
+    TLOG("side_tables: hash_build: %.2fs\n", now_s() - t0);
+    double t_cand = 0, t_probe = 0, t_merge = 0, tx;
     const uint64_t kmask = (1ULL << (2 * k)) - 1;
     const uint64_t tmask = (1ULL << logcap) - 1;
     memset(rdeg, 0, (size_t)n * 4); memset(ldeg, 0, (size_t)n * 4);
@@ -523,6 +543,7 @@ void kmerio_side_tables_merge(const int64_t *A, long n, int k, int canonical,
         int32_t *nbr = side ? lnbr : rnbr;
         uint8_t *same = side ? lsame : rsame;
         for (int c = 0; c < 4; c++) {
+            tx = now_s();
             #pragma omp parallel for schedule(static)
             for (long i = 0; i < n; i++) {
                 uint64_t cand =
@@ -532,6 +553,8 @@ void kmerio_side_tables_merge(const int64_t *A, long n, int k, int canonical,
                 q[i] = (int64_t)cand;
                 if (canonical) qr[i] = (int64_t)rc_one(cand, k);
             }
+            t_cand += now_s() - tx;
+            tx = now_s();
             if (canonical) {
                 /* rc-canonical candidates: probe (latency-bound). */
                 #pragma omp parallel for schedule(static)
@@ -548,6 +571,8 @@ void kmerio_side_tables_merge(const int64_t *A, long n, int k, int canonical,
                     }
                 }
             }
+            t_probe += now_s() - tx;
+            tx = now_s();
             /* direct candidates: two-pointer merges over sorted runs. */
             if (side == 0) {
                 #pragma omp parallel for schedule(static)
@@ -577,10 +602,172 @@ void kmerio_side_tables_merge(const int64_t *A, long n, int k, int canonical,
                     }
                 }
             }
+            t_merge += now_s() - tx;
         }
     }
+    TLOG("side_tables: candidates: %.2fs  probes: %.2fs  merges: %.2fs\n",
+         t_cand, t_probe, t_merge);
     free(q);
     free(qr);
+}
+
+/* Dense canonical window keys, int32 edition (k <= 15: 2k <= 30 bits).
+ * One rolling pass per fragment — the host-count analogue of the device
+ * pack kernel (reference inner loop: lib/core/kmer_counter.h:80-96).
+ * Emits one key per window fully inside a fragment, consecutively
+ * (invalid/straddling windows are skipped, not sentineled), so the
+ * caller sorts a dense int32 array half the size of the int64 path.
+ * offsets: n_frag+1 fragment boundaries into codes.  Returns the number
+ * of keys written. */
+long kmerio_canonical_windows32(const uint8_t *codes, int k, int canonical,
+                                const int64_t *offsets, long n_frag,
+                                int32_t *out) {
+    const uint32_t kmask = (uint32_t)((1u << (2 * k)) - 1);
+    long m = 0;
+    for (long f = 0; f < n_frag; f++) {
+        long lo = offsets[f], hi = offsets[f + 1];
+        if (hi - lo < k) continue;
+        uint32_t fwd = 0, rc = 0;
+        for (long i = lo; i < lo + k - 1; i++) {
+            fwd = ((fwd << 2) | codes[i]) & kmask;
+            rc = (rc >> 2) | ((uint32_t)(3 - codes[i]) << (2 * (k - 1)));
+        }
+        for (long i = lo + k - 1; i < hi; i++) {
+            fwd = ((fwd << 2) | codes[i]) & kmask;
+            rc = (rc >> 2) | ((uint32_t)(3 - codes[i]) << (2 * (k - 1)));
+            uint32_t key = (canonical && rc < fwd) ? rc : fwd;
+            out[m++] = (int32_t)key;
+        }
+    }
+    return m;
+}
+
+/* --- packed-fingerprint open addressing ---------------------------------
+ * Every probe of the int32-index tables above costs TWO dependent cache
+ * misses (table slot -> key array verify).  Packing (idx+1) << 32 | fp32
+ * into one int64 slot answers a probe with ONE random read: fp32 is the
+ * key's low 32 bits — exact for 2k <= 32 (k <= 16, every CLI count k's
+ * side tables), a 2^-32 filter above that (verified against the key
+ * array only on fp match, i.e. ~only on true hits). */
+
+static void fp_build(const int64_t *A, long n, uint64_t *tab, int logcap) {
+    const uint64_t mask = (1ULL << logcap) - 1;
+    for (long i = 0; i < n; i++) {
+        uint64_t key = (uint64_t)A[i];
+        uint64_t h = mix64(key) & mask;
+        while (tab[h]) h = (h + 1) & mask;
+        tab[h] = (((uint64_t)(i + 1)) << 32) | (uint32_t)key;
+    }
+}
+
+static inline int32_t fp_find(const int64_t *A, const uint64_t *tab,
+                              uint64_t tmask, int wide, uint64_t key) {
+    uint32_t fp = (uint32_t)key;
+    uint64_t h = mix64(key) & tmask;
+    for (;;) {
+        uint64_t e = tab[h];
+        if (!e) return -1;
+        if ((uint32_t)e == fp) {
+            int32_t idx = (int32_t)((e >> 32) - 1);
+            if (!wide || A[idx] == (int64_t)key) return idx;
+        }
+        h = (h + 1) & tmask;
+    }
+}
+
+/* Side tables, fp edition: same contract as kmerio_side_tables_merge but
+ * the hash table is uint64[1 << logcap] ZEROED by the caller, probes are
+ * single-read, and the candidate arrays are fused into the loops (the
+ * q/qr temporaries cost ~2 GB of traffic per call at 29M k-mers). */
+void kmerio_side_tables_fp(const int64_t *A, long n, int k, int canonical,
+                           uint64_t *tab, int logcap,
+                           int32_t *rdeg, int32_t *rnbr, uint8_t *rsame,
+                           int32_t *ldeg, int32_t *lnbr, uint8_t *lsame) {
+    if (n <= 0) return;
+    double t0 = now_s();
+    if (canonical) fp_build(A, n, tab, logcap);
+    TLOG("side_tables_fp: build: %.2fs\n", now_s() - t0);
+    double t_probe = 0, t_merge = 0, tx;
+    const uint64_t kmask = (1ULL << (2 * k)) - 1;
+    const uint64_t tmask = (1ULL << logcap) - 1;
+    const int wide = (2 * k) > 32;
+    memset(rdeg, 0, (size_t)n * 4); memset(ldeg, 0, (size_t)n * 4);
+    memset(rnbr, 0, (size_t)n * 4); memset(lnbr, 0, (size_t)n * 4);
+    memset(rsame, 0, (size_t)n);    memset(lsame, 0, (size_t)n);
+    enum { PD = 32 };
+    long class_lo[5];
+    for (int b = 0; b < 4; b++)
+        class_lo[b] = lower_bound64(A, n, (int64_t)((uint64_t)b << (2 * k - 2)));
+    class_lo[4] = n;
+    for (int side = 0; side < 2; side++) {
+        int32_t *deg = side ? ldeg : rdeg;
+        int32_t *nbr = side ? lnbr : rnbr;
+        uint8_t *same = side ? lsame : rsame;
+        for (int c = 0; c < 4; c++) {
+            #define CAND(i)                                                  \
+                (side ? (((uint64_t)A[i] >> 2) |                             \
+                         ((uint64_t)c << (2 * (k - 1))))                     \
+                      : ((((uint64_t)A[i] << 2) | (uint64_t)c) & kmask))
+            tx = now_s();
+            if (canonical) {
+                /* rc-canonical candidates: fp probes (latency-bound). */
+                #pragma omp parallel for schedule(static)
+                for (long i = 0; i < n; i++) {
+                    if (i + PD < n) {
+                        uint64_t cp = CAND(i + PD);
+                        uint64_t qp = rc_one(cp, k);
+                        if (qp < cp)
+                            __builtin_prefetch(&tab[mix64(qp) & tmask]);
+                    }
+                    uint64_t cand = CAND(i);
+                    uint64_t qr = rc_one(cand, k);
+                    if (qr >= cand) continue;
+                    if ((int64_t)qr == A[i]) continue; /* self loop */
+                    int32_t idx = fp_find(A, tab, tmask, wide, qr);
+                    if (idx >= 0) {
+                        if (deg[i] == 0) { nbr[i] = idx; same[i] = 1; }
+                        deg[i]++;
+                    }
+                }
+            }
+            t_probe += now_s() - tx;
+            tx = now_s();
+            /* direct candidates: two-pointer merges over sorted runs. */
+            if (side == 0) {
+                #pragma omp parallel for schedule(static)
+                for (int b = 0; b < 4; b++) {
+                    long j = 0;
+                    for (long i = class_lo[b]; i < class_lo[b + 1]; i++) {
+                        uint64_t cand = CAND(i);
+                        if (canonical && rc_one(cand, k) < cand) continue;
+                        int64_t v = (int64_t)cand;
+                        while (j < n && A[j] < v) j++;
+                        if (j >= n) break;
+                        if (A[j] == v && v != A[i]) {
+                            if (deg[i] == 0) { nbr[i] = (int32_t)j; }
+                            deg[i]++;
+                        }
+                    }
+                }
+            } else {
+                long j = 0;
+                for (long i = 0; i < n; i++) {
+                    uint64_t cand = CAND(i);
+                    if (canonical && rc_one(cand, k) < cand) continue;
+                    int64_t v = (int64_t)cand;
+                    while (j < n && A[j] < v) j++;
+                    if (j >= n) break;
+                    if (A[j] == v && v != A[i]) {
+                        if (deg[i] == 0) { nbr[i] = (int32_t)j; }
+                        deg[i]++;
+                    }
+                }
+            }
+            t_merge += now_s() - tx;
+            #undef CAND
+        }
+    }
+    TLOG("side_tables_fp: probes: %.2fs  merges: %.2fs\n", t_probe, t_merge);
 }
 
 /* Reference-style canonical k-mer counter: rolling window + rolling
@@ -747,8 +934,11 @@ long kmerio_overlap_edges_cap(const int64_t *P, const int64_t *S, long n,
                               int k, int64_t *ptab, int64_t *stab,
                               int logcap, long cap, int64_t *out) {
     const uint64_t kmask = (1ULL << (2 * k)) - 1;
+    double t0 = now_s();
     mm_build(P, n, ptab, logcap);
     mm_build(S, n, stab, logcap);
+    TLOG("overlap_edges: mm_build: %.2fs\n", now_s() - t0);
+    t0 = now_s();
     long pos = 0;
     #define EMIT(keys, tab, q, a_port, bit, skip)                          \
         do {                                                               \
@@ -793,6 +983,91 @@ long kmerio_overlap_edges_cap(const int64_t *P, const int64_t *S, long n,
     }
     #undef PF
     #undef EMIT
+    TLOG("overlap_edges: probes: %.2fs\n", now_s() - t0);
+    return pos;
+}
+
+/* fp-packed multimap probe: same walk/emission order as mm_probe_emit
+ * (insertion = ascending id order) with one random read per slot. */
+static long fpmm_probe_emit(const int64_t *keys, const uint64_t *tab,
+                            uint64_t tmask, int wide, int64_t q,
+                            int64_t a_port, int dst_side_bit, long skip_id,
+                            int64_t *out, long pos, long cap) {
+    uint32_t fp = (uint32_t)q;
+    uint64_t h = mix64((uint64_t)q) & tmask;
+    for (;;) {
+        uint64_t e = tab[h];
+        if (!e) return pos;
+        if ((uint32_t)e == fp) {
+            long j = (long)(e >> 32) - 1;
+            if (j != skip_id && (!wide || keys[j] == q)) {
+                if (pos >= cap) return -1;
+                out[2 * pos] = a_port;
+                out[2 * pos + 1] = 2 * j + dst_side_bit;
+                pos++;
+            }
+        }
+        h = (h + 1) & tmask;
+    }
+}
+
+/* Overlap edges, fp edition: contract of kmerio_overlap_edges_cap with
+ * uint64 tables ZEROED by the caller and single-read probes. */
+long kmerio_overlap_edges_fp(const int64_t *P, const int64_t *S, long n,
+                             int k, uint64_t *ptab, uint64_t *stab,
+                             int logcap, long cap, int64_t *out) {
+    const uint64_t kmask = (1ULL << (2 * k)) - 1;
+    const uint64_t tmask = (1ULL << logcap) - 1;
+    const int wide = (2 * k) > 32;
+    double t0 = now_s();
+    fp_build(P, n, ptab, logcap);
+    fp_build(S, n, stab, logcap);
+    TLOG("overlap_edges_fp: build: %.2fs\n", now_s() - t0);
+    t0 = now_s();
+    long pos = 0;
+    enum { OPD = 32 };
+    #define EMIT(keys, tab, q, a_port, bit, skip)                          \
+        do {                                                               \
+            pos = fpmm_probe_emit(keys, tab, tmask, wide, (int64_t)(q),    \
+                                  a_port, bit, skip, out, pos, cap);       \
+            if (pos < 0) return -1;                                        \
+        } while (0)
+    #define PF(tab, qexpr)                                                 \
+        do {                                                               \
+            if (i + OPD < n)                                               \
+                __builtin_prefetch(&(tab)[mix64((uint64_t)(qexpr)) & tmask]); \
+        } while (0)
+    for (int c = 0; c < 4; c++) {
+        for (long i = 0; i < n; i++) {
+            PF(ptab, ((((uint64_t)S[i + OPD] << 2) | (uint64_t)c) & kmask));
+            uint64_t q = (((uint64_t)S[i] << 2) | (uint64_t)c) & kmask;
+            EMIT(P, ptab, q, 2 * i, 1, i);
+        }
+        for (long i = 0; i < n; i++) {
+            PF(stab, rc_one((((uint64_t)S[i + OPD] << 2) | (uint64_t)c) & kmask, k));
+            uint64_t q = (((uint64_t)S[i] << 2) | (uint64_t)c) & kmask;
+            EMIT(S, stab, rc_one(q, k), 2 * i, 0, i);
+        }
+    }
+    for (int c = 0; c < 4; c++) {
+        for (long i = 0; i < n; i++) {
+            PF(stab, (((uint64_t)P[i + OPD] >> 2) |
+                      ((uint64_t)c << (2 * (k - 1)))));
+            uint64_t r = ((uint64_t)P[i] >> 2) |
+                         ((uint64_t)c << (2 * (k - 1)));
+            EMIT(S, stab, r, 2 * i + 1, 0, i);
+        }
+        for (long i = 0; i < n; i++) {
+            PF(ptab, rc_one(((uint64_t)P[i + OPD] >> 2) |
+                            ((uint64_t)c << (2 * (k - 1))), k));
+            uint64_t r = ((uint64_t)P[i] >> 2) |
+                         ((uint64_t)c << (2 * (k - 1)));
+            EMIT(P, ptab, rc_one(r, k), 2 * i + 1, 1, i);
+        }
+    }
+    #undef PF
+    #undef EMIT
+    TLOG("overlap_edges_fp: probes: %.2fs\n", now_s() - t0);
     return pos;
 }
 
