@@ -196,22 +196,51 @@ def chain_walk_kept(
             ]
         except AttributeError:  # stale lib without the new symbols
             return None
+        try:
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.kmerio_chain_pairs.restype = ctypes.c_long
+            lib.kmerio_chain_pairs.argtypes = [
+                i64p, ctypes.c_long, i64p, ctypes.c_long, u8p,
+                i64p, i64p, i64p,
+            ]
+            lib._chain_pairs = True
+        except AttributeError:
+            lib._chain_pairs = False
         lib._chain_kept_ready = True
     succ = np.ascontiguousarray(succ, dtype=np.int64)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     n = succ.shape[0]
     ns = starts.shape[0]
     i64p = ctypes.POINTER(ctypes.c_int64)
-    lens = np.empty(ns, dtype=np.int64)
-    ends = np.empty(ns, dtype=np.int64)
-    lib.kmerio_chain_lens_ends(
-        succ.ctypes.data_as(i64p), n,
-        starts.ctypes.data_as(i64p), ns,
-        lens.ctypes.data_as(i64p), ends.ctypes.data_as(i64p),
-    )
-    keep = keep_fn(starts, ends)
-    kept = np.ascontiguousarray(starts[keep])
-    kept_lens = lens[keep]
+    if lib._chain_pairs:
+        # Mirror-dedup pass 1 (each chain pair measured once: n visits,
+        # not 2n), then the orientation winner per pair is emitted.
+        seen = np.zeros(n, dtype=np.uint8)
+        s_arr = np.empty(ns, dtype=np.int64)
+        e_arr = np.empty(ns, dtype=np.int64)
+        l_arr = np.empty(ns, dtype=np.int64)
+        nc = lib.kmerio_chain_pairs(
+            succ.ctypes.data_as(i64p), n,
+            starts.ctypes.data_as(i64p), ns,
+            seen.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            s_arr.ctypes.data_as(i64p), e_arr.ctypes.data_as(i64p),
+            l_arr.ctypes.data_as(i64p),
+        )
+        s_arr, e_arr, l_arr = s_arr[:nc], e_arr[:nc], l_arr[:nc]
+        keep = keep_fn(s_arr, e_arr)
+        kept = np.ascontiguousarray(np.where(keep, s_arr, e_arr ^ 1))
+        kept_lens = l_arr
+    else:
+        lens = np.empty(ns, dtype=np.int64)
+        ends = np.empty(ns, dtype=np.int64)
+        lib.kmerio_chain_lens_ends(
+            succ.ctypes.data_as(i64p), n,
+            starts.ctypes.data_as(i64p), ns,
+            lens.ctypes.data_as(i64p), ends.ctypes.data_as(i64p),
+        )
+        keep = keep_fn(starts, ends)
+        kept = np.ascontiguousarray(starts[keep])
+        kept_lens = lens[keep]
     groups = np.zeros(kept.shape[0] + 1, dtype=np.int64)
     np.cumsum(kept_lens, out=groups[1:])
     nodes = np.empty(int(groups[-1]), dtype=np.int64)

@@ -243,6 +243,65 @@ void kmerio_chain_lens_ends(const int64_t *succ, long n,
     }
 }
 
+/* Pass 1 with mirror dedup: a bidirected chain s -> e and its mirror
+ * e^1 -> s^1 visit the same entities with the same length, so each
+ * PAIR needs measuring only once — n visits instead of the 2n of
+ * walking every start.  `seen` (caller-zeroed, size n) marks a chain's
+ * own start at completion and its mirror's start; marked starts are
+ * skipped at batch init, and mirrors racing within one interleave
+ * batch are resolved deterministically at completion order (the first
+ * to finish records, the second is dropped).  Walked chains are
+ * emitted compacted as (start, end, len); returns the chain count.
+ * The caller picks each pair's winning orientation from (start, end)
+ * (reference skip rule, lib/core/spss.h:511,555) and emits winners via
+ * kmerio_chain_emit — 2n total visits for the whole phase. */
+long kmerio_chain_pairs(const int64_t *succ, long n,
+                        const int64_t *starts, long n_starts,
+                        uint8_t *seen,
+                        int64_t *out_s, int64_t *out_e, int64_t *out_len) {
+    enum { W = 64 };
+    long cnt = 0;
+    for (long base = 0; base < n_starts; base += W) {
+        long m = n_starts - base < W ? n_starts - base : W;
+        int64_t cur[W], st[W];
+        long len[W];
+        int live = 0;
+        long steps = 0;
+        for (long w = 0; w < m; w++) {
+            int64_t s = starts[base + w];
+            st[w] = s;
+            len[w] = 0;
+            cur[w] = seen[s] ? -1 : s;
+            if (cur[w] >= 0) live++;
+        }
+        while (live > 0 && steps++ <= n) {
+            live = 0;
+            for (long w = 0; w < m; w++) {
+                int64_t u = cur[w];
+                if (u < 0) continue;
+                len[w]++;
+                int64_t nx = succ[u];
+                if (nx >= 0) {
+                    __builtin_prefetch(&succ[nx]);
+                    cur[w] = nx;
+                    live++;
+                } else {
+                    cur[w] = -1;
+                    if (!seen[st[w]]) {
+                        out_s[cnt] = st[w];
+                        out_e[cnt] = u;
+                        out_len[cnt] = len[w];
+                        cnt++;
+                        seen[st[w]] = 1;
+                        seen[u ^ 1] = 1;
+                    }
+                }
+            }
+        }
+    }
+    return cnt;
+}
+
 /* Chain-walk pass 2: emits node sequences at caller-precomputed offsets
  * (group_starts = exclusive prefix sum of kept lengths). */
 void kmerio_chain_emit(const int64_t *succ, long n,
