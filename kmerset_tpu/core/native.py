@@ -454,6 +454,50 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
     )
 
 
+def walk_cycles(
+    succ: np.ndarray, A: np.ndarray, k: int, oriented: bool, visited: np.ndarray
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """One-pass native walk of leftover pure cycles (reference:
+    lib/core/spss.h:203-224,583-612), byte-identical to the Python
+    fallback's output (same ascending-entity order, same stop rule).
+    Mutates `visited`; returns (codes, offsets) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_wc_ready"):
+        try:
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.kmerio_walk_cycles.restype = ctypes.c_long
+            lib.kmerio_walk_cycles.argtypes = [
+                i64p, i64p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+                u8p, u8p, i64p,
+            ]
+            lib._wc = True
+        except AttributeError:
+            lib._wc = False
+        lib._wc_ready = True
+    if not lib._wc:
+        return None
+    succ = np.ascontiguousarray(succ, dtype=np.int64)
+    A = np.ascontiguousarray(A, dtype=np.int64)
+    n_ent = A.shape[0]
+    vis = np.ascontiguousarray(visited, dtype=np.uint8)
+    m = int(n_ent - np.count_nonzero(vis))
+    codes = np.empty(max(m * k, 1), dtype=np.uint8)
+    offsets = np.zeros(m + 1, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n_cyc = lib.kmerio_walk_cycles(
+        succ.ctypes.data_as(i64p), A.ctypes.data_as(i64p), n_ent, k,
+        1 if oriented else 0,
+        vis.ctypes.data_as(u8p), codes.ctypes.data_as(u8p),
+        offsets.ctypes.data_as(i64p),
+    )
+    visited[:] = vis.view(bool) if visited.dtype == bool else vis
+    return codes[: int(offsets[n_cyc])], offsets[: n_cyc + 1]
+
+
 def canonical_windows32(
     codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool
 ) -> Optional[np.ndarray]:

@@ -268,8 +268,14 @@ def _walk_cycles(
 ) -> PackedStrings:
     """Sequential walk of leftover pure cycles, in ascending k-mer order,
     stopping at the first already-visited k-mer (reference:
-    lib/core/spss.h:203-224,583-612).  Cycles are rare; chains take the
-    vectorized path."""
+    lib/core/spss.h:203-224,583-612).  Native one-pass C walk when the
+    library is built (all-cycle worst-case inputs — circular plasmids,
+    repeat-heavy genomes — run at chain-emission speed); the Python
+    per-k-mer loop below is the byte-identical fallback."""
+    res = native.walk_cycles(succ, A, k, oriented, visited)
+    if res is not None:
+        codes, offsets = res
+        return PackedStrings(codes, offsets)
     out: List[np.ndarray] = []
     for i0 in np.flatnonzero(~visited):
         if visited[i0]:

@@ -333,6 +333,47 @@ void kmerio_chain_emit(const int64_t *succ, long n,
     }
 }
 
+static inline uint64_t rc_one(uint64_t v, int k);
+
+/* Walks leftover pure cycles in ascending entity order, stopping each
+ * walk at the first already-visited entity (reference:
+ * lib/core/spss.h:203-224,583-612).  Replaces the per-k-mer Python
+ * fallback loop: one C pass, emitting k codes for a cycle's first node
+ * and one code per following node.  oriented != 0 means node ids carry
+ * the orientation bit (bidirected graphs) and A values are
+ * reverse-complemented when it is set.
+ * visited: size n_ent, updated in place.  out_codes must hold
+ * (n_unvisited * k) bytes worst-case; out_offsets n_unvisited + 1.
+ * Returns the number of cycles emitted (out_offsets[0] == 0). */
+long kmerio_walk_cycles(const int64_t *succ, const int64_t *A, long n_ent,
+                        int k, int oriented, uint8_t *visited,
+                        uint8_t *out_codes, int64_t *out_offsets) {
+    long n_cyc = 0, pos = 0;
+    out_offsets[0] = 0;
+    for (long i0 = 0; i0 < n_ent; i0++) {
+        if (visited[i0]) continue;
+        int64_t u = oriented ? 2 * i0 : i0;
+        int first = 1;
+        while (u >= 0) {
+            long ent = oriented ? (u >> 1) : u;
+            if (visited[ent]) break;
+            visited[ent] = 1;
+            uint64_t val = (uint64_t)A[ent];
+            if (oriented && (u & 1)) val = rc_one(val, k);
+            if (first) {
+                for (int t = k - 1; t >= 0; t--)
+                    out_codes[pos++] = (uint8_t)((val >> (2 * t)) & 3);
+                first = 0;
+            } else {
+                out_codes[pos++] = (uint8_t)(val & 3);
+            }
+            u = succ[u];
+        }
+        if (!first) out_offsets[++n_cyc] = pos;
+    }
+    return n_cyc;
+}
+
 /* Reverse complement of 2-bit packed k-mers: complement every lane and
  * reverse lane order (reference per-base loop: lib/core/kmer.h:103-129;
  * here the 5-round lane shuffle, one pass over the array). */

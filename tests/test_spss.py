@@ -204,3 +204,87 @@ def test_greedy_match_native_equals_handshake_rounds():
         finally:
             native._LIB = lib
         np.testing.assert_array_equal(nm, hm)
+
+
+def _circular_read(L, k, seed):
+    rng = np.random.default_rng(seed)
+    s = "".join("ACGT"[c] for c in rng.integers(0, 4, L))
+    return s + s[: k - 1]
+
+
+@pytest.mark.parametrize("canonical", [False, True])
+def test_all_cycle_input_native_matches_fallback(canonical):
+    """Worst case for cycle emission: the whole graph is cycles (a
+    circular genome).  The native one-pass walk must be byte-identical
+    to the Python fallback and reconstruct exactly (VERDICT r1 #6;
+    reference: lib/core/spss.h:583-612)."""
+    from kmerset_tpu.core import native, spss
+    from kmerset_tpu.core.kmer_counter import KmerCounter
+
+    k = 9
+    read = _circular_read(300, k, 5)
+    counter = KmerCounter.from_reads(k, [read], canonical)
+    ks, _ = counter.to_kmer_set(1)
+    get = spss.get_unitigs_canonical if canonical else spss.get_unitigs
+
+    un_native = get(ks)
+    had_native = native.get_lib() is not None
+    lib = native._LIB
+    native._LIB = None
+    try:
+        un_py = get(ks)
+    finally:
+        native._LIB = lib
+    if had_native:
+        # Chain group order is allowed to differ between the native and
+        # fallback walks; the string multiset must not.
+        assert sorted(un_native.to_strings()) == sorted(un_py.to_strings())
+    # Reconstruction invariant: decode == input set, every k-mer once.
+    dec = spss.get_kmer_set_from_spss(un_native, k, canonical)
+    assert dec.equals(ks)
+    total_kmers = sum(
+        max(0, int(l) - k + 1) for l in un_native.lengths()
+    )
+    assert total_kmers == ks.size()
+
+
+@pytest.mark.parametrize("oriented", [False, True])
+def test_walk_cycles_native_byte_parity(oriented):
+    """native.walk_cycles must traverse and emit byte-identically to the
+    Python fallback loop on the same successor graph (including the
+    reverse-complement branch for oriented nodes)."""
+    from kmerset_tpu.core import native
+    from kmerset_tpu.core.spss import _walk_cycles
+
+    if native.get_lib() is None:
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(31)
+    k = 9
+    n = 64
+    A = np.sort(
+        rng.choice(1 << (2 * k), size=n, replace=False).astype(np.int64)
+    )
+    if oriented:
+        perm = rng.permutation(n)
+        perm2 = rng.permutation(n)
+        succ = np.empty(2 * n, dtype=np.int64)
+        succ[0::2] = 2 * perm + (np.arange(n) & 1)
+        succ[1::2] = 2 * perm2 + ((np.arange(n) >> 1) & 1)
+    else:
+        succ = rng.permutation(n).astype(np.int64)
+    # Mark a few entities visited up front: walks must stop there.
+    visited0 = np.zeros(n, dtype=bool)
+    visited0[rng.choice(n, 5, replace=False)] = True
+
+    res = native.walk_cycles(succ, A, k, oriented, visited0.copy())
+    assert res is not None
+    codes_n, offsets_n = res
+
+    lib = native._LIB
+    native._LIB = None
+    try:
+        ps = _walk_cycles(A, k, succ, visited0.copy(), oriented)
+    finally:
+        native._LIB = lib
+    np.testing.assert_array_equal(codes_n, ps.codes)
+    np.testing.assert_array_equal(offsets_n, ps.offsets)
