@@ -50,27 +50,28 @@ def main(argv=None) -> None:
 
     maybe_init_distributed()
 
-    logger.info("constructing kmer_counter")
-    try:
-        counter = KmerCounter.from_fasta(
-            cfg.k, args.file, args.decompressor, args.canonical
-        )
-    except Exception as e:  # noqa: BLE001 - CLI boundary
-        logger.error("failed to parse FASTA file: %s", e)
-        sys.exit(1)
-    logger.info("constructed kmer_counter")
+    with flag_util.trace_context(args):
+        logger.info("constructing kmer_counter")
+        try:
+            counter = KmerCounter.from_fasta(
+                cfg.k, args.file, args.decompressor, args.canonical
+            )
+        except Exception as e:  # noqa: BLE001 - CLI boundary
+            logger.error("failed to parse FASTA file: %s", e)
+            sys.exit(1)
+        logger.info("constructed kmer_counter")
 
-    logger.info("constructing kmer_set")
-    kmer_set, cutoff_count = counter.to_kmer_set(args.cutoff)
-    logger.info("constructed kmer_set")
-    logger.info("cutoff_count = %d", cutoff_count)
-    logger.info("kmer_set.Size() = %d", kmer_set.size())
-    logger.info("kmer_set.Hash() = %d", kmer_set.hash())
+        logger.info("constructing kmer_set")
+        kmer_set, cutoff_count = counter.to_kmer_set(args.cutoff)
+        logger.info("constructed kmer_set")
+        logger.info("cutoff_count = %d", cutoff_count)
+        logger.info("kmer_set.Size() = %d", kmer_set.size())
+        logger.info("kmer_set.Hash() = %d", kmer_set.hash())
 
-    logger.info("constructing kmer_set_compact")
-    compact = KmerSetCompact.from_kmer_set(kmer_set, args.canonical, fast=True)
-    logger.info("constructed kmer_set_compact")
-    logger.info("kmer_set_compact.Size() = %d", compact.size())
+        logger.info("constructing kmer_set_compact")
+        compact = KmerSetCompact.from_kmer_set(kmer_set, args.canonical, fast=True)
+        logger.info("constructed kmer_set_compact")
+        logger.info("kmer_set_compact.Size() = %d", compact.size())
 
     if args.check:
         decompressed = compact.to_kmer_set(args.canonical)

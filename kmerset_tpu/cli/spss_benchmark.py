@@ -65,6 +65,16 @@ def main(argv=None) -> None:
     unitigs = spss_mod.get_unitigs_canonical(kmer_set)
     logger.info("constructed unitigs")
 
+    trace_ctx = flag_util.trace_context(args)
+    with trace_ctx:
+        _run_repeats(args, cfg, logger, kmer_set, unitigs)
+
+
+def _run_repeats(args, cfg, logger, kmer_set, unitigs):
+    import time
+
+    from ..core import spss as spss_mod
+
     for _ in range(args.repeats):
         out = []
         for fast in (False, True):

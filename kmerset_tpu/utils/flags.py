@@ -90,8 +90,30 @@ def add_common_flags(
     parser.add_argument(
         "--workers", type=int, default=1, help=get_flag_message("workers")
     )
+    # Extension over the reference flag surface (SURVEY §5.1): the
+    # reference's only tracing is stopwatch logs (spss-benchmark.cc:21,
+    # 80-87); here the full XLA op timeline is capturable.
+    parser.add_argument(
+        "--trace",
+        default="",
+        help="capture a jax.profiler trace of the run into this directory",
+    )
     if canonical:
         add_bool_flag(parser, "canonical", True, get_flag_message("canonical"))
+
+
+def trace_context(args):
+    """Context manager for --trace: a `jax.profiler.trace` capture when a
+    directory was given, a no-op otherwise (SURVEY §5.1's TPU-native
+    upgrade of the reference's stopwatch narration)."""
+    import contextlib
+
+    trace_dir = getattr(args, "trace", "")
+    if not trace_dir:
+        return contextlib.nullcontext()
+    import jax
+
+    return jax.profiler.trace(trace_dir)
 
 
 def apply_workers(args) -> None:

@@ -237,3 +237,24 @@ def test_workers_flag_accepted_and_applied(tmp_path, genome_reads):
             outs[w] = f.read()
     # Output is deterministic regardless of thread count.
     assert outs["1"] == outs["2"]
+
+
+def test_build_trace_flag_produces_profile(tmp_path, genome_reads):
+    """--trace DIR captures a jax.profiler trace during the build
+    (SURVEY §5.1: the XLA-timeline upgrade of the reference's stopwatch
+    logs, spss-benchmark.cc:21,80-87)."""
+    import os
+
+    genome, reads = genome_reads
+    fasta = str(tmp_path / "reads.fasta")
+    _write_fasta(fasta, reads)
+    trace_dir = str(tmp_path / "trace")
+    r = _run(
+        ["kmerset_tpu.cli.kmerset_build", "--k", "15", "--trace", trace_dir,
+         "--out", str(tmp_path / "s.txt"), fasta]
+    )
+    assert r.returncode == 0, r.stderr
+    found = []
+    for root, _dirs, files in os.walk(trace_dir):
+        found += [f for f in files if f.endswith((".pb", ".json.gz", ".trace.json.gz", ".xplane.pb"))]
+    assert found, f"no trace artifacts under {trace_dir}"
