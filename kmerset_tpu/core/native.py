@@ -454,6 +454,40 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
     )
 
 
+def seq_match(
+    pa: np.ndarray, pb: np.ndarray, n_nodes: int
+) -> Optional[np.ndarray]:
+    """Native sequential greedy path-extension matching (reference's
+    higher-quality mode, lib/core/spss.h:1208-1356), byte-identical to
+    core/spss.py::_sequential_matching.  Returns match[2*n_nodes] or
+    None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_sm_ready"):
+        try:
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.kmerio_seq_match.restype = ctypes.c_long
+            lib.kmerio_seq_match.argtypes = [
+                i64p, i64p, ctypes.c_long, ctypes.c_long, i64p,
+            ]
+            lib._sm = True
+        except AttributeError:
+            lib._sm = False
+        lib._sm_ready = True
+    if not lib._sm:
+        return None
+    pa = np.ascontiguousarray(pa, dtype=np.int64)
+    pb = np.ascontiguousarray(pb, dtype=np.int64)
+    match = np.empty(2 * n_nodes, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.kmerio_seq_match(
+        pa.ctypes.data_as(i64p), pb.ctypes.data_as(i64p), pa.shape[0],
+        n_nodes, match.ctypes.data_as(i64p),
+    )
+    return match if rc == 0 else None
+
+
 def walk_cycles(
     succ: np.ndarray, A: np.ndarray, k: int, oriented: bool, visited: np.ndarray
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:

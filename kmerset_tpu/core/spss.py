@@ -776,7 +776,11 @@ def get_kmer_set_from_spss(spss: PackedStrings, k: int, canonical: bool) -> Kmer
 def _sequential_matching(n: int, pa: np.ndarray, pb: np.ndarray) -> np.ndarray:
     """Single-threaded greedy path extension, the reference's
     higher-quality mode (reference: lib/core/spss.h:1208-1356).  Exists for
-    the spss-benchmark A/B comparison; not a production path."""
+    the spss-benchmark A/B comparison; native one-pass C when available
+    (the Python loop below is its byte-identical specification)."""
+    nm = native.seq_match(pa, pb, n)
+    if nm is not None:
+        return nm
     adj: List[List[int]] = [[] for _ in range(2 * n)]
     for a, b in zip(pa.tolist(), pb.tolist()):
         adj[a].append(b)

@@ -1087,6 +1087,58 @@ long kmerio_overlap_edges_cap(const int64_t *P, const int64_t *S, long n,
     return pos;
 }
 
+/* Sequential greedy path-extension matching — the reference's
+ * higher-quality single-threaded mode (lib/core/spss.h:1208-1356),
+ * exactly mirroring the Python fallback in core/spss.py
+ * (_sequential_matching): scan nodes in id order; from a free node,
+ * extend a path port-to-port, always taking the first eligible
+ * candidate in edge-discovery order; never close a loop with the path's
+ * starting node.  CSR adjacency built in edge order so per-port
+ * candidate order equals the Python list-append order.
+ * match: int64[2 * n_nodes], filled with the partner port or -1.
+ * Returns 0, or -1 on allocation failure (caller falls back). */
+long kmerio_seq_match(const int64_t *pa, const int64_t *pb, long n_e,
+                      long n_nodes, int64_t *match) {
+    long n_ports = 2 * n_nodes;
+    int32_t *off = (int32_t *)malloc(((size_t)n_ports + 1) * 4);
+    int32_t *cur = (int32_t *)malloc((size_t)n_ports * 4);
+    int32_t *dst = (int32_t *)malloc((size_t)2 * (size_t)(n_e ? n_e : 1) * 4);
+    if (!off || !cur || !dst) { free(off); free(cur); free(dst); return -1; }
+    memset(off, 0, ((size_t)n_ports + 1) * 4);
+    for (long e = 0; e < n_e; e++) { off[pa[e] + 1]++; off[pb[e] + 1]++; }
+    for (long p = 0; p < n_ports; p++) off[p + 1] += off[p];
+    memcpy(cur, off, (size_t)n_ports * 4);
+    for (long e = 0; e < n_e; e++) {
+        dst[cur[pa[e]]++] = (int32_t)pb[e];
+        dst[cur[pb[e]]++] = (int32_t)pa[e];
+    }
+    for (long p = 0; p < n_ports; p++) match[p] = -1;
+    for (long i = 0; i < n_nodes; i++) {
+        if (match[2 * i] >= 0 || match[2 * i + 1] >= 0) continue;
+        long port;
+        if (off[2 * i + 1] > off[2 * i]) port = 2 * i;
+        else if (off[2 * i + 2] > off[2 * i + 1]) port = 2 * i + 1;
+        else continue;
+        for (;;) {
+            if (match[port] >= 0) break;
+            long nxt = -1;
+            for (long j = off[port]; j < off[port + 1]; j++) {
+                long q = dst[j];
+                if ((q >> 1) == i) continue; /* would loop to path start */
+                if (match[q] >= 0) continue;
+                nxt = q;
+                break;
+            }
+            if (nxt < 0) break;
+            match[port] = nxt;
+            match[nxt] = port;
+            port = nxt ^ 1;
+        }
+    }
+    free(off); free(cur); free(dst);
+    return 0;
+}
+
 /* fp-packed multimap probe: same walk/emission order as mm_probe_emit
  * (insertion = ascending id order) with one random read per slot. */
 static long fpmm_probe_emit(const int64_t *keys, const uint64_t *tab,

@@ -288,3 +288,27 @@ def test_walk_cycles_native_byte_parity(oriented):
         native._LIB = lib
     np.testing.assert_array_equal(codes_n, ps.codes)
     np.testing.assert_array_equal(offsets_n, ps.offsets)
+
+
+def test_seq_match_native_byte_parity():
+    """native.seq_match must equal the Python _sequential_matching loop
+    exactly (same path-extension order, same loop-avoidance rule)."""
+    from kmerset_tpu.core import native
+    from kmerset_tpu.core.spss import _sequential_matching
+
+    if native.get_lib() is None:
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(41)
+    for _ in range(10):
+        n = int(rng.integers(2, 200))
+        n_e = int(rng.integers(0, 600))
+        pa = rng.integers(0, 2 * n, n_e).astype(np.int64)
+        pb = rng.integers(0, 2 * n, n_e).astype(np.int64)
+        nm = native.seq_match(pa, pb, n)
+        lib = native._LIB
+        native._LIB = None
+        try:
+            pm = _sequential_matching(n, pa, pb)
+        finally:
+            native._LIB = lib
+        np.testing.assert_array_equal(nm, pm)
