@@ -139,11 +139,17 @@ def main() -> None:
         jax.profiler.trace(prof_dir) if prof_dir else contextlib.nullcontext()
     )
 
-    reps = 200
-    t0 = time.perf_counter()
+    # 1000 reps amortize the tunnel's per-dispatch RTT (which fluctuates
+    # by hundreds of ms day to day) below 1% of the measurement; best of
+    # 2 rounds damps chip-side noise.  Production pipelines steps per
+    # dispatch the same way, so steady-state compute is the honest rate.
+    reps = 1000
+    dt = float("inf")
     with ctx:
-        acc = int(loop(codes, reps))  # int() forces full sync
-    dt = (time.perf_counter() - t0) / reps
+        for _ in range(2):
+            t0 = time.perf_counter()
+            acc = int(loop(codes, reps))  # int() forces full sync
+            dt = min(dt, (time.perf_counter() - t0) / reps)
     rate = N_WINDOWS / dt
     print(f"device: {rate/1e6:.2f} Mkmers/s ({dt*1e3:.1f} ms/step)", file=sys.stderr)
 

@@ -79,13 +79,47 @@ class _DeviceWeightOracle:
         return self.table.pair_weights(pairs)
 
 
-def _make_weight_oracle(sketches: List[np.ndarray], n_inputs: int):
+class _MeshWeightOracle:
+    """Pairwise sketch weights over a multi-device mesh
+    (ops/sketch.MeshSketchTable): sketches are key-range sharded, each
+    device intersects its range locally and sizes are psum'd — the
+    similarity phase of a compress run whose sketches exceed one chip."""
+
+    def __init__(self, sketches: List[np.ndarray], k: int):
+        from ..ops.sketch import MeshSketchTable
+
+        self.table = MeshSketchTable(sketches, k)
+
+    def append(self, sketch: np.ndarray) -> None:
+        self.table.append_row(sketch)
+
+    def replace(self, i: int, sketch: np.ndarray) -> None:
+        self.table.set_row(i, sketch)
+
+    def batch(self, pairs: List[Tuple[int, int]]) -> np.ndarray:
+        return self.table.pair_weights(pairs)
+
+
+def _make_weight_oracle(sketches: List[np.ndarray], n_inputs: int, k: int):
+    import os
+
     from ..ops import backend
+    from ..parallel import driver
 
     total = sum(s.shape[0] for s in sketches)
+    work = n_inputs * max(1, total) // 2
     # The all-pairs phase does ~n_inputs * total merge work; offload when
-    # that is large enough to amortize transfers and compiles.
-    if backend.should_use_device(n_inputs * max(1, total) // 2):
+    # that is large enough to amortize transfers and compiles.  With more
+    # than one device attached, the key-range-sharded mesh table scales
+    # the same phase across chips (production wiring of SURVEY §5.8).
+    force = os.environ.get("KMERSET_TPU_FORCE_BACKEND", "")
+    if force == "mesh" or (force != "host" and driver.should_use_mesh(work)):
+        try:
+            backend.enable_compile_cache()
+            return _MeshWeightOracle(sketches, k)
+        except Exception:  # noqa: BLE001 - fall back
+            pass
+    if backend.should_use_device(work):
         try:
             backend.enable_compile_cache()
             return _DeviceWeightOracle(sketches)
@@ -161,7 +195,7 @@ class KmerSetSet:
         sampled: List[np.ndarray] = [
             s.sampled_kmers(cfg, bucket_ids, canonical) for s in sets
         ]
-        oracle = _make_weight_oracle(sampled, n_inputs)
+        oracle = _make_weight_oracle(sampled, n_inputs, cfg.k)
 
         all_pairs = [
             (i, j) for i in range(n_inputs) for j in range(i + 1, n_inputs)

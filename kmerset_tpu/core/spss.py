@@ -750,8 +750,14 @@ def decode_unique_kmers(spss: PackedStrings, k: int, canonical: bool) -> np.ndar
     the device counting pipeline at cutoff 1 under the link-aware offload
     policy (ops/backend.py); otherwise host extract + unique."""
     from ..ops import backend
+    from ..parallel import driver
 
     n_windows = int(spss.codes.shape[0]) - k + 1
+    if n_windows > 0 and driver.should_use_mesh(n_windows):
+        backend.enable_compile_cache()
+        res = driver.mesh_count(spss.codes, spss.offsets, k, canonical)
+        if res is not None:
+            return res[0]
     if n_windows > 0 and backend.should_use_device(n_windows):
         backend.enable_compile_cache()
         uniq = backend.device_unique(spss.codes, spss.offsets, k, canonical)

@@ -378,3 +378,43 @@ def test_device_fallback_is_logged(monkeypatch, caplog):
         "falling back to host" in r.message and "device_count" in r.message
         for r in caplog.records
     )
+
+
+def test_decode_unique_via_mesh(monkeypatch):
+    """decode_unique_kmers routes through mesh_count under mesh force and
+    equals the host decode (the decode-direction scale-out wiring)."""
+    from kmerset_tpu.core import spss
+    from kmerset_tpu.core.strings import PackedStrings
+
+    rng = np.random.default_rng(29)
+    codes = rng.integers(0, 4, 3000).astype(np.uint8)
+    offsets = np.array([0, 1200, 3000], dtype=np.int64)
+    ps = PackedStrings(codes, offsets)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "mesh")
+    got = spss.decode_unique_kmers(ps, 11, True)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    exp = spss.decode_unique_kmers(ps, 11, True)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_multiset_compress_mesh_oracle(monkeypatch):
+    """The multi-set compressor's similarity oracle runs on the mesh
+    under mesh force and produces the same factorization as the host
+    oracle (SURVEY §5.8 production wiring for compress)."""
+    from kmerset_tpu.core.config import get_config
+    from kmerset_tpu.core.kmer_set_set import KmerSetSet
+    from kmerset_tpu.utils.random import get_random_kmer_sets_compact
+
+    rng = np.random.default_rng(33)
+    sets = get_random_kmer_sets_compact(4, 400, 9, True, rng)
+    cfg = get_config(9, 10)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "mesh")
+    a = KmerSetSet(list(sets), True, cfg, seed=1)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    b = KmerSetSet(list(sets), True, cfg, seed=1)
+    assert a.children_ == b.children_
+    assert a.size() == b.size()
+    for i in range(4):
+        ka = a.get(i, True)
+        kb = b.get(i, True)
+        assert ka.equals(kb)
