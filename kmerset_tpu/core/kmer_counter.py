@@ -217,6 +217,10 @@ class KmerCounter:
         """Filters out k-mers with count < cutoff; returns (set, n_cut)
         (reference: lib/core/kmer_counter.h:211-243)."""
         self._flush()
+        if cutoff <= 1:
+            # Nothing to filter: reuse the sorted array (skips a full
+            # fancy-index copy — ~233 MB at 29M k-mers).
+            return KmerSet(self.k, self.kmers, _sorted=True), 0
         keep = self.counts >= cutoff
         n_cut = int(np.count_nonzero(~keep))
         return KmerSet(self.k, self.kmers[keep], _sorted=True), n_cut
