@@ -123,6 +123,187 @@ def sharded_count_fn(mesh: Mesh, k: int, canonical: bool, capacity: int):
     return jax.jit(sharded)
 
 
+def _rc_bits(x, k: int, nbits: int):
+    """Reverse complement of packed k-mers as a bit swizzle: complement
+    every base, reverse 2-bit lanes, shift down to 2k bits."""
+    if nbits == 32:
+        m2 = jnp.int32(0x33333333)
+        m4 = jnp.int32(0x0F0F0F0F)
+        x = ~x
+        x = ((x >> 2) & m2) | ((x & m2) << 2)
+        x = ((x >> 4) & m4) | ((x & m4) << 4)
+        # byte reverse via shifts (int32)
+        b0 = (x >> 24) & jnp.int32(0xFF)
+        b1 = (x >> 16) & jnp.int32(0xFF)
+        b2 = (x >> 8) & jnp.int32(0xFF)
+        b3 = x & jnp.int32(0xFF)
+        x = (b3 << 24) | (b2 << 16) | (b1 << 8) | b0
+        return jax.lax.shift_right_logical(x, jnp.int32(32 - 2 * k))
+    m2 = jnp.int64(0x3333333333333333)
+    m4 = jnp.int64(0x0F0F0F0F0F0F0F0F)
+    m8 = jnp.int64(0x00FF00FF00FF00FF)
+    m16 = jnp.int64(0x0000FFFF0000FFFF)
+    x = ~x
+    x = ((x >> 2) & m2) | ((x & m2) << 2)
+    x = ((x >> 4) & m4) | ((x & m4) << 4)
+    x = (jax.lax.shift_right_logical(x, jnp.int64(8)) & m8) | ((x & m8) << 8)
+    x = (jax.lax.shift_right_logical(x, jnp.int64(16)) & m16) | ((x & m16) << 16)
+    x = jax.lax.shift_right_logical(x, jnp.int64(32)) | (x << 32)
+    return jax.lax.shift_right_logical(x, jnp.int64(64 - 2 * k))
+
+
+def sharded_side_tables_fn(mesh: Mesh, k: int, canonical: bool, qcap: int):
+    """Builds the jitted multi-device side-table step — the distributed
+    form of SPSS hot loop #2 (8 membership lookups per k-mer, reference:
+    lib/core/spss.h:238-313), the largest host phase of kmerset-build.
+
+    Input: A sharded P(kv) as per-device sorted key-range blocks of equal
+    capacity, SENTINEL-padded (same layout as every sharded structure
+    here).  Output: (rdeg, rnbr, rsame, ldeg, lnbr, lsame, dropped), all
+    sharded like A; nbr holds DENSE global indices (position in the
+    concatenation of live prefixes), directly comparable to the host
+    `native.side_tables` on the gathered array.
+
+    Pattern: each device derives its 8 extension candidates locally,
+    canonicalizes, routes queries to their key-range owner with a
+    fixed-capacity all_to_all (qcap per (src, dst) lane; overflow is
+    counted in `dropped` so callers can retry bigger), the owner answers
+    by sort-join against its sorted block, and a reverse all_to_all +
+    one slot-keyed sort puts answers back in candidate order.
+    """
+    n_dev = mesh.devices.size
+    edges = _owner_edges(k, n_dev)
+    narrow = k <= SINGLE_MAX_K
+    dt = jnp.int32 if narrow else jnp.int64
+    nbits = 32 if narrow else 64
+    sent = _S_SENT if narrow else SENTINEL
+    kmask = dt((1 << (2 * k)) - 1) if narrow else jnp.int64((1 << (2 * k)) - 1)
+
+    def step(a_local):
+        cap = a_local.shape[0]
+        live = a_local != sent
+        n_live = jnp.sum(live, dtype=jnp.int32)
+        # Dense global offset of this shard: exclusive cumsum over the
+        # gathered live counts.
+        all_live = jax.lax.all_gather(n_live, AXIS)
+        my = jax.lax.axis_index(AXIS)
+        offs = jnp.cumsum(all_live) - all_live
+        my_off = offs[my]
+
+        a = a_local.astype(dt)
+        # 8 candidate families: side 0 = right (next), side 1 = left
+        # (prev); 4 bases each.
+        cands = []
+        for side in (0, 1):
+            for c in range(4):
+                if side == 0:
+                    cand = ((a << 2) | dt(c)) & kmask
+                else:
+                    cand = jax.lax.shift_right_logical(a, dt(2)) | (
+                        dt(c) << (2 * (k - 1))
+                    )
+                if canonical:
+                    rc = _rc_bits(cand, k, nbits)
+                    ncan = jnp.minimum(cand, rc)
+                    same = cand != ncan
+                else:
+                    ncan = cand
+                    same = jnp.zeros(cand.shape, bool)
+                cands.append((ncan, same))
+        Q = jnp.stack([q for q, _ in cands]).reshape(-1)  # (8*cap,)
+        qvalid = jnp.tile(live, 8)
+        # Sentinel queries ride the exchange like real ones (owner =
+        # last device, guaranteed miss): every slot then returns exactly
+        # once, so the final slot-keyed sort realigns answers without
+        # any scatter.
+        Q = jnp.where(qvalid, Q, sent)
+        m = Q.shape[0]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+        # Sort queries by value: owner ranges are contiguous in key
+        # order, so bounds come from one searchsorted on the sorted keys.
+        Qs, slot_s = jax.lax.sort((Q, slot), num_keys=1, is_stable=False)
+        bounds = jnp.searchsorted(Qs, jnp.asarray(edges[1:-1], dtype=Qs.dtype))
+        lo = jnp.concatenate([jnp.zeros(1, bounds.dtype), bounds])
+        hi = jnp.concatenate([bounds, jnp.full((1,), m, bounds.dtype)])
+        lane = jnp.arange(qcap, dtype=bounds.dtype)[None, :]
+        src_idx = lo[:, None] + lane
+        in_range = src_idx < hi[:, None]
+        clip = jnp.clip(src_idx, 0, m - 1)
+        send_q = jnp.where(in_range, Qs[clip], sent)
+        send_s = jnp.where(in_range, slot_s[clip], jnp.int32(-1))
+        dropped = jnp.sum(jnp.maximum(hi - lo - qcap, 0))
+
+        recv_q = jax.lax.all_to_all(send_q, AXIS, 0, 0, tiled=False)
+        recv_s = jax.lax.all_to_all(send_s, AXIS, 0, 0, tiled=False)
+
+        # Owner-side membership: (key, tag) sort-join of recv queries
+        # against the local sorted block (sentinels sort to the tail and
+        # can never equal a live set key).
+        rq = recv_q.reshape(-1)
+        mm = rq.shape[0]
+        keyj = jnp.concatenate([a, rq])
+        tag = jnp.concatenate(
+            [jnp.zeros(cap, jnp.int32), jnp.ones(mm, jnp.int32)]
+        )
+        pos = jnp.concatenate(
+            [
+                jax.lax.broadcasted_iota(jnp.int32, (cap,), 0),
+                jax.lax.broadcasted_iota(jnp.int32, (mm,), 0),
+            ]
+        )
+        ks_, tg_, ps = jax.lax.sort((keyj, tag, pos), num_keys=2, is_stable=False)
+        is_set = tg_ == 0
+        akey = jax.lax.cummax(jnp.where(is_set, ks_, dt(-1)), axis=0)
+        aidx = jax.lax.cummax(jnp.where(is_set, ps, jnp.int32(-1)), axis=0)
+        hit = ~is_set & (akey == ks_) & (ks_ != sent)
+        gidx = jnp.maximum(aidx, 0) + my_off  # dense global index
+        # Un-sort owner-side: restore recv order by query position.
+        rkey = jnp.where(is_set, jnp.int32(-1), ps)
+        packed = jnp.where(hit, gidx | jnp.int32(1 << 30), gidx)
+        _, packed_q = jax.lax.sort((rkey, packed), num_keys=1, is_stable=False)
+        ans = packed_q[cap:].reshape(n_dev, qcap)
+
+        back_a = jax.lax.all_to_all(ans, AXIS, 0, 0, tiled=False)
+        back_s = jax.lax.all_to_all(recv_s, AXIS, 0, 0, tiled=False)
+        # back_s equals send_s (round-tripped); sort answers by slot to
+        # restore candidate order (padding lanes, slot -1, sort last).
+        bs = back_s.reshape(-1)
+        ba = back_a.reshape(-1)
+        skey = jnp.where(bs < 0, jnp.int32(m), bs)
+        _, ans_by_slot = jax.lax.sort((skey, ba), num_keys=1, is_stable=False)
+        ans8 = ans_by_slot[:m].reshape(8, cap)
+        found8 = (ans8 & jnp.int32(1 << 30)) != 0
+        idx8 = ans8 & jnp.int32((1 << 30) - 1)
+
+        outs = []
+        for side in (0, 1):
+            deg = jnp.zeros(cap, jnp.int32)
+            nbr = jnp.zeros(cap, jnp.int32)
+            samef = jnp.zeros(cap, bool)
+            for c in range(4):
+                f = side * 4 + c
+                ncan, same = cands[f]
+                found = found8[f] & live & (ncan != a)
+                first = found & (deg == 0)
+                nbr = jnp.where(first, idx8[f], nbr)
+                samef = jnp.where(first, same, samef)
+                deg = deg + found.astype(jnp.int32)
+            outs += [deg, nbr, samef]
+        dropped_total = jax.lax.psum(dropped, AXIS)
+        return (*outs, dropped_total[None])
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS),),
+        out_specs=(
+            P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def sharded_hash_fn(mesh: Mesh):
     """Order-independent XOR hash of a key-range-sharded sorted set
     (reference Hash semantics, lib/core/kmer_set.h:221-244): per-device
