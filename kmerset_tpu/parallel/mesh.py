@@ -152,6 +152,43 @@ def _rc_bits(x, k: int, nbits: int):
     return jax.lax.shift_right_logical(x, jnp.int64(64 - 2 * k))
 
 
+def _route_queries(Q, edges_inner, qcap: int, n_dev: int, sent, answer_fn):
+    """Generic owner-routed lookup inside a shard_map step.
+
+    Q: (m,) per-device query keys, ascending-owner partitionable by
+    `edges_inner` ((n_dev-1,) split points, same dtype).  Sentinel
+    queries are allowed — they route to the last owner and must yield a
+    'miss' answer — so every slot round-trips exactly once and the final
+    slot-keyed sort realigns answers without any scatter.
+    answer_fn(recv_flat) -> int32 answers aligned with its input.
+    Returns (answers (m,) int32 in Q order, dropped count psum'd).
+    """
+    m = Q.shape[0]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+    Qs, slot_s = jax.lax.sort((Q, slot), num_keys=1, is_stable=False)
+    bounds = jnp.searchsorted(Qs, edges_inner.astype(Qs.dtype))
+    lo = jnp.concatenate([jnp.zeros(1, bounds.dtype), bounds])
+    hi = jnp.concatenate([bounds, jnp.full((1,), m, bounds.dtype)])
+    lane = jnp.arange(qcap, dtype=bounds.dtype)[None, :]
+    src_idx = lo[:, None] + lane
+    in_range = src_idx < hi[:, None]
+    clip = jnp.clip(src_idx, 0, m - 1)
+    send_q = jnp.where(in_range, Qs[clip], sent)
+    send_s = jnp.where(in_range, slot_s[clip], jnp.int32(-1))
+    dropped = jnp.sum(jnp.maximum(hi - lo - qcap, 0))
+
+    recv_q = jax.lax.all_to_all(send_q, AXIS, 0, 0, tiled=False)
+    recv_s = jax.lax.all_to_all(send_s, AXIS, 0, 0, tiled=False)
+    ans = answer_fn(recv_q.reshape(-1)).reshape(n_dev, qcap)
+    back_a = jax.lax.all_to_all(ans, AXIS, 0, 0, tiled=False)
+    back_s = jax.lax.all_to_all(recv_s, AXIS, 0, 0, tiled=False)
+    bs = back_s.reshape(-1)
+    ba = back_a.reshape(-1)
+    skey = jnp.where(bs < 0, jnp.int32(m), bs)
+    _, ans_by_slot = jax.lax.sort((skey, ba), num_keys=1, is_stable=False)
+    return ans_by_slot[:m], jax.lax.psum(dropped, AXIS)
+
+
 def sharded_side_tables_fn(mesh: Mesh, k: int, canonical: bool, qcap: int):
     """Builds the jitted multi-device side-table step — the distributed
     form of SPSS hot loop #2 (8 membership lookups per k-mer, reference:
@@ -172,6 +209,29 @@ def sharded_side_tables_fn(mesh: Mesh, k: int, canonical: bool, qcap: int):
     one slot-keyed sort puts answers back in candidate order.
     """
     n_dev = mesh.devices.size
+
+    def step(a_local):
+        (rdeg, rnbr, rsame), (ldeg, lnbr, lsame), _live, _offs, dropped = (
+            _side_tables_core(a_local, k, canonical, qcap, n_dev)
+        )
+        return rdeg, rnbr, rsame, ldeg, lnbr, lsame, dropped[None]
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS),),
+        out_specs=(
+            P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _side_tables_core(a_local, k: int, canonical: bool, qcap: int, n_dev: int):
+    """Per-device side-table body (runs inside shard_map): returns
+    ((rdeg, rnbr, rsame), (ldeg, lnbr, lsame), live, offs, dropped) with
+    nbr in dense-global indexing and offs the per-device dense offsets."""
     edges = _owner_edges(k, n_dev)
     narrow = k <= SINGLE_MAX_K
     dt = jnp.int32 if narrow else jnp.int64
@@ -179,67 +239,42 @@ def sharded_side_tables_fn(mesh: Mesh, k: int, canonical: bool, qcap: int):
     sent = _S_SENT if narrow else SENTINEL
     kmask = dt((1 << (2 * k)) - 1) if narrow else jnp.int64((1 << (2 * k)) - 1)
 
-    def step(a_local):
-        cap = a_local.shape[0]
-        live = a_local != sent
-        n_live = jnp.sum(live, dtype=jnp.int32)
-        # Dense global offset of this shard: exclusive cumsum over the
-        # gathered live counts.
-        all_live = jax.lax.all_gather(n_live, AXIS)
-        my = jax.lax.axis_index(AXIS)
-        offs = jnp.cumsum(all_live) - all_live
-        my_off = offs[my]
+    cap = a_local.shape[0]
+    live = a_local != sent
+    n_live = jnp.sum(live, dtype=jnp.int32)
+    # Dense global offset of this shard: exclusive cumsum over the
+    # gathered live counts.
+    all_live = jax.lax.all_gather(n_live, AXIS)
+    my = jax.lax.axis_index(AXIS)
+    offs = jnp.cumsum(all_live) - all_live
+    my_off = offs[my]
 
-        a = a_local.astype(dt)
-        # 8 candidate families: side 0 = right (next), side 1 = left
-        # (prev); 4 bases each.
-        cands = []
-        for side in (0, 1):
-            for c in range(4):
-                if side == 0:
-                    cand = ((a << 2) | dt(c)) & kmask
-                else:
-                    cand = jax.lax.shift_right_logical(a, dt(2)) | (
-                        dt(c) << (2 * (k - 1))
-                    )
-                if canonical:
-                    rc = _rc_bits(cand, k, nbits)
-                    ncan = jnp.minimum(cand, rc)
-                    same = cand != ncan
-                else:
-                    ncan = cand
-                    same = jnp.zeros(cand.shape, bool)
-                cands.append((ncan, same))
-        Q = jnp.stack([q for q, _ in cands]).reshape(-1)  # (8*cap,)
-        qvalid = jnp.tile(live, 8)
-        # Sentinel queries ride the exchange like real ones (owner =
-        # last device, guaranteed miss): every slot then returns exactly
-        # once, so the final slot-keyed sort realigns answers without
-        # any scatter.
-        Q = jnp.where(qvalid, Q, sent)
-        m = Q.shape[0]
-        slot = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
-        # Sort queries by value: owner ranges are contiguous in key
-        # order, so bounds come from one searchsorted on the sorted keys.
-        Qs, slot_s = jax.lax.sort((Q, slot), num_keys=1, is_stable=False)
-        bounds = jnp.searchsorted(Qs, jnp.asarray(edges[1:-1], dtype=Qs.dtype))
-        lo = jnp.concatenate([jnp.zeros(1, bounds.dtype), bounds])
-        hi = jnp.concatenate([bounds, jnp.full((1,), m, bounds.dtype)])
-        lane = jnp.arange(qcap, dtype=bounds.dtype)[None, :]
-        src_idx = lo[:, None] + lane
-        in_range = src_idx < hi[:, None]
-        clip = jnp.clip(src_idx, 0, m - 1)
-        send_q = jnp.where(in_range, Qs[clip], sent)
-        send_s = jnp.where(in_range, slot_s[clip], jnp.int32(-1))
-        dropped = jnp.sum(jnp.maximum(hi - lo - qcap, 0))
+    a = a_local.astype(dt)
+    # 8 candidate families: side 0 = right (next), side 1 = left (prev);
+    # 4 bases each.
+    cands = []
+    for side in (0, 1):
+        for c in range(4):
+            if side == 0:
+                cand = ((a << 2) | dt(c)) & kmask
+            else:
+                cand = jax.lax.shift_right_logical(a, dt(2)) | (
+                    dt(c) << (2 * (k - 1))
+                )
+            if canonical:
+                rc = _rc_bits(cand, k, nbits)
+                ncan = jnp.minimum(cand, rc)
+                same = cand != ncan
+            else:
+                ncan = cand
+                same = jnp.zeros(cand.shape, bool)
+            cands.append((ncan, same))
+    Q = jnp.stack([q for q, _ in cands]).reshape(-1)  # (8*cap,)
+    Q = jnp.where(jnp.tile(live, 8), Q, sent)
 
-        recv_q = jax.lax.all_to_all(send_q, AXIS, 0, 0, tiled=False)
-        recv_s = jax.lax.all_to_all(send_s, AXIS, 0, 0, tiled=False)
-
-        # Owner-side membership: (key, tag) sort-join of recv queries
-        # against the local sorted block (sentinels sort to the tail and
-        # can never equal a live set key).
-        rq = recv_q.reshape(-1)
+    def membership(rq):
+        # (key, tag) sort-join of recv queries against the local sorted
+        # block (sentinels sort to the tail, never equal a live key).
         mm = rq.shape[0]
         keyj = jnp.concatenate([a, rq])
         tag = jnp.concatenate(
@@ -251,53 +286,140 @@ def sharded_side_tables_fn(mesh: Mesh, k: int, canonical: bool, qcap: int):
                 jax.lax.broadcasted_iota(jnp.int32, (mm,), 0),
             ]
         )
-        ks_, tg_, ps = jax.lax.sort((keyj, tag, pos), num_keys=2, is_stable=False)
+        ks_, tg_, ps = jax.lax.sort(
+            (keyj, tag, pos), num_keys=2, is_stable=False
+        )
         is_set = tg_ == 0
         akey = jax.lax.cummax(jnp.where(is_set, ks_, dt(-1)), axis=0)
         aidx = jax.lax.cummax(jnp.where(is_set, ps, jnp.int32(-1)), axis=0)
         hit = ~is_set & (akey == ks_) & (ks_ != sent)
         gidx = jnp.maximum(aidx, 0) + my_off  # dense global index
-        # Un-sort owner-side: restore recv order by query position.
         rkey = jnp.where(is_set, jnp.int32(-1), ps)
         packed = jnp.where(hit, gidx | jnp.int32(1 << 30), gidx)
         _, packed_q = jax.lax.sort((rkey, packed), num_keys=1, is_stable=False)
-        ans = packed_q[cap:].reshape(n_dev, qcap)
+        return packed_q[cap:]
 
-        back_a = jax.lax.all_to_all(ans, AXIS, 0, 0, tiled=False)
-        back_s = jax.lax.all_to_all(recv_s, AXIS, 0, 0, tiled=False)
-        # back_s equals send_s (round-tripped); sort answers by slot to
-        # restore candidate order (padding lanes, slot -1, sort last).
-        bs = back_s.reshape(-1)
-        ba = back_a.reshape(-1)
-        skey = jnp.where(bs < 0, jnp.int32(m), bs)
-        _, ans_by_slot = jax.lax.sort((skey, ba), num_keys=1, is_stable=False)
-        ans8 = ans_by_slot[:m].reshape(8, cap)
-        found8 = (ans8 & jnp.int32(1 << 30)) != 0
-        idx8 = ans8 & jnp.int32((1 << 30) - 1)
+    ans, dropped = _route_queries(
+        Q, jnp.asarray(edges[1:-1]), qcap, n_dev, sent, membership
+    )
+    ans8 = ans.reshape(8, cap)
+    found8 = (ans8 & jnp.int32(1 << 30)) != 0
+    idx8 = ans8 & jnp.int32((1 << 30) - 1)
 
-        outs = []
-        for side in (0, 1):
-            deg = jnp.zeros(cap, jnp.int32)
-            nbr = jnp.zeros(cap, jnp.int32)
-            samef = jnp.zeros(cap, bool)
-            for c in range(4):
-                f = side * 4 + c
-                ncan, same = cands[f]
-                found = found8[f] & live & (ncan != a)
-                first = found & (deg == 0)
-                nbr = jnp.where(first, idx8[f], nbr)
-                samef = jnp.where(first, same, samef)
-                deg = deg + found.astype(jnp.int32)
-            outs += [deg, nbr, samef]
-        dropped_total = jax.lax.psum(dropped, AXIS)
-        return (*outs, dropped_total[None])
+    tables = []
+    for side in (0, 1):
+        deg = jnp.zeros(cap, jnp.int32)
+        nbr = jnp.zeros(cap, jnp.int32)
+        samef = jnp.zeros(cap, bool)
+        for c in range(4):
+            f = side * 4 + c
+            ncan, same = cands[f]
+            found = found8[f] & live & (ncan != a)
+            first = found & (deg == 0)
+            nbr = jnp.where(first, idx8[f], nbr)
+            samef = jnp.where(first, same, samef)
+            deg = deg + found.astype(jnp.int32)
+        tables.append((deg, nbr, samef))
+    return tables[0], tables[1], live, offs, dropped
+
+
+def sharded_unitig_succ_fn(mesh: Mesh, k: int, qcap: int):
+    """Full mesh front-end of canonical unitig construction: sharded
+    side tables + a second owner-routed exchange fetching each unique
+    neighbor's degree pair, then the terminal tests and oriented
+    successor assembly (the distributed form of ops/unitigs.py's fused
+    device front-end; reference: lib/core/spss.h:276-423).
+
+    Input: A sharded P(kv) (sorted key-range blocks, SENTINEL-padded).
+    Output (sharded like A, dense-global node ids): succ_r, succ_l
+    (int32, -1 = terminal; value = 2 * global_nbr + flip), term_l,
+    term_r, both, plus the replicated dropped count (retry bigger qcap
+    when nonzero).
+    """
+    n_dev = mesh.devices.size
+
+    def step(a_local):
+        (rdeg, rnbr, rsame), (ldeg, lnbr, lsame), live, offs, d1 = (
+            _side_tables_core(a_local, k, True, qcap, n_dev)
+        )
+        cap = a_local.shape[0]
+        n_live = jnp.sum(live, dtype=jnp.int32)
+        my = jax.lax.axis_index(AXIS)
+        my_off = offs[my]
+        total = jax.lax.psum(n_live, AXIS)
+
+        # Mate-degree fetch: for each side's unique neighbor (global
+        # dense index), fetch (rdeg, ldeg) at that index.  Index-owner
+        # split points are the dense offsets themselves.
+        isent = jnp.int32(2**31 - 1)
+        q_r = jnp.where(live & (rdeg > 0), rnbr, isent)
+        q_l = jnp.where(live & (ldeg > 0), lnbr, isent)
+        Qi = jnp.concatenate([q_r, q_l])
+
+        def deg_at(rq):
+            # Value lookup by dense index via monotone packed cummax:
+            # every owned index exists exactly once, so the last set row
+            # at/below a query key is an exact match when in range.
+            mm = rq.shape[0]
+            jloc = rq - my_off
+            val = (rdeg & 7) | ((ldeg & 7) << 3)
+            keyj = jnp.concatenate(
+                [jax.lax.broadcasted_iota(jnp.int32, (cap,), 0), jloc]
+            )
+            tag = jnp.concatenate(
+                [jnp.zeros(cap, jnp.int32), jnp.ones(mm, jnp.int32)]
+            )
+            pos = jnp.concatenate(
+                [
+                    jax.lax.broadcasted_iota(jnp.int32, (cap,), 0),
+                    jax.lax.broadcasted_iota(jnp.int32, (mm,), 0),
+                ]
+            )
+            vlane = jnp.concatenate([val, jnp.zeros(mm, jnp.int32)])
+            ks_, tg_, ps, vs = jax.lax.sort(
+                (keyj, tag, pos, vlane), num_keys=2, is_stable=False
+            )
+            is_set = tg_ == 0
+            packed_set = jnp.where(
+                is_set,
+                (ks_.astype(jnp.int64) << 8) | vs.astype(jnp.int64),
+                jnp.int64(-1),
+            )
+            prop = jax.lax.cummax(packed_set, axis=0)
+            match = (prop >> 8) == ks_.astype(jnp.int64)
+            qval = jnp.where(match, prop & 0xFF, 0).astype(jnp.int32)
+            rkey = jnp.where(is_set, jnp.int32(-1), ps)
+            _, out = jax.lax.sort((rkey, qval), num_keys=1, is_stable=False)
+            return out[cap:]
+
+        ans, d2 = _route_queries(
+            Qi, offs[1:].astype(jnp.int32), qcap, n_dev, isent, deg_at
+        )
+        mr_deg = ans[:cap]
+        ml_deg = ans[cap:]
+        mate_r = jnp.where(rsame, mr_deg & 7, (mr_deg >> 3) & 7)
+        mate_l = jnp.where(lsame, (ml_deg >> 3) & 7, ml_deg & 7)
+
+        # Terminal tests + oriented successor
+        # (reference: lib/core/spss.h:276-313,394-423).
+        term_r = (rdeg != 1) | (mate_r != 1)
+        term_l = (ldeg != 1) | (mate_l != 1)
+        succ_r = jnp.where(
+            term_r, jnp.int32(-1), 2 * rnbr + rsame.astype(jnp.int32)
+        )
+        succ_l = jnp.where(
+            term_l, jnp.int32(-1), 2 * lnbr + (~lsame).astype(jnp.int32)
+        )
+        both = term_l & term_r & live
+        dropped = d1 + d2
+        return succ_r, succ_l, term_l, term_r, both, total[None], dropped[None]
 
     sharded = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(P(AXIS),),
         out_specs=(
-            P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(),
+            P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(),
         ),
         check_vma=False,
     )

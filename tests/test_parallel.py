@@ -485,3 +485,58 @@ def test_sharded_side_tables_matches_host(k, canonical):
     has_l = el[0] > 0
     np.testing.assert_array_equal(got["rnbr"][has_r], er[1][has_r])
     np.testing.assert_array_equal(got["lnbr"][has_l], el[1][has_l])
+
+
+def test_sharded_unitig_succ_matches_host():
+    """The full mesh unitig front-end (side tables + mate-degree
+    exchange + terminal tests + oriented successor) equals the host
+    formulas on the same set."""
+    from kmerset_tpu.core import kmer as kc
+    from kmerset_tpu.core import spss as spss_mod
+    from kmerset_tpu.parallel.mesh import (
+        _S_SENT,
+        _owner_edges,
+        make_mesh,
+        sharded_unitig_succ_fn,
+    )
+
+    k = 11
+    n_dev = 4
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(61)
+    # Read-derived kmers so real chains/branches exist.
+    codes = rng.integers(0, 4, 4000).astype(np.int64)
+    A = np.unique(kc.canonical(kc.kmers_from_codes(codes, k), k))
+
+    edges = _owner_edges(k, n_dev)
+    parts = [A[(A >= edges[d]) & (A < edges[d + 1])] for d in range(n_dev)]
+    cap = 1 << int(max(p.shape[0] for p in parts) * 2 - 1).bit_length()
+    blocks = np.full((n_dev, cap), int(_S_SENT), dtype=np.int32)
+    for d, p in enumerate(parts):
+        blocks[d, : p.shape[0]] = p
+
+    fn = sharded_unitig_succ_fn(mesh, k, qcap=8 * cap)
+    succ_r, succ_l, term_l, term_r, both, total, dropped = fn(blocks.reshape(-1))
+    assert int(np.asarray(dropped)[0]) == 0
+    assert int(np.asarray(total)[0]) == A.shape[0]
+
+    def collect(x):
+        x = np.asarray(x).reshape(n_dev, cap)
+        return np.concatenate([x[d, : parts[d].shape[0]] for d in range(n_dev)])
+
+    # Host reference: side tables -> terminal tests -> oriented succ
+    # (the fallback formulas in spss.get_unitigs_canonical).
+    (rdeg, rnbr, rsame) = spss_mod._side_table_canonical(A, k, right=True)
+    (ldeg, lnbr, lsame) = spss_mod._side_table_canonical(A, k, right=False)
+    mate_r = np.where(rsame, rdeg[rnbr], ldeg[rnbr])
+    h_term_r = (rdeg != 1) | (mate_r != 1)
+    mate_l = np.where(lsame, ldeg[lnbr], rdeg[lnbr])
+    h_term_l = (ldeg != 1) | (mate_l != 1)
+    h_succ_r = np.where(h_term_r, -1, 2 * rnbr + rsame)
+    h_succ_l = np.where(h_term_l, -1, 2 * lnbr + (~lsame).astype(np.int64))
+
+    np.testing.assert_array_equal(collect(term_r), h_term_r)
+    np.testing.assert_array_equal(collect(term_l), h_term_l)
+    np.testing.assert_array_equal(collect(succ_r), h_succ_r)
+    np.testing.assert_array_equal(collect(succ_l), h_succ_l)
+    np.testing.assert_array_equal(collect(both), h_term_l & h_term_r)
