@@ -344,7 +344,14 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
 
     t_start = time.perf_counter()
     dev = None
-    if backend.should_use_device_graph(n):
+    from ..parallel import driver as mesh_driver
+
+    if mesh_driver.should_use_mesh(n):
+        # Multi-device front-end: sharded side tables + mate exchange +
+        # successor assembly (parallel/mesh.sharded_unitig_succ_fn).
+        backend.enable_compile_cache()
+        dev = mesh_driver.mesh_unitig_succ(A, k)
+    if dev is None and backend.should_use_device_graph(n):
         from ..ops import unitigs as dev_unitigs
 
         backend.enable_compile_cache()

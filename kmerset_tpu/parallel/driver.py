@@ -192,6 +192,83 @@ def mesh_count(
         return None
 
 
+def mesh_unitig_succ(A: np.ndarray, k: int, mesh=None):
+    """Mesh front-end of canonical unitig construction: key-range shards
+    A, runs sharded side tables + mate exchange + successor assembly
+    (parallel/mesh.sharded_unitig_succ_fn), retries on exchange overflow,
+    and assembles the host-layout (succ, term_l, term_r, both) arrays the
+    chain walk consumes.  Returns None when unavailable."""
+    try:
+        import jax  # noqa: F401
+
+        from .mesh import _S_SENT, SENTINEL, _owner_edges, make_mesh
+        from .mesh import sharded_unitig_succ_fn
+    except Exception:  # noqa: BLE001
+        return None
+    try:
+        n = A.shape[0]
+        if n == 0 or n >= (1 << 30):  # dense ids pack under the found bit
+            return None
+        if mesh is None:
+            mesh = make_mesh()
+        n_dev = int(mesh.devices.size)
+        narrow = k <= 15
+        sent = int(_S_SENT) if narrow else int(SENTINEL)
+        dt = np.int32 if narrow else np.int64
+        edges = _owner_edges(k, n_dev)
+        parts = [
+            A[(A >= edges[d]) & (A < edges[d + 1])] for d in range(n_dev)
+        ]
+        biggest = max(max(p.shape[0] for p in parts), 2)
+        cap = 1 << (2 * biggest - 1).bit_length()
+        blocks = np.full((n_dev, cap), sent, dtype=dt)
+        for d, p in enumerate(parts):
+            blocks[d, : p.shape[0]] = p
+
+        qcap = _mesh_env_capacity() or (
+            1 << (max(1024, 16 * cap // n_dev) - 1).bit_length()
+        )
+        for _attempt in range(8):
+            fn = sharded_unitig_succ_fn(mesh, k, qcap)
+            succ_r, succ_l, term_l, term_r, both, total, dropped = fn(
+                blocks.reshape(-1)
+            )
+            n_dropped = int(np.asarray(jax.device_get(dropped))[0])
+            if n_dropped == 0:
+                break
+            if qcap >= 9 * cap:  # pragma: no cover - defensive ceiling
+                return None
+            _log.info(
+                "mesh unitig exchange overflow (dropped = %d, qcap = %d); retrying",
+                n_dropped,
+                qcap,
+            )
+            qcap *= 2
+        else:
+            return None
+        if int(np.asarray(total)[0]) != n:
+            return None  # shard assembly mismatch; fall back
+
+        def collect(x, dtype):
+            x = np.asarray(x).reshape(n_dev, cap)
+            return np.concatenate(
+                [x[d, : parts[d].shape[0]] for d in range(n_dev)]
+            ).astype(dtype)
+
+        succ = np.empty(2 * n, dtype=np.int64)
+        succ[0::2] = collect(succ_r, np.int64)
+        succ[1::2] = collect(succ_l, np.int64)
+        return (
+            succ,
+            collect(term_l, bool),
+            collect(term_r, bool),
+            collect(both, bool),
+        )
+    except Exception as e:  # noqa: BLE001
+        _log.debug("mesh unitig front-end unavailable, falling back: %r", e)
+        return None
+
+
 def maybe_init_distributed() -> None:
     """Env-gated multi-host bring-up for the CLI layer.
 

@@ -540,3 +540,23 @@ def test_sharded_unitig_succ_matches_host():
     np.testing.assert_array_equal(collect(succ_r), h_succ_r)
     np.testing.assert_array_equal(collect(succ_l), h_succ_l)
     np.testing.assert_array_equal(collect(both), h_term_l & h_term_r)
+
+
+def test_unitigs_canonical_via_mesh_front_end(monkeypatch):
+    """get_unitigs_canonical under mesh force routes the successor
+    construction through the sharded front-end and produces the same
+    string multiset as the host path (production wiring)."""
+    from kmerset_tpu.core import spss
+    from kmerset_tpu.utils.random import get_random_kmer_set
+
+    rng = np.random.default_rng(71)
+    ks = get_random_kmer_set(11, 3000, True, rng)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "mesh")
+    a = spss.get_unitigs_canonical(ks)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    b = spss.get_unitigs_canonical(ks)
+    assert sorted(a.to_strings()) == sorted(b.to_strings())
+    # Decode invariant holds through the mesh front-end.
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    dec = spss.get_kmer_set_from_spss(a, 11, True)
+    assert dec.equals(ks)
