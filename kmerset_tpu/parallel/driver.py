@@ -228,7 +228,10 @@ def mesh_unitig_succ(A: np.ndarray, k: int, mesh=None):
         qcap = _mesh_env_capacity() or (
             1 << (max(1024, 16 * cap // n_dev) - 1).bit_length()
         )
-        for _attempt in range(8):
+        # 8 * cap lanes can never overflow (a device holds at most
+        # 8 * cap queries total), so the doubling always terminates.
+        qcap_max = 8 * cap
+        for _attempt in range(32):
             fn = sharded_unitig_succ_fn(mesh, k, qcap)
             succ_r, succ_l, term_l, term_r, both, total, dropped = fn(
                 blocks.reshape(-1)
@@ -236,15 +239,15 @@ def mesh_unitig_succ(A: np.ndarray, k: int, mesh=None):
             n_dropped = int(np.asarray(jax.device_get(dropped))[0])
             if n_dropped == 0:
                 break
-            if qcap >= 9 * cap:  # pragma: no cover - defensive ceiling
+            if qcap >= qcap_max:  # pragma: no cover - defensive ceiling
                 return None
             _log.info(
                 "mesh unitig exchange overflow (dropped = %d, qcap = %d); retrying",
                 n_dropped,
                 qcap,
             )
-            qcap *= 2
-        else:
+            qcap = min(2 * qcap, qcap_max)
+        else:  # pragma: no cover - unreachable with the ceiling
             return None
         if int(np.asarray(total)[0]) != n:
             return None  # shard assembly mismatch; fall back

@@ -186,6 +186,12 @@ def _route_queries(Q, edges_inner, qcap: int, n_dev: int, sent, answer_fn):
     ba = back_a.reshape(-1)
     skey = jnp.where(bs < 0, jnp.int32(m), bs)
     _, ans_by_slot = jax.lax.sort((skey, ba), num_keys=1, is_stable=False)
+    if n_dev * qcap < m:
+        # Undersized lanes cannot carry every slot even perfectly
+        # balanced; keep shapes consistent (missing answers read as
+        # misses) — `dropped` is necessarily nonzero, so callers retry.
+        pad = jnp.zeros(m - n_dev * qcap, jnp.int32)
+        ans_by_slot = jnp.concatenate([ans_by_slot, pad])
     return ans_by_slot[:m], jax.lax.psum(dropped, AXIS)
 
 

@@ -560,3 +560,34 @@ def test_unitigs_canonical_via_mesh_front_end(monkeypatch):
     monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
     dec = spss.get_kmer_set_from_spss(a, 11, True)
     assert dec.equals(ks)
+
+
+def test_mesh_unitig_succ_qcap_retry(monkeypatch):
+    """A deliberately tiny initial exchange capacity must trigger the
+    driver's overflow-retry loop for the unitig front-end and still
+    produce the host-identical successor arrays."""
+    from kmerset_tpu.core import kmer as kc
+    from kmerset_tpu.core import spss as spss_mod
+    from kmerset_tpu.parallel import driver
+
+    monkeypatch.setenv("KMERSET_TPU_MESH_CAPACITY", "16")
+    rng = np.random.default_rng(83)
+    codes = rng.integers(0, 4, 1500).astype(np.int64)
+    A = np.unique(kc.canonical(kc.kmers_from_codes(codes, 11), 11))
+    res = driver.mesh_unitig_succ(A, 11)
+    assert res is not None
+    succ, term_l, term_r, both = res
+    (rdeg, rnbr, rsame) = spss_mod._side_table_canonical(A, 11, right=True)
+    (ldeg, lnbr, lsame) = spss_mod._side_table_canonical(A, 11, right=False)
+    mate_r = np.where(rsame, rdeg[rnbr], ldeg[rnbr])
+    h_term_r = (rdeg != 1) | (mate_r != 1)
+    mate_l = np.where(lsame, ldeg[lnbr], rdeg[lnbr])
+    h_term_l = (ldeg != 1) | (mate_l != 1)
+    np.testing.assert_array_equal(term_r, h_term_r)
+    np.testing.assert_array_equal(term_l, h_term_l)
+    np.testing.assert_array_equal(
+        succ[0::2], np.where(h_term_r, -1, 2 * rnbr + rsame)
+    )
+    np.testing.assert_array_equal(
+        succ[1::2], np.where(h_term_l, -1, 2 * lnbr + (~lsame).astype(np.int64))
+    )
