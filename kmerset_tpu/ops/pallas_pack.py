@@ -158,8 +158,8 @@ def _pair_kernel(k: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _call(codes_padded: jnp.ndarray, k: int) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def _call(codes_padded: jnp.ndarray, k: int, interpret: bool = False) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -174,11 +174,12 @@ def _call(codes_padded: jnp.ndarray, k: int) -> jnp.ndarray:
             pltpu.VMEM((BLOCK + _HALO,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
+        interpret=interpret,
     )(codes_padded)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _pair_call(codes_padded: jnp.ndarray, k: int):
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def _pair_call(codes_padded: jnp.ndarray, k: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -197,10 +198,13 @@ def _pair_call(codes_padded: jnp.ndarray, k: int):
             pltpu.VMEM((BLOCK + _HALO,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
+        interpret=interpret,
     )(codes_padded)
 
 
-def canonical_windows_pallas(codes: jnp.ndarray, k: int) -> jnp.ndarray:
+def canonical_windows_pallas(
+    codes: jnp.ndarray, k: int, interpret: bool = False
+) -> jnp.ndarray:
     """Canonical int32 window keys for every position of `codes`
     (positions beyond len - k + 1 hold garbage; callers mask by validity).
 
@@ -211,11 +215,11 @@ def canonical_windows_pallas(codes: jnp.ndarray, k: int) -> jnp.ndarray:
     n_blocks = -(-L // BLOCK)
     padded_len = n_blocks * BLOCK + _HALO
     codes_p = jnp.zeros(padded_len, jnp.int32).at[:L].set(codes)
-    out = _call(codes_p, k)
+    out = _call(codes_p, k, interpret)
     return out[:L]
 
 
-def canonical_windows_pair_pallas(codes: jnp.ndarray, k: int):
+def canonical_windows_pair_pallas(codes: jnp.ndarray, k: int, interpret: bool = False):
     """Canonical (hi, lo) int32 window key lanes for every position of
     `codes` (k <= 23 pair layout; tail positions hold garbage, callers
     mask by validity)."""
@@ -224,5 +228,5 @@ def canonical_windows_pair_pallas(codes: jnp.ndarray, k: int):
     n_blocks = -(-L // BLOCK)
     padded_len = n_blocks * BLOCK + _HALO
     codes_p = jnp.zeros(padded_len, jnp.int32).at[:L].set(codes)
-    hi, lo = _pair_call(codes_p, k)
+    hi, lo = _pair_call(codes_p, k, interpret)
     return hi[:L], lo[:L]

@@ -92,3 +92,44 @@ def test_sorted_unique_helpers():
         eu, ec = np.unique(x, return_counts=True)
         np.testing.assert_array_equal(u, eu)
         np.testing.assert_array_equal(c, ec)
+
+
+def test_pallas_pack_kernels_interpret_parity():
+    """The Pallas pack kernels (single and pair layouts) match the XLA
+    roll formulation, via interpret mode so CI covers the kernel logic
+    without a TPU (ops/pallas_pack.py)."""
+    import numpy as np
+    import jax
+
+    from kmerset_tpu.ops import count as count_mod
+    from kmerset_tpu.ops.pallas_pack import (
+        canonical_windows_pair_pallas,
+        canonical_windows_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=3000).astype(np.int32)
+
+    for k in (9, 15):
+        got = np.asarray(canonical_windows_pallas(codes, k, interpret=True))
+        fwd = count_mod._pack_span(codes, range(0, k), np.int32)
+        rc = count_mod._pack_span_rc(codes, range(k - 1, -1, -1), np.int32)
+        exp = np.minimum(np.asarray(fwd), np.asarray(rc))
+        n = codes.shape[0] - k + 1
+        np.testing.assert_array_equal(got[:n], exp[:n])
+
+    for k in (19, 23):
+        hi, lo = canonical_windows_pair_pallas(codes, k, interpret=True)
+        kh = (k + 1) // 2
+        ehi = count_mod._pack_span(codes, range(0, kh), np.int32)
+        elo = count_mod._pack_span(codes, range(kh, k), np.int32)
+        rhi = count_mod._pack_span_rc(codes, range(k - 1, k - 1 - kh, -1), np.int32)
+        rlo = count_mod._pack_span_rc(codes, range(k - 1 - kh, -1, -1), np.int32)
+        import jax.numpy as jnp
+
+        less = np.asarray((rhi < ehi) | ((rhi == ehi) & (rlo < elo)))
+        exp_hi = np.where(less, np.asarray(rhi), np.asarray(ehi))
+        exp_lo = np.where(less, np.asarray(rlo), np.asarray(elo))
+        n = codes.shape[0] - k + 1
+        np.testing.assert_array_equal(np.asarray(hi)[:n], exp_hi[:n])
+        np.testing.assert_array_equal(np.asarray(lo)[:n], exp_lo[:n])
