@@ -101,8 +101,6 @@ class _MeshWeightOracle:
 
 
 def _make_weight_oracle(sketches: List[np.ndarray], n_inputs: int, k: int):
-    import os
-
     from ..ops import backend
     from ..parallel import driver
 

@@ -21,12 +21,10 @@ This replaces the reference's thread-local-buffer + try_lock merge
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.count import (
     SENTINEL,
