@@ -228,5 +228,8 @@ def device_side_tables(
                 )
             )
         return out[0], out[1]
-    except Exception:  # noqa: BLE001 - fall back to host
+    except Exception as e:  # noqa: BLE001 - fall back to host
+        from .backend import _note_fallback
+
+        _note_fallback("device_side_tables", e)
         return None

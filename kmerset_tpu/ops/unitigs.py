@@ -88,5 +88,8 @@ def device_unitig_succ(A: np.ndarray, k: int) -> Optional[Tuple]:
             np.asarray(term_r[:n]),
             np.asarray(both[:n]),
         )
-    except Exception:  # noqa: BLE001 - fall back to host
+    except Exception as e:  # noqa: BLE001 - fall back to host
+        from .backend import _note_fallback
+
+        _note_fallback("device_unitig_succ", e)
         return None
