@@ -188,7 +188,7 @@ def _route_queries(Q, edges_inner, qcap: int, n_dev: int, sent, answer_fn):
         # Undersized lanes cannot carry every slot even perfectly
         # balanced; keep shapes consistent (missing answers read as
         # misses) — `dropped` is necessarily nonzero, so callers retry.
-        pad = jnp.zeros(m - n_dev * qcap, jnp.int32)
+        pad = jnp.zeros(m - n_dev * qcap, ans_by_slot.dtype)
         ans_by_slot = jnp.concatenate([ans_by_slot, pad])
     return ans_by_slot[:m], jax.lax.psum(dropped, AXIS)
 
@@ -425,6 +425,135 @@ def sharded_unitig_succ_fn(mesh: Mesh, k: int, qcap: int):
         out_specs=(
             P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(),
         ),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_pointer_double_fn(mesh: Mesh, rounds: int, with_labels: bool):
+    """Distributed pointer doubling — the chain/cycle resolution
+    primitive (core/graph.py::pointer_double) over a mesh-sharded
+    successor array, replacing the reference's sequential walks and
+    union-find at scales one chip cannot hold (reference:
+    lib/core/spss.h:394-423,1541-1647).
+
+    Layout: fixed stride — device d owns global node ids
+    [d*cap, (d+1)*cap); succ values are global ids or -1.  Each round
+    routes every node's current pointer to its owner (one all_to_all
+    query cycle, qcap = cap so overflow is impossible), answers with the
+    owner's packed (done | dist | ptr) state via the scatter-free
+    monotone-cummax lookup, and applies the doubling update.  `rounds`
+    must be >= ceil(log2(longest chain)) + 1; matching
+    core/graph.pointer_double's round count gives bit-identical results.
+
+    Returns (end, dist, is_chain, min_label) sharded like succ
+    (min_label = input labels when with_labels is False).
+    """
+    n_dev = mesh.devices.size
+    MASK = jnp.int64((1 << 31) - 1)
+
+    def step(succ_local, labels_local):
+        cap = succ_local.shape[0]
+        my = jax.lax.axis_index(AXIS)
+        base = (my * cap).astype(jnp.int32)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0) + base
+        edges_inner = (jnp.arange(1, n_dev, dtype=jnp.int32)) * jnp.int32(cap)
+        isent = jnp.int32(2**31 - 1)
+
+        done0 = succ_local < 0
+        ptr = jnp.where(done0, ids, succ_local.astype(jnp.int32))
+        dist = jnp.where(done0, jnp.int32(0), jnp.int32(1))
+        mlab = labels_local.astype(jnp.int32)
+        reached = done0
+
+        def value_lookup(values_hi, values_lo):
+            """Returns an answer_fn serving (hi << 32 | lo) at local
+            indices: every owned index exists exactly once, so two
+            monotone packed cummaxes recover exact 32-bit halves."""
+
+            def fn(rq):
+                mm = rq.shape[0]
+                jloc = rq - base
+                keyj = jnp.concatenate(
+                    [jax.lax.broadcasted_iota(jnp.int32, (cap,), 0), jloc]
+                )
+                tag = jnp.concatenate(
+                    [jnp.zeros(cap, jnp.int32), jnp.ones(mm, jnp.int32)]
+                )
+                pos = jnp.concatenate(
+                    [
+                        jax.lax.broadcasted_iota(jnp.int32, (cap,), 0),
+                        jax.lax.broadcasted_iota(jnp.int32, (mm,), 0),
+                    ]
+                )
+                vh = jnp.concatenate([values_hi, jnp.zeros(mm, jnp.int32)])
+                vl = jnp.concatenate([values_lo, jnp.zeros(mm, jnp.int32)])
+                ks_, tg_, ps, sh, sl = jax.lax.sort(
+                    (keyj, tag, pos, vh, vl), num_keys=2, is_stable=False
+                )
+                is_set = tg_ == 0
+                k64 = ks_.astype(jnp.int64)
+
+                def prop(v):
+                    pk = jnp.where(
+                        is_set,
+                        (k64 << 32) | (v.astype(jnp.int64) & 0xFFFFFFFF),
+                        jnp.int64(-1),
+                    )
+                    pr = jax.lax.cummax(pk, axis=0)
+                    ok = (pr >> 32) == k64
+                    return jnp.where(ok, pr & 0xFFFFFFFF, 0).astype(jnp.int64)
+
+                hi_v = prop(sh)
+                lo_v = prop(sl)
+                ans64 = (hi_v << 32) | lo_v
+                rkey = jnp.where(is_set, jnp.int32(-1), ps)
+                _, out = jax.lax.sort((rkey, ans64), num_keys=1, is_stable=False)
+                return out[cap:]
+
+            return fn
+
+        for _ in range(rounds):
+            frozen_pre = reached
+            # hi half: (done << 30) | dist; lo half: ptr (31 bits each).
+            st_hi = (done0.astype(jnp.int32) << 30) | dist
+            t, _dropped = _route_queries(
+                ptr,
+                edges_inner,
+                cap,
+                n_dev,
+                isent,
+                value_lookup(st_hi, ptr),
+            )
+            t_hi = (t >> 32).astype(jnp.int32)
+            t_done = (t_hi >> 30) != 0
+            t_dist = t_hi & jnp.int32((1 << 30) - 1)
+            t_ptr = (t & 0xFFFFFFFF).astype(jnp.int32)
+            if with_labels:
+                tl, _d2 = _route_queries(
+                    ptr,
+                    edges_inner,
+                    cap,
+                    n_dev,
+                    isent,
+                    value_lookup(mlab, mlab),
+                )
+                t_lab = (tl >> 32).astype(jnp.int32)
+                mlab = jnp.where(
+                    frozen_pre, mlab, jnp.minimum(mlab, t_lab)
+                )
+            dist = jnp.where(
+                frozen_pre, dist, dist + jnp.where(t_done, 0, t_dist)
+            )
+            ptr = jnp.where(frozen_pre, ptr, jnp.where(t_done, ptr, t_ptr))
+            reached = reached | t_done
+        return ptr, dist, reached, mlab
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         check_vma=False,
     )
     return jax.jit(sharded)

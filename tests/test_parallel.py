@@ -591,3 +591,35 @@ def test_mesh_unitig_succ_qcap_retry(monkeypatch):
     np.testing.assert_array_equal(
         succ[1::2], np.where(h_term_l, -1, 2 * lnbr + (~lsame).astype(np.int64))
     )
+
+
+def test_sharded_pointer_double_matches_host():
+    """Distributed pointer doubling equals core.graph.pointer_double
+    bit-for-bit (end, dist, is_chain, min-label election) on mixed
+    chain/cycle successor graphs."""
+    from kmerset_tpu.core.graph import pointer_double
+    from kmerset_tpu.parallel.mesh import make_mesh, sharded_pointer_double_fn
+
+    n_dev = 4
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(91)
+    for trial in range(3):
+        cap = 64
+        n = n_dev * cap
+        # Functional graph with at most one predecessor: a random
+        # permutation (pure cycles) with some edges cut (chains).
+        succ = rng.permutation(n).astype(np.int64)
+        cut = rng.random(n) < 0.3
+        succ[cut] = -1
+        labels = rng.integers(0, 1 << 20, n).astype(np.int64)
+
+        rounds = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+        fn = sharded_pointer_double_fn(mesh, rounds, with_labels=True)
+        end, dist, is_chain, mlab = fn(
+            succ.astype(np.int32), labels.astype(np.int32)
+        )
+        h_end, h_dist, h_chain, h_lab = pointer_double(succ, labels.copy())
+        np.testing.assert_array_equal(np.asarray(end), h_end)
+        np.testing.assert_array_equal(np.asarray(dist), h_dist)
+        np.testing.assert_array_equal(np.asarray(is_chain), h_chain)
+        np.testing.assert_array_equal(np.asarray(mlab), h_lab)
