@@ -31,6 +31,11 @@ def main() -> None:
         default=0,
         help="force an N-device virtual CPU mesh (overrides a pinned TPU)",
     )
+    parser.add_argument(
+        "--graph",
+        action="store_true",
+        help="also benchmark the sharded unitig graph front-end",
+    )
     args = parser.parse_args()
 
     import jax
@@ -74,6 +79,36 @@ def main() -> None:
             f"n_dev={n_dev}  {rate/1e6:8.1f} Mkmers/s  "
             f"({dt*1e3:.1f} ms/step)  weak-scaling eff={eff:.2f}"
         )
+
+        # Graph phase at the same mesh size: sharded side tables +
+        # successor assembly over the counted set's shard layout.
+        if args.graph:
+            from kmerset_tpu.parallel.mesh import (
+                _S_SENT,
+                _owner_edges,
+                sharded_unitig_succ_fn,
+            )
+
+            uniq = np.asarray(out[0]).reshape(n_dev, -1)
+            cap = uniq.shape[1]
+            if k <= 15:
+                blocks = np.where(
+                    uniq >= (1 << 62), int(_S_SENT), uniq
+                ).astype(np.int32)
+            else:
+                blocks = uniq
+            gfn = sharded_unitig_succ_fn(mesh, k, qcap=16 * cap // n_dev)
+            g = gfn(blocks.reshape(-1))
+            jax.block_until_ready(g)
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                g = gfn(blocks.reshape(-1))
+            jax.block_until_ready(g)
+            dtg = (time.perf_counter() - t0) / args.reps
+            print(
+                f"          graph front-end: {total/dtg/1e6:8.1f} Mkmers/s  "
+                f"({dtg*1e3:.1f} ms/step)"
+            )
         n_dev *= 2
 
 
