@@ -576,12 +576,28 @@ def _break_cycles(succ: np.ndarray, match: np.ndarray | None, oriented: bool) ->
     """Detects succ-cycles, elects the min-entity leader of each, and cuts
     one edge so every component becomes a chain (replacing union-find
     loop-removal, reference: lib/core/spss.h:877-933,1541-1647)."""
-    leaders = native.cycle_leaders(succ, oriented)
-    if leaders is not None:
-        # oriented cycles are discovered once per orientation with the
-        # same entity min — collapse mirrors like unique(mins[cyc]) does
-        leaders = np.unique(leaders)
-    else:
+    leaders = None
+    from ..parallel import driver as mesh_driver
+
+    if mesh_driver.should_use_mesh(succ.shape[0]):
+        # Distributed leader election: min-label pointer doubling over
+        # the mesh (parallel/mesh.sharded_pointer_double_fn).
+        ids = np.arange(succ.shape[0], dtype=np.int64)
+        labels = (ids >> 1) if oriented else ids
+        res = mesh_driver.mesh_pointer_double(succ, labels)
+        if res is not None:
+            _, _, is_chain, mins = res
+            cyc = ~is_chain
+            leaders = (
+                np.unique(mins[cyc]) if cyc.any() else np.empty(0, np.int64)
+            )
+    if leaders is None:
+        leaders = native.cycle_leaders(succ, oriented)
+        if leaders is not None:
+            # oriented cycles are discovered once per orientation with the
+            # same entity min — collapse mirrors like unique(mins[cyc]) does
+            leaders = np.unique(leaders)
+    if leaders is None:
         ids = np.arange(succ.shape[0], dtype=np.int64)
         labels = (ids >> 1) if oriented else ids
         _, _, is_chain, mins = pointer_double(succ, labels)

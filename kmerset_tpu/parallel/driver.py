@@ -272,6 +272,47 @@ def mesh_unitig_succ(A: np.ndarray, k: int, mesh=None):
         return None
 
 
+def mesh_pointer_double(succ: np.ndarray, labels: np.ndarray | None = None, mesh=None):
+    """Distributed chain/cycle resolution (mesh.sharded_pointer_double_fn)
+    with the host calling convention of core.graph.pointer_double:
+    pads succ to a device-strided layout (appended padding nodes are
+    self-terminating, original ids unchanged), runs the owner-routed
+    doubling rounds, and trims.  Returns (end, dist, is_chain, min_label)
+    or None when unavailable."""
+    try:
+        import math
+
+        from .mesh import make_mesh, sharded_pointer_double_fn
+    except Exception:  # noqa: BLE001
+        return None
+    try:
+        n = succ.shape[0]
+        if n == 0 or n >= (1 << 30):
+            return None
+        if mesh is None:
+            mesh = make_mesh()
+        n_dev = int(mesh.devices.size)
+        cap = math.ceil(n / n_dev)
+        N = cap * n_dev
+        sp = np.full(N, -1, dtype=np.int32)
+        sp[:n] = succ
+        lp = np.zeros(N, dtype=np.int32)
+        if labels is not None:
+            lp[:n] = labels
+        rounds = max(1, int(np.ceil(np.log2(max(N, 2)))) + 1)
+        fn = sharded_pointer_double_fn(mesh, rounds, labels is not None)
+        end, dist, is_chain, mlab = fn(sp, lp)
+        return (
+            np.asarray(end)[:n].astype(np.int64),
+            np.asarray(dist)[:n].astype(np.int64),
+            np.asarray(is_chain)[:n],
+            np.asarray(mlab)[:n].astype(np.int64) if labels is not None else None,
+        )
+    except Exception as e:  # noqa: BLE001
+        _log.debug("mesh pointer doubling unavailable, falling back: %r", e)
+        return None
+
+
 def maybe_init_distributed() -> None:
     """Env-gated multi-host bring-up for the CLI layer.
 

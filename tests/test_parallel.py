@@ -623,3 +623,27 @@ def test_sharded_pointer_double_matches_host():
         np.testing.assert_array_equal(np.asarray(dist), h_dist)
         np.testing.assert_array_equal(np.asarray(is_chain), h_chain)
         np.testing.assert_array_equal(np.asarray(mlab), h_lab)
+
+
+def test_break_cycles_via_mesh(monkeypatch):
+    """Cycle-leader election routes through distributed pointer doubling
+    under mesh force and yields the same SPSS as the host path on a
+    cycle-heavy input."""
+    from kmerset_tpu.core import kmer as kc
+    from kmerset_tpu.core import spss
+    from kmerset_tpu.core.kmer_set import KmerSet
+
+    rng = np.random.default_rng(97)
+    base = "".join("ACGT"[c] for c in rng.integers(0, 4, 600))
+    read = base + base[:8]  # circular: forces cycles at k=9
+    codes = kc.string_to_codes(read)
+    kmers = kc.canonical(kc.kmers_from_codes(codes, 9), 9)
+    ks = KmerSet(9, kmers)
+
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "mesh")
+    a = spss.get_spss_canonical(ks, fast=True)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    b = spss.get_spss_canonical(ks, fast=True)
+    assert sorted(a.to_strings()) == sorted(b.to_strings())
+    dec = spss.get_kmer_set_from_spss(a, 9, True)
+    assert dec.equals(ks)
