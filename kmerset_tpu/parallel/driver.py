@@ -225,6 +225,26 @@ def mesh_unitig_succ(A: np.ndarray, k: int, mesh=None):
         for d, p in enumerate(parts):
             blocks[d, : p.shape[0]] = p
 
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .mesh import AXIS
+
+            sharding = NamedSharding(mesh, P(AXIS))
+            n_local = len(
+                [d for d in mesh.devices.flat
+                 if d.process_index == jax.process_index()]
+            )
+            li = jax.process_index() * n_local
+            blocks_in = jax.make_array_from_process_local_data(
+                sharding,
+                blocks[li : li + n_local].reshape(-1),
+                (n_dev * cap,),
+            )
+        else:
+            blocks_in = blocks.reshape(-1)
+
         qcap = _mesh_env_capacity() or (
             1 << (max(1024, 16 * cap // n_dev) - 1).bit_length()
         )
@@ -234,7 +254,7 @@ def mesh_unitig_succ(A: np.ndarray, k: int, mesh=None):
         for _attempt in range(32):
             fn = sharded_unitig_succ_fn(mesh, k, qcap)
             succ_r, succ_l, term_l, term_r, both, total, dropped = fn(
-                blocks.reshape(-1)
+                blocks_in
             )
             n_dropped = int(np.asarray(jax.device_get(dropped))[0])
             if n_dropped == 0:
@@ -249,11 +269,21 @@ def mesh_unitig_succ(A: np.ndarray, k: int, mesh=None):
             qcap = min(2 * qcap, qcap_max)
         else:  # pragma: no cover - unreachable with the ceiling
             return None
-        if int(np.asarray(total)[0]) != n:
+        if int(np.asarray(jax.device_get(total))[0]) != n:
             return None  # shard assembly mismatch; fall back
 
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            def _host_full(arr):
+                buf = np.zeros(arr.shape, dtype=np.int64)
+                for sh in arr.addressable_shards:
+                    buf[sh.index] = np.asarray(sh.data, dtype=np.int64)
+                return multihost_utils.process_allgather(buf).sum(axis=0)
+
         def collect(x, dtype):
-            x = np.asarray(x).reshape(n_dev, cap)
+            x = _host_full(x) if multiproc else np.asarray(x)
+            x = x.reshape(n_dev, cap)
             return np.concatenate(
                 [x[d, : parts[d].shape[0]] for d in range(n_dev)]
             ).astype(dtype)

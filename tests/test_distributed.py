@@ -71,6 +71,21 @@ uniq, counts = got
 hu, hc = np.unique(extract_kmers(codes, offsets, 11, True), return_counts=True)
 assert np.array_equal(uniq, hu) and np.array_equal(counts, hc)
 
+# Multi-host graph phase: the sharded unitig front-end across processes.
+from kmerset_tpu.core import spss as spss_mod
+
+res = driver.mesh_unitig_succ(hu, 11, mesh=mesh)
+assert res is not None
+succ, term_l, term_r, both = res
+rdeg, rnbr, rsame = spss_mod._side_table_canonical(hu, 11, right=True)
+ldeg, lnbr, lsame = spss_mod._side_table_canonical(hu, 11, right=False)
+mate_r = np.where(rsame, rdeg[rnbr], ldeg[rnbr])
+h_tr = (rdeg != 1) | (mate_r != 1)
+mate_l = np.where(lsame, ldeg[lnbr], rdeg[lnbr])
+h_tl = (ldeg != 1) | (mate_l != 1)
+assert np.array_equal(term_r, h_tr) and np.array_equal(term_l, h_tl)
+assert np.array_equal(succ[0::2], np.where(h_tr, -1, 2 * rnbr + rsame))
+
 print(f"proc {pid}: ok")
 """
 
