@@ -114,6 +114,15 @@ def handshake_matching(
     n_e = pa.shape[0]
     if n_e == 0:
         return match
+    # Mesh path: the greedy matching is unique, so the distributed
+    # handshake rounds (parallel/mesh.sharded_matching_fn) return the
+    # same match array bit-for-bit.
+    from ..parallel import driver as mesh_driver
+
+    if mesh_driver.should_use_mesh(n_ports):
+        res = mesh_driver.mesh_matching(pa, pb, n_ports)
+        if res is not None:
+            return res
     # Native fast path: the priority-ordered handshake fixpoint equals
     # the sequential greedy scan (an edge survives all rounds iff it is
     # the minimum live edge at both ports, which is exactly the

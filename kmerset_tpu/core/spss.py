@@ -170,6 +170,12 @@ def _chains_grouped(
     """
     if starts.size == 0:
         return np.empty(0, np.int64), np.zeros(1, np.int64)
+    from ..parallel import driver as mesh_driver
+
+    if mesh_driver.should_use_mesh(succ.shape[0]):
+        res = mesh_driver.mesh_chain_group(succ, starts)
+        if res is not None:
+            return res
     res = native.chain_walk(succ, starts)
     if res is not None:
         return res
@@ -200,6 +206,21 @@ def _filter_groups(
     lo, hi = groups[:-1][keep], groups[1:][keep]
     new_groups = np.zeros(int(keep.sum()) + 1, dtype=np.int64)
     np.cumsum(counts[keep], out=new_groups[1:])
+    gathered = native.gather_ranges(nodes, lo, hi)
+    if gathered is None:
+        _, idx = expand_ranges(lo, hi)
+        gathered = nodes[idx]
+    return gathered, new_groups
+
+
+def _permute_groups(
+    nodes: np.ndarray, groups: np.ndarray, order: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Reorders chain groups by `order` (a permutation of group indices)."""
+    counts = np.diff(groups)[order]
+    lo, hi = groups[:-1][order], groups[1:][order]
+    new_groups = np.zeros(order.shape[0] + 1, dtype=np.int64)
+    np.cumsum(counts, out=new_groups[1:])
     gathered = native.gather_ranges(nodes, lo, hi)
     if gathered is None:
         _, idx = expand_ranges(lo, hi)
@@ -319,6 +340,41 @@ def _concat_packed(parts: List[PackedStrings]) -> PackedStrings:
 # ---------------------------------------------------------------------------
 
 
+def _mesh_chain_walk_kept(
+    A: np.ndarray, succ: np.ndarray, starts: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray] | None:
+    """Distributed form of native.chain_walk_kept: group every chain on
+    the mesh (pointer doubling + owner-routed exchange), apply the
+    orientation skip rule per group, and reorder to the exact emission
+    order of the native mirror-dedup walk so the two backends stay
+    byte-identical.
+
+    Native order (native/kmerio.c kmerio_chain_pairs): starts are walked
+    in 64-wide batches; a mirror pair is recorded at the first of its two
+    starts to finish — both walks have equal length, so that is the
+    lower-positioned start — and within a batch records land in (chain
+    length, lane) order because shorter walks finish earlier.
+    """
+    from ..parallel import driver as mesh_driver
+
+    grouped = mesh_driver.mesh_chain_group(succ, starts)
+    if grouped is None:
+        return None
+    nodes, groups = grouped
+    firsts, lasts, nonempty = _group_endpoints(nodes, groups)
+    keep = nonempty & (A[firsts >> 1] >= A[lasts >> 1])
+    nodes_k, groups_k = _filter_groups(nodes, groups, keep)
+    if groups_k.shape[0] <= 1:
+        return nodes_k, groups_k
+    fk, lk, _ = _group_endpoints(nodes_k, groups_k)
+    pos = np.full(succ.shape[0], np.int64(1) << 60, dtype=np.int64)
+    pos[starts] = np.arange(starts.size, dtype=np.int64)
+    minpos = np.minimum(pos[fk], pos[lk ^ 1])
+    lens = np.diff(groups_k)
+    order = np.lexsort((minpos & 63, lens, minpos >> 6))
+    return _permute_groups(nodes_k, groups_k, order)
+
+
 def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
     """Maximal non-branching paths of the bidirected de Bruijn graph
     (reference: lib/core/spss.h:231-615).
@@ -396,12 +452,18 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
 
     # Each chain exists once per orientation; keep the one whose start
     # k-mer is >= its end k-mer (reference skip rule,
-    # lib/core/spss.h:511,555).  Native fast path: measure all chains,
-    # apply the rule, emit only winners (3n visits); fallback: walk
-    # everything and filter.
-    kept = native.chain_walk_kept(
-        succ, starts, lambda s, e: A[s >> 1] >= A[e >> 1]
-    )
+    # lib/core/spss.h:511,555).  Mesh path first (distributed pointer
+    # doubling + owner-routed grouping — no sequential walk anywhere);
+    # then the native fast path: measure all chains, apply the rule,
+    # emit only winners (3n visits); fallback: walk everything and
+    # filter.
+    kept = None
+    if mesh_driver.should_use_mesh(n):
+        kept = _mesh_chain_walk_kept(A, succ, starts)
+    if kept is None:
+        kept = native.chain_walk_kept(
+            succ, starts, lambda s, e: A[s >> 1] >= A[e >> 1]
+        )
     if kept is not None:
         nodes_kept, groups_kept = kept
         nodes = nodes_kept  # kept chains cover the same entities

@@ -364,3 +364,113 @@ def maybe_init_distributed() -> None:
     _log.info(
         "jax.distributed: process %d / %d", jax.process_index(), jax.process_count()
     )
+
+
+def mesh_chain_group(succ: np.ndarray, starts: np.ndarray, mesh=None):
+    """Distributed chain grouping with the host calling convention of
+    core.spss._chains_grouped / native.chain_walk: groups the nodes of
+    the chains led by `starts` contiguously in (chain, position) order,
+    one group per start, concatenated in `starts` order.
+
+    Pipeline: distributed pointer doubling resolves (end, dist) per node
+    (mesh.sharded_pointer_double_fn), then one owner-routed exchange
+    groups records by end id and orders them start->end
+    (mesh.sharded_chain_group_fn).  The host only slices boundaries and
+    permutes whole groups — no per-node pointer chase anywhere.
+
+    Single-process only (gathers via np.asarray); returns None when
+    unavailable so callers fall back to the native walk.
+    """
+    try:
+        import jax  # noqa: F401
+
+        from .mesh import make_mesh, sharded_chain_group_fn
+    except Exception:  # noqa: BLE001
+        return None
+    try:
+        n = succ.shape[0]
+        if n == 0 or n >= (1 << 30) or starts.size == 0:
+            return None
+        if mesh is None:
+            mesh = make_mesh()
+        pd = mesh_pointer_double(succ, mesh=mesh)
+        if pd is None:
+            return None
+        end, dist, is_chain, _ = pd
+        keep_end = np.zeros(n, dtype=bool)
+        keep_end[end[starts]] = True
+        sel = is_chain & keep_end[end]
+
+        n_dev = int(mesh.devices.size)
+        cap = math.ceil(n / n_dev)
+        N = cap * n_dev
+        ep = np.zeros(N, dtype=np.int32)
+        ep[:n] = end
+        dp = np.zeros(N, dtype=np.int32)
+        dp[:n] = dist
+        sp = np.zeros(N, dtype=bool)
+        sp[:n] = sel
+        fn = sharded_chain_group_fn(mesh)
+        es, ns = fn(ep, dp, sp)
+        es = np.asarray(es)
+        ns = np.asarray(ns)
+        live = es != (1 << 31) - 1
+        nodes = ns[live].astype(np.int64)
+        ends = es[live]
+        if nodes.size == 0:
+            return None
+        bnd = np.flatnonzero(np.diff(ends)) + 1
+        groups = np.concatenate(
+            ([0], bnd, [nodes.shape[0]])
+        ).astype(np.int64)
+        # Chains are node-disjoint (in-degree <= 1), so each group's
+        # first record is its chain's origin — a member of `starts` for
+        # exactly the groups the caller asked for.
+        firsts = nodes[groups[:-1]]
+        pos = np.full(n, -1, dtype=np.int64)
+        pos[starts] = np.arange(starts.size, dtype=np.int64)
+        led = pos[firsts] >= 0
+        from ..core.spss import _filter_groups, _permute_groups
+
+        nodes, groups = _filter_groups(nodes, groups, led)
+        if groups.shape[0] - 1 != starts.size:
+            return None  # unexpected topology; use the host walk
+        order = np.argsort(pos[nodes[groups[:-1]]], kind="stable")
+        return _permute_groups(nodes, groups, order)
+    except Exception as e:  # noqa: BLE001
+        _log.debug("mesh chain grouping unavailable, falling back: %r", e)
+        return None
+
+
+def mesh_matching(pa: np.ndarray, pb: np.ndarray, n_ports: int, mesh=None):
+    """Distributed greedy matching with the host calling convention of
+    core.graph.handshake_matching (self-loop-free edge list in priority
+    order): returns match[port] = partner port or -1.  The greedy
+    matching is unique, so the result is bit-identical to the host and
+    native paths.  Single-process only; returns None when unavailable."""
+    try:
+        import jax  # noqa: F401
+
+        from .mesh import make_mesh, sharded_matching_fn
+    except Exception:  # noqa: BLE001
+        return None
+    try:
+        n_e = int(pa.shape[0])
+        if n_e == 0 or n_ports == 0 or n_ports >= (1 << 30):
+            return None
+        if mesh is None:
+            mesh = make_mesh()
+        n_dev = int(mesh.devices.size)
+        ecap = math.ceil(n_e / n_dev)
+        pcap = math.ceil(n_ports / n_dev)
+        pa_p = np.full(ecap * n_dev, -1, dtype=np.int32)
+        pa_p[:n_e] = pa
+        pb_p = np.full(ecap * n_dev, -1, dtype=np.int32)
+        pb_p[:n_e] = pb
+        m0 = np.zeros(pcap * n_dev, dtype=np.int32)
+        fn = sharded_matching_fn(mesh)
+        match = np.asarray(fn(pa_p, pb_p, m0))[:n_ports]
+        return match.astype(np.int64)
+    except Exception as e:  # noqa: BLE001
+        _log.debug("mesh matching unavailable, falling back: %r", e)
+        return None

@@ -150,7 +150,9 @@ def _rc_bits(x, k: int, nbits: int):
     return jax.lax.shift_right_logical(x, jnp.int64(64 - 2 * k))
 
 
-def _route_queries(Q, edges_inner, qcap: int, n_dev: int, sent, answer_fn):
+def _route_queries(
+    Q, edges_inner, qcap: int, n_dev: int, sent, answer_fn, values=None
+):
     """Generic owner-routed lookup inside a shard_map step.
 
     Q: (m,) per-device query keys, ascending-owner partitionable by
@@ -159,11 +161,20 @@ def _route_queries(Q, edges_inner, qcap: int, n_dev: int, sent, answer_fn):
     'miss' answer — so every slot round-trips exactly once and the final
     slot-keyed sort realigns answers without any scatter.
     answer_fn(recv_flat) -> int32 answers aligned with its input.
+    With `values` (an (m,) int32 payload lane riding alongside Q),
+    answer_fn is called as answer_fn(recv_q, recv_v) — the owner sees
+    every (key, value) record sent to it, enabling owner-side
+    aggregation (e.g. per-key minima) in the same round trip.
     Returns (answers (m,) int32 in Q order, dropped count psum'd).
     """
     m = Q.shape[0]
     slot = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
-    Qs, slot_s = jax.lax.sort((Q, slot), num_keys=1, is_stable=False)
+    if values is None:
+        Qs, slot_s = jax.lax.sort((Q, slot), num_keys=1, is_stable=False)
+    else:
+        Qs, slot_s, vals_s = jax.lax.sort(
+            (Q, slot, values), num_keys=1, is_stable=False
+        )
     bounds = jnp.searchsorted(Qs, edges_inner.astype(Qs.dtype))
     lo = jnp.concatenate([jnp.zeros(1, bounds.dtype), bounds])
     hi = jnp.concatenate([bounds, jnp.full((1,), m, bounds.dtype)])
@@ -177,7 +188,14 @@ def _route_queries(Q, edges_inner, qcap: int, n_dev: int, sent, answer_fn):
 
     recv_q = jax.lax.all_to_all(send_q, AXIS, 0, 0, tiled=False)
     recv_s = jax.lax.all_to_all(send_s, AXIS, 0, 0, tiled=False)
-    ans = answer_fn(recv_q.reshape(-1)).reshape(n_dev, qcap)
+    if values is None:
+        ans = answer_fn(recv_q.reshape(-1)).reshape(n_dev, qcap)
+    else:
+        send_v = jnp.where(in_range, vals_s[clip], jnp.int32(0))
+        recv_v = jax.lax.all_to_all(send_v, AXIS, 0, 0, tiled=False)
+        ans = answer_fn(recv_q.reshape(-1), recv_v.reshape(-1)).reshape(
+            n_dev, qcap
+        )
     back_a = jax.lax.all_to_all(ans, AXIS, 0, 0, tiled=False)
     back_s = jax.lax.all_to_all(recv_s, AXIS, 0, 0, tiled=False)
     bs = back_s.reshape(-1)
@@ -430,6 +448,55 @@ def sharded_unitig_succ_fn(mesh: Mesh, k: int, qcap: int):
     return jax.jit(sharded)
 
 
+def _local_value_lookup(cap, base, values_hi, values_lo):
+    """Returns an answer_fn (for _route_queries) serving
+    (hi << 32 | lo) at local indices [base, base + cap): every owned
+    index exists exactly once, so two monotone packed cummaxes recover
+    exact 32-bit halves without any scatter."""
+
+    def fn(rq):
+        mm = rq.shape[0]
+        jloc = rq - base
+        keyj = jnp.concatenate(
+            [jax.lax.broadcasted_iota(jnp.int32, (cap,), 0), jloc]
+        )
+        tag = jnp.concatenate(
+            [jnp.zeros(cap, jnp.int32), jnp.ones(mm, jnp.int32)]
+        )
+        pos = jnp.concatenate(
+            [
+                jax.lax.broadcasted_iota(jnp.int32, (cap,), 0),
+                jax.lax.broadcasted_iota(jnp.int32, (mm,), 0),
+            ]
+        )
+        vh = jnp.concatenate([values_hi, jnp.zeros(mm, jnp.int32)])
+        vl = jnp.concatenate([values_lo, jnp.zeros(mm, jnp.int32)])
+        ks_, tg_, ps, sh, sl = jax.lax.sort(
+            (keyj, tag, pos, vh, vl), num_keys=2, is_stable=False
+        )
+        is_set = tg_ == 0
+        k64 = ks_.astype(jnp.int64)
+
+        def prop(v):
+            pk = jnp.where(
+                is_set,
+                (k64 << 32) | (v.astype(jnp.int64) & 0xFFFFFFFF),
+                jnp.int64(-1),
+            )
+            pr = jax.lax.cummax(pk, axis=0)
+            ok = (pr >> 32) == k64
+            return jnp.where(ok, pr & 0xFFFFFFFF, 0).astype(jnp.int64)
+
+        hi_v = prop(sh)
+        lo_v = prop(sl)
+        ans64 = (hi_v << 32) | lo_v
+        rkey = jnp.where(is_set, jnp.int32(-1), ps)
+        _, out = jax.lax.sort((rkey, ans64), num_keys=1, is_stable=False)
+        return out[cap:]
+
+    return fn
+
+
 def sharded_pointer_double_fn(mesh: Mesh, rounds: int, with_labels: bool):
     """Distributed pointer doubling — the chain/cycle resolution
     primitive (core/graph.py::pointer_double) over a mesh-sharded
@@ -467,51 +534,7 @@ def sharded_pointer_double_fn(mesh: Mesh, rounds: int, with_labels: bool):
         reached = done0
 
         def value_lookup(values_hi, values_lo):
-            """Returns an answer_fn serving (hi << 32 | lo) at local
-            indices: every owned index exists exactly once, so two
-            monotone packed cummaxes recover exact 32-bit halves."""
-
-            def fn(rq):
-                mm = rq.shape[0]
-                jloc = rq - base
-                keyj = jnp.concatenate(
-                    [jax.lax.broadcasted_iota(jnp.int32, (cap,), 0), jloc]
-                )
-                tag = jnp.concatenate(
-                    [jnp.zeros(cap, jnp.int32), jnp.ones(mm, jnp.int32)]
-                )
-                pos = jnp.concatenate(
-                    [
-                        jax.lax.broadcasted_iota(jnp.int32, (cap,), 0),
-                        jax.lax.broadcasted_iota(jnp.int32, (mm,), 0),
-                    ]
-                )
-                vh = jnp.concatenate([values_hi, jnp.zeros(mm, jnp.int32)])
-                vl = jnp.concatenate([values_lo, jnp.zeros(mm, jnp.int32)])
-                ks_, tg_, ps, sh, sl = jax.lax.sort(
-                    (keyj, tag, pos, vh, vl), num_keys=2, is_stable=False
-                )
-                is_set = tg_ == 0
-                k64 = ks_.astype(jnp.int64)
-
-                def prop(v):
-                    pk = jnp.where(
-                        is_set,
-                        (k64 << 32) | (v.astype(jnp.int64) & 0xFFFFFFFF),
-                        jnp.int64(-1),
-                    )
-                    pr = jax.lax.cummax(pk, axis=0)
-                    ok = (pr >> 32) == k64
-                    return jnp.where(ok, pr & 0xFFFFFFFF, 0).astype(jnp.int64)
-
-                hi_v = prop(sh)
-                lo_v = prop(sl)
-                ans64 = (hi_v << 32) | lo_v
-                rkey = jnp.where(is_set, jnp.int32(-1), ps)
-                _, out = jax.lax.sort((rkey, ans64), num_keys=1, is_stable=False)
-                return out[cap:]
-
-            return fn
+            return _local_value_lookup(cap, base, values_hi, values_lo)
 
         for _ in range(rounds):
             frozen_pre = reached
@@ -648,6 +671,244 @@ def sharded_sketch_weights_fn(mesh: Mesh):
         mesh=mesh,
         in_specs=(P(None, AXIS), P(), P()),
         out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_chain_group_fn(mesh: Mesh):
+    """Distributed chain grouping — the string-emission front half of the
+    walk phase (reference: the sequential path walks of
+    lib/core/spss.h:394-423,936-1011) as one owner-routed exchange.
+
+    After pointer doubling every chain node knows (end, dist).  Grouping
+    the nodes of each chain contiguously in start->end order is then a
+    key exchange: route each node record to the owner of its `end` id
+    (stride layout: device d owns ids [d*cap, (d+1)*cap)), and locally
+    sort by (end asc, dist desc).  Groups are owner-local by
+    construction, so the device-block concatenation is globally grouped;
+    the host only slices group boundaries and writes bytes.
+
+    Per-(src,dst) lanes = cap, so the exchange can never overflow (a
+    source holds only cap records).  Inputs (stride-sharded): end_local
+    int32, dist_local int32, sel_local bool (False rides along as
+    sentinel).  Outputs (per device, n_dev*cap each): sorted end keys
+    (sentinel 2^31-1) and node ids.
+    """
+    n_dev = mesh.devices.size
+
+    def step(end_local, dist_local, sel_local):
+        cap = end_local.shape[0]
+        isent = jnp.int32(2**31 - 1)
+        my = jax.lax.axis_index(AXIS)
+        base = (my * cap).astype(jnp.int32)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0) + base
+        e = jnp.where(sel_local, end_local.astype(jnp.int32), isent)
+        d = dist_local.astype(jnp.int32)
+        # Owner partition (owner = end // cap is monotone in end): one
+        # local sort by end, then searchsorted at the stride edges.
+        es, ds, ns = jax.lax.sort((e, d, ids), num_keys=1, is_stable=False)
+        edges_inner = jnp.arange(1, n_dev, dtype=jnp.int32) * jnp.int32(cap)
+        bounds = jnp.searchsorted(es, edges_inner)
+        n_valid = jnp.sum(e != isent).astype(bounds.dtype)
+        lo = jnp.concatenate([jnp.zeros(1, bounds.dtype), bounds])
+        hi = jnp.concatenate([bounds, n_valid[None]])
+        lane = jnp.arange(cap, dtype=bounds.dtype)[None, :]
+        src = lo[:, None] + lane
+        in_r = src < hi[:, None]
+        clip = jnp.clip(src, 0, cap - 1)
+        send_e = jnp.where(in_r, es[clip], isent)
+        send_d = jnp.where(in_r, ds[clip], jnp.int32(0))
+        send_n = jnp.where(in_r, ns[clip], jnp.int32(-1))
+        recv_e = jax.lax.all_to_all(send_e, AXIS, 0, 0, tiled=False)
+        recv_d = jax.lax.all_to_all(send_d, AXIS, 0, 0, tiled=False)
+        recv_n = jax.lax.all_to_all(send_n, AXIS, 0, 0, tiled=False)
+        fe = recv_e.reshape(-1)
+        fd = recv_d.reshape(-1)
+        fn_ = recv_n.reshape(-1)
+        # Group order: (end asc, dist desc) = start -> end within each
+        # chain (dist < 2^30, so the monotone flip below is exact).
+        neg = jnp.int32(0x3FFFFFFF) - fd
+        es2, _, ns2 = jax.lax.sort((fe, neg, fn_), num_keys=2, is_stable=False)
+        return es2, ns2
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_matching_fn(mesh: Mesh):
+    """Distributed handshake matching — the greedy edge-selection phase
+    of the SPSS path cover (reference's bucket-locked try_lock greedy,
+    lib/core/spss.h:796-817,1445-1498) over a device mesh.
+
+    The priority-ordered greedy matching is UNIQUE (an edge is selected
+    iff it is the minimum-priority live edge at both of its ports), so
+    this produces bit-identical results to core.graph.handshake_matching
+    and the native sequential scan.
+
+    Layout: ports stride-sharded (device d owns [d*pcap, (d+1)*pcap));
+    edges stride-sharded in priority order (priority = global position,
+    padding pa = -1).  Each round: (A) edges query both ports' free
+    flags, (B) live edges send (port, priority) records and owners
+    answer the per-port minimum in the same round trip, (C) winning
+    edges (min at both ports) route (port, partner) records to the port
+    owners, which mark matches scatter-free.  At least the globally
+    minimum live edge wins every round, so the loop terminates.
+
+    Inputs: pa_local, pb_local (ecap,) int32; match0_local (pcap,) int32
+    (shape carrier).  Output: match sharded by port (-1 = unmatched).
+    """
+    n_dev = mesh.devices.size
+
+    def step(pa_local, pb_local, match0):
+        ecap = pa_local.shape[0]
+        pcap = match0.shape[0]
+        my = jax.lax.axis_index(AXIS)
+        pbase = (my * pcap).astype(jnp.int32)
+        ebase = (my * ecap).astype(jnp.int32)
+        prio = jax.lax.broadcasted_iota(jnp.int32, (ecap,), 0) + ebase
+        psent = jnp.int32(2**31 - 1)
+        pedges = jnp.arange(1, n_dev, dtype=jnp.int32) * jnp.int32(pcap)
+        qcap = 2 * ecap  # every (port, prio) record could share one owner
+
+        free0 = jnp.ones((pcap,), jnp.bool_)
+        m0 = jnp.full((pcap,), -1, jnp.int32)
+        alive0 = pa_local >= 0
+
+        def best_fn(rq, rv):
+            """Per-port minimum of rv over the received records,
+            answered at every record (sentinel ports answer garbage,
+            dropped at the caller)."""
+            mm = rq.shape[0]
+            pos = jax.lax.broadcasted_iota(jnp.int32, (mm,), 0)
+            kq, kv, kp = jax.lax.sort((rq, rv, pos), num_keys=2, is_stable=False)
+            head = jnp.concatenate(
+                [jnp.ones(1, jnp.bool_), kq[1:] != kq[:-1]]
+            )
+            k64 = kq.astype(jnp.int64)
+            packed = jnp.where(
+                head, (k64 << 32) | (kv.astype(jnp.int64) & 0xFFFFFFFF),
+                jnp.int64(-1),
+            )
+            pr = jax.lax.cummax(packed, axis=0)
+            ok = (pr >> 32) == k64
+            val = jnp.where(ok, pr & 0xFFFFFFFF, jnp.int64(1) << 40)
+            _, out = jax.lax.sort((kp, val), num_keys=1, is_stable=False)
+            return out
+
+        def body(state):
+            free, match, alive = state
+            # (A) both ports still free?
+            fi = free.astype(jnp.int32)
+            Q = jnp.concatenate(
+                [
+                    jnp.where(alive, pa_local, psent),
+                    jnp.where(alive, pb_local, psent),
+                ]
+            )
+            ansA, _ = _route_queries(
+                Q, pedges, qcap, n_dev, psent,
+                _local_value_lookup(pcap, pbase, fi, fi),
+            )
+            fa = (ansA[:ecap] >> 32) != 0
+            fb = (ansA[ecap:] >> 32) != 0
+            alive = alive & fa & fb
+            # (B) per-port minimum priority over live edges.
+            Q2 = jnp.concatenate(
+                [
+                    jnp.where(alive, pa_local, psent),
+                    jnp.where(alive, pb_local, psent),
+                ]
+            )
+            V2 = jnp.concatenate([prio, prio])
+            ansB, _ = _route_queries(
+                Q2, pedges, qcap, n_dev, psent, best_fn, values=V2
+            )
+            p64 = prio.astype(jnp.int64)
+            win = alive & (ansB[:ecap] == p64) & (ansB[ecap:] == p64)
+            # (C) winners claim both ports: route (port, partner)
+            # records to the owners, which update free/match without
+            # scatter (each port receives at most one record per round).
+            WQ = jnp.concatenate(
+                [
+                    jnp.where(win, pa_local, psent),
+                    jnp.where(win, pb_local, psent),
+                ]
+            )
+            WV = jnp.concatenate([pb_local, pa_local])
+            mw = WQ.shape[0]
+            WQs, WVs = jax.lax.sort((WQ, WV), num_keys=1, is_stable=False)
+            bounds = jnp.searchsorted(WQs, pedges)
+            lo = jnp.concatenate([jnp.zeros(1, bounds.dtype), bounds])
+            n_v = jnp.sum(WQ != psent).astype(bounds.dtype)
+            hi = jnp.concatenate([bounds, n_v[None]])
+            lane = jnp.arange(qcap, dtype=bounds.dtype)[None, :]
+            src = lo[:, None] + lane
+            in_r = src < hi[:, None]
+            clip = jnp.clip(src, 0, mw - 1)
+            send_p = jnp.where(in_r, WQs[clip], psent)
+            send_v = jnp.where(in_r, WVs[clip], jnp.int32(-1))
+            rp = jax.lax.all_to_all(send_p, AXIS, 0, 0, tiled=False).reshape(-1)
+            rv = jax.lax.all_to_all(send_v, AXIS, 0, 0, tiled=False).reshape(-1)
+            # Owner update via merge sort + packed cummax (records first
+            # within a key so owned slots read the propagated value).
+            mm = rp.shape[0]
+            jloc = rp - pbase
+            keyj = jnp.concatenate(
+                [jloc, jax.lax.broadcasted_iota(jnp.int32, (pcap,), 0)]
+            )
+            tag = jnp.concatenate(
+                [jnp.zeros(mm, jnp.int32), jnp.ones(pcap, jnp.int32)]
+            )
+            pos = jnp.concatenate(
+                [
+                    jnp.full(mm, pcap, jnp.int32),
+                    jax.lax.broadcasted_iota(jnp.int32, (pcap,), 0),
+                ]
+            )
+            vals = jnp.concatenate([rv, jnp.zeros(pcap, jnp.int32)])
+            ks, ts, ps, vs = jax.lax.sort(
+                (keyj, tag, pos, vals), num_keys=2, is_stable=False
+            )
+            is_rec = ts == 0
+            k64 = ks.astype(jnp.int64)
+            packed = jnp.where(
+                is_rec & (ks >= 0) & (ks < pcap),
+                (k64 << 32) | (vs.astype(jnp.int64) & 0xFFFFFFFF),
+                jnp.int64(-1),
+            )
+            pr = jax.lax.cummax(packed, axis=0)
+            hit = (pr >> 32) == k64
+            part = (pr & 0xFFFFFFFF).astype(jnp.int32)
+            # realign owned slots to local order
+            skey = jnp.where(is_rec, jnp.int32(pcap), ps)
+            _, hit_o, part_o = jax.lax.sort(
+                (skey, hit.astype(jnp.int32), part), num_keys=1, is_stable=False
+            )
+            hit_l = hit_o[:pcap] != 0
+            match = jnp.where(hit_l, part_o[:pcap], match)
+            free = free & ~hit_l
+            alive = alive & ~win
+            return free, match, alive
+
+        def cond(state):
+            _, _, alive = state
+            return jax.lax.psum(jnp.sum(alive.astype(jnp.int32)), AXIS) > 0
+
+        _, match, _ = jax.lax.while_loop(cond, body, (free0, m0, alive0))
+        return match
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS),
         check_vma=False,
     )
     return jax.jit(sharded)

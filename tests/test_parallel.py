@@ -647,3 +647,133 @@ def test_break_cycles_via_mesh(monkeypatch):
     assert sorted(a.to_strings()) == sorted(b.to_strings())
     dec = spss.get_kmer_set_from_spss(a, 9, True)
     assert dec.equals(ks)
+
+
+def test_mesh_chain_group_matches_native_walk():
+    """Distributed chain grouping (pointer doubling + owner-routed end
+    exchange, parallel/driver.mesh_chain_group) returns the exact
+    (nodes, group_starts) of the native sequential walk — one group per
+    start, concatenated in starts order, start->end within each group —
+    on a graph mixing chains, cycles, and unwalked chains."""
+    from kmerset_tpu.core import native
+    from kmerset_tpu.parallel import driver
+
+    rng = np.random.default_rng(101)
+    n = 3000
+    perm = rng.permutation(n).astype(np.int64)
+    succ = np.full(n, -1, dtype=np.int64)
+    cuts = np.sort(rng.choice(np.arange(1, n), 120, replace=False))
+    bounds = np.concatenate([[0], cuts, [n]])
+    starts = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        seg = perm[lo:hi]
+        succ[seg[:-1]] = seg[1:]
+        starts.append(seg[0])
+    # First 20 segments become pure cycles (excluded from walks) and a
+    # few chains are left out of `starts` (their groups must be
+    # filtered, not returned).
+    for i in range(20):
+        seg = perm[bounds[i] : bounds[i + 1]]
+        succ[seg[-1]] = seg[0]
+    starts = np.array(starts[20:-5], dtype=np.int64)
+    rng.shuffle(starts)
+
+    got = driver.mesh_chain_group(succ, starts)
+    assert got is not None
+    nodes_h, groups_h = native.chain_walk(succ, starts)
+    np.testing.assert_array_equal(got[0], nodes_h)
+    np.testing.assert_array_equal(got[1], groups_h)
+
+
+def test_mesh_chain_walk_kept_matches_native():
+    """The mesh kept-walk (grouping + orientation skip rule + the
+    native pair-recording order) is bit-identical to
+    native.chain_walk_kept on a real bidirected unitig graph."""
+    from kmerset_tpu.core import kmer as kc
+    from kmerset_tpu.core import native
+    from kmerset_tpu.core import spss as spss_mod
+
+    k = 11
+    rng = np.random.default_rng(103)
+    codes = rng.integers(0, 4, 6000).astype(np.int64)
+    A = np.unique(kc.canonical(kc.kmers_from_codes(codes, k), k))
+    (rdeg, rnbr, rsame), (ldeg, lnbr, lsame) = spss_mod._side_tables(
+        A, k, canonical=True
+    )
+    mate_r = np.where(rsame, rdeg[rnbr], ldeg[rnbr])
+    term_r = (rdeg != 1) | (mate_r != 1)
+    mate_l = np.where(lsame, ldeg[lnbr], rdeg[lnbr])
+    term_l = (ldeg != 1) | (mate_l != 1)
+    n = A.shape[0]
+    succ = np.empty(2 * n, dtype=np.int64)
+    succ[0::2] = np.where(term_r, -1, 2 * rnbr + rsame)
+    succ[1::2] = np.where(term_l, -1, 2 * lnbr + (~lsame).astype(np.int64))
+    both = term_l & term_r
+    starts = np.concatenate(
+        [
+            np.flatnonzero(term_l & ~term_r & ~both) * 2,
+            np.flatnonzero(term_r & ~term_l) * 2 + 1,
+        ]
+    )
+
+    kept_m = spss_mod._mesh_chain_walk_kept(A, succ, starts)
+    assert kept_m is not None
+    kept_h = native.chain_walk_kept(
+        succ, starts, lambda s, e: A[s >> 1] >= A[e >> 1]
+    )
+    assert kept_h is not None
+    np.testing.assert_array_equal(kept_m[0], kept_h[0])
+    np.testing.assert_array_equal(kept_m[1], kept_h[1])
+
+
+def test_unitigs_canonical_mesh_exact_bytes(monkeypatch):
+    """With every stage mesh-routed (front-end successor construction
+    AND the chain walk), get_unitigs_canonical is byte-identical to the
+    host path — not merely the same string multiset."""
+    from kmerset_tpu.core import spss
+    from kmerset_tpu.utils.random import get_random_kmer_set
+
+    rng = np.random.default_rng(107)
+    ks = get_random_kmer_set(11, 4000, True, rng)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "mesh")
+    a = spss.get_unitigs_canonical(ks)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    b = spss.get_unitigs_canonical(ks)
+    assert a.to_strings() == b.to_strings()
+
+
+def test_mesh_matching_matches_host():
+    """Distributed handshake matching (parallel/driver.mesh_matching)
+    equals the host fixpoint bit-for-bit — the greedy priority matching
+    is unique — on a dense random multigraph."""
+    from kmerset_tpu.core.graph import handshake_matching
+    from kmerset_tpu.parallel import driver
+
+    rng = np.random.default_rng(113)
+    n_ports = 500
+    n_e = 2000
+    pa = rng.integers(0, n_ports, n_e).astype(np.int64)
+    pb = rng.integers(0, n_ports, n_e).astype(np.int64)
+    keep = pa != pb
+    pa, pb = pa[keep], pb[keep]
+    got = driver.mesh_matching(pa, pb, n_ports)
+    assert got is not None
+    want = handshake_matching(pa, pb, n_ports)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_spss_canonical_mesh_exact_bytes(monkeypatch):
+    """The FULL canonical SPSS pipeline under mesh force — counting
+    front-end, side tables, successor, chain grouping, handshake
+    matching, cycle breaking, and path emission — is byte-identical to
+    the host path."""
+    from kmerset_tpu.core import spss
+    from kmerset_tpu.utils.random import get_random_kmer_set
+
+    rng = np.random.default_rng(127)
+    ks = get_random_kmer_set(11, 4000, True, rng)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "mesh")
+    a = spss.get_spss_canonical(ks, fast=True)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    b = spss.get_spss_canonical(ks, fast=True)
+    assert a.to_strings() == b.to_strings()
