@@ -556,6 +556,13 @@ def _candidate_port_edges_canonical(
     P = unitigs.first_kmers(k)
     S = unitigs.last_kmers(k)
 
+    from ..parallel import driver as mesh_driver
+
+    if mesh_driver.should_use_mesh(n):
+        res = mesh_driver.mesh_overlap_edges(P, S, k)
+        if res is not None:
+            a, b = res
+            return _dedup_port_edges(a, b, n)
     res = native.overlap_edges(P, S, k)
     if res is not None:
         a, b = res

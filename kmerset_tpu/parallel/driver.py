@@ -474,3 +474,79 @@ def mesh_matching(pa: np.ndarray, pb: np.ndarray, n_ports: int, mesh=None):
     except Exception as e:  # noqa: BLE001
         _log.debug("mesh matching unavailable, falling back: %r", e)
         return None
+
+
+def mesh_overlap_edges(P: np.ndarray, S: np.ndarray, k: int, mesh=None):
+    """Distributed overlap-edge discovery with the host calling
+    convention of core.spss._candidate_port_edges_canonical's join
+    phase: returns pre-dedup (a_ports, b_ports) in the exact host
+    discovery-priority order, or None when unavailable.
+
+    Falls back when P or S carry duplicate values (cannot happen for
+    unitigs of one SPSS, where every k-mer appears exactly once, but the
+    device probe answers at most one partner per query)."""
+    try:
+        import jax  # noqa: F401
+
+        from .mesh import make_mesh, sharded_overlap_edges_fn
+    except Exception:  # noqa: BLE001
+        return None
+    try:
+        n = int(P.shape[0])
+        if n == 0 or n >= (1 << 29):
+            return None
+        if (
+            np.unique(P).shape[0] != n
+            or np.unique(S).shape[0] != n
+        ):
+            return None
+        if mesh is None:
+            mesh = make_mesh()
+        n_dev = int(mesh.devices.size)
+        ucap = math.ceil(n / n_dev)
+        N = ucap * n_dev
+        pp = np.full(N, -1, dtype=np.int64)
+        pp[:n] = P
+        ss = np.full(N, -1, dtype=np.int64)
+        ss[:n] = S
+        qcap = _mesh_env_capacity() or (
+            1 << (max(1024, 2 * 16 * ucap // n_dev) - 1).bit_length()
+        )
+        qcap_max = 16 * ucap  # a source sends at most this many queries
+        for _attempt in range(32):
+            fn = sharded_overlap_edges_fn(mesh, k, qcap)
+            ans, dropped = fn(pp, ss)
+            if int(np.asarray(dropped)[0]) == 0:
+                break
+            if qcap >= qcap_max:  # pragma: no cover - defensive ceiling
+                return None
+            _log.info(
+                "mesh overlap-edge exchange overflow (qcap = %d); retrying",
+                qcap,
+            )
+            qcap = min(2 * qcap, qcap_max)
+        else:  # pragma: no cover - unreachable with the ceiling
+            return None
+        ans = np.asarray(ans).reshape(n_dev, 16, ucap)
+        cnts = [min(max(n - d * ucap, 0), ucap) for d in range(n_dev)]
+        ans16 = np.concatenate(
+            [ans[d][:, : cnts[d]] for d in range(n_dev)], axis=1
+        )
+        found = (ans16 & (1 << 30)) != 0
+        j16 = (ans16 & ((1 << 30) - 1)).astype(np.int64)
+        ar = np.arange(n, dtype=np.int64)
+        a_out, b_out = [], []
+        for jt in range(16):
+            grp = jt // 8  # 0: probes from S (right port); 1: from P (left)
+            src = 2 * ar + grp
+            if grp == 0:
+                dst = 2 * j16[jt] + (1 - (jt % 2))
+            else:
+                dst = 2 * j16[jt] + (jt % 2)
+            ok = found[jt] & ((src >> 1) != j16[jt])
+            a_out.append(src[ok])
+            b_out.append(dst[ok])
+        return np.concatenate(a_out), np.concatenate(b_out)
+    except Exception as e:  # noqa: BLE001
+        _log.debug("mesh overlap edges unavailable, falling back: %r", e)
+        return None

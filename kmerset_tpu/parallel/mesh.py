@@ -912,3 +912,121 @@ def sharded_matching_fn(mesh: Mesh):
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def sharded_overlap_edges_fn(mesh: Mesh, k: int, qcap: int):
+    """Distributed unitig overlap-edge discovery — SPSS stage-2's
+    candidate enumeration (reference hash multimaps of unitig
+    prefixes/suffixes, lib/core/spss.h:619-695,1057-1145) as one
+    build-and-probe exchange pair over the mesh.
+
+    Each device owns a block of unitigs and contributes its (first,
+    last) k-mers to a key-range sharded lookup table (combined key =
+    (value << 1) | table_bit, int64: 2k+1 <= 47 bits), then probes the
+    16 gluing candidates per unitig (4 bases x {next, rc(next), prev,
+    rc(prev)}) through the owner-routed query cycle.  Assumes P and S
+    values are globally unique (true for unitigs: every k-mer appears
+    exactly once across an SPSS) — the driver guards this.
+
+    Inputs (stride-sharded, (ucap,) int64, -1 padding): p_local,
+    s_local.  Output: (16 * ucap,) int32 per device — per (join type,
+    unitig) the partner id | found << 30 — plus the psum'd dropped
+    count (retry with a larger qcap when nonzero).
+    """
+    n_dev = mesh.devices.size
+    edges2 = jnp.asarray(_owner_edges(k, n_dev)[1:-1] * 2, dtype=jnp.int64)
+    sent2 = jnp.int64(1) << 62
+    kmask = jnp.int64((1 << (2 * k)) - 1)
+
+    def step(p_local, s_local):
+        ucap = p_local.shape[0]
+        my = jax.lax.axis_index(AXIS)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (ucap,), 0) + (
+            my * ucap
+        ).astype(jnp.int32)
+        live = p_local >= 0
+        p = p_local.astype(jnp.int64)
+        s = s_local.astype(jnp.int64)
+
+        # Build the combined table: route (key', id) records to the
+        # value's key-range owner.  Per-pair lanes = 2 * ucap (a source
+        # holds only that many records), so the build cannot overflow.
+        tkey = jnp.concatenate(
+            [
+                jnp.where(live, p << 1, sent2),
+                jnp.where(live, (s << 1) | 1, sent2),
+            ]
+        )
+        tval = jnp.concatenate([ids, ids])
+        tks, tvs = jax.lax.sort((tkey, tval), num_keys=1, is_stable=False)
+        mlen = 2 * ucap
+        bounds = jnp.searchsorted(tks, edges2)
+        lo = jnp.concatenate([jnp.zeros(1, bounds.dtype), bounds])
+        n_v = jnp.sum(tkey != sent2).astype(bounds.dtype)
+        hi = jnp.concatenate([bounds, n_v[None]])
+        lane = jnp.arange(mlen, dtype=bounds.dtype)[None, :]
+        src = lo[:, None] + lane
+        in_r = src < hi[:, None]
+        clip = jnp.clip(src, 0, mlen - 1)
+        send_k = jnp.where(in_r, tks[clip], sent2)
+        send_v = jnp.where(in_r, tvs[clip], jnp.int32(-1))
+        rk = jax.lax.all_to_all(send_k, AXIS, 0, 0, tiled=False).reshape(-1)
+        rv = jax.lax.all_to_all(send_v, AXIS, 0, 0, tiled=False).reshape(-1)
+        tk_s, tv_s = jax.lax.sort((rk, rv), num_keys=1, is_stable=False)
+        tsz = tk_s.shape[0]
+
+        # Probe queries, in the host _join discovery-priority order
+        # (core/spss._candidate_port_edges_canonical): per base c all
+        # right-left rows then all right-right rows, then the left
+        # families.
+        qs = []
+        for c in range(4):
+            nx = ((s << 2) | c) & kmask
+            qs.append(nx << 1)  # right(i)-left(j): vs P table
+            qs.append((_rc_bits(nx, k, 64) << 1) | 1)  # right-right: vs S
+        for c in range(4):
+            pv = (p >> 2) | (jnp.int64(c) << (2 * (k - 1)))
+            qs.append((pv << 1) | 1)  # left(i)-right(j): vs S
+            qs.append(_rc_bits(pv, k, 64) << 1)  # left-left: vs P
+        Q = jnp.where(jnp.tile(live, 16), jnp.stack(qs).reshape(-1), sent2)
+
+        def probe(rq):
+            mm = rq.shape[0]
+            keyj = jnp.concatenate([tk_s, rq])
+            tag = jnp.concatenate(
+                [jnp.zeros(tsz, jnp.int32), jnp.ones(mm, jnp.int32)]
+            )
+            pos = jnp.concatenate(
+                [
+                    jax.lax.broadcasted_iota(jnp.int32, (tsz,), 0),
+                    jax.lax.broadcasted_iota(jnp.int32, (mm,), 0),
+                ]
+            )
+            ks_, tg_, ps = jax.lax.sort(
+                (keyj, tag, pos), num_keys=2, is_stable=False
+            )
+            is_set = tg_ == 0
+            akey = jax.lax.cummax(
+                jnp.where(is_set, ks_, jnp.int64(-1)), axis=0
+            )
+            apos = jax.lax.cummax(
+                jnp.where(is_set, ps, jnp.int32(-1)), axis=0
+            )
+            hit = (~is_set) & (akey == ks_) & (ks_ != sent2)
+            pid = tv_s[jnp.maximum(apos, 0)]
+            packed = jnp.where(hit, pid | jnp.int32(1 << 30), jnp.int32(0))
+            rkey = jnp.where(is_set, jnp.int32(-1), ps)
+            _, out = jax.lax.sort((rkey, packed), num_keys=1, is_stable=False)
+            return out[tsz:]
+
+        ans, dropped = _route_queries(Q, edges2, qcap, n_dev, sent2, probe)
+        return ans, dropped[None]
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -777,3 +777,26 @@ def test_spss_canonical_mesh_exact_bytes(monkeypatch):
     monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
     b = spss.get_spss_canonical(ks, fast=True)
     assert a.to_strings() == b.to_strings()
+
+
+def test_mesh_overlap_edges_matches_host():
+    """Distributed overlap-edge discovery returns the exact pre-dedup
+    (a, b) port-edge list of the native/numpy join, in discovery
+    priority order, on real unitigs."""
+    from kmerset_tpu.core import native
+    from kmerset_tpu.core import spss as spss_mod
+    from kmerset_tpu.parallel import driver
+    from kmerset_tpu.utils.random import get_random_kmer_set
+
+    k = 11
+    rng = np.random.default_rng(131)
+    ks = get_random_kmer_set(k, 4000, True, rng)
+    unitigs = spss_mod.get_unitigs_canonical(ks)
+    P = unitigs.first_kmers(k)
+    S = unitigs.last_kmers(k)
+    got = driver.mesh_overlap_edges(P, S, k)
+    assert got is not None
+    want = native.overlap_edges(P, S, k)
+    assert want is not None
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
