@@ -284,6 +284,59 @@ def _emit_kmer_chains(
     return PackedStrings(codes, offsets)
 
 
+def _mesh_walk_cycles(
+    A: np.ndarray, k: int, succ: np.ndarray, visited: np.ndarray, oriented: bool
+) -> PackedStrings | None:
+    """Distributed leftover-cycle emission: min-node leader election via
+    mesh pointer doubling picks each orbit's start (the reference scans
+    entities ascending, so a cycle is entered at its minimum entity in
+    orientation 0, lib/core/spss.h:583-612); cutting the start's
+    predecessor edge turns every orbit into a chain, which the
+    owner-routed grouping lays out in walk order.  Byte-identical to
+    native.walk_cycles; returns None (host fallback) on inputs whose
+    reference walk stops early — a visited entity inside an orbit, or a
+    self-mirror orbit carrying both orientations of one entity."""
+    from ..parallel import driver as mesh_driver
+
+    n_nodes = succ.shape[0]
+    res = mesh_driver.mesh_pointer_double(
+        succ, np.arange(n_nodes, dtype=np.int64)
+    )
+    if res is None:
+        return None
+    _, _, is_chain, mins = res
+    cyc = ~is_chain
+    if not cyc.any():
+        return PackedStrings.empty()
+    cnodes = np.flatnonzero(cyc)
+    ents = (cnodes >> 1) if oriented else cnodes
+    if visited[ents].any():
+        return None
+    if oriented:
+        key = mins[cnodes] * np.int64(n_nodes) + ents
+        ks = np.sort(key)
+        if ks.size > 1 and (ks[1:] == ks[:-1]).any():
+            return None  # self-mirror orbit: partial-walk semantics
+        starts = np.unique(mins[cnodes])
+        starts = starts[starts % 2 == 0]
+    else:
+        starts = np.unique(mins[cnodes])
+    if starts.size == 0:  # pragma: no cover - defensive
+        return None
+    succ2 = succ.copy()
+    has_succ = np.flatnonzero(succ >= 0)
+    pred = np.full(n_nodes, -1, dtype=np.int64)
+    pred[succ[has_succ]] = has_succ
+    pv = pred[starts]
+    succ2[pv[pv >= 0]] = -1
+    grouped = mesh_driver.mesh_chain_group(succ2, starts)
+    if grouped is None:
+        return None
+    nodes, groups = grouped
+    visited[(nodes >> 1) if oriented else nodes] = True
+    return _emit_kmer_chains(A, k, nodes, groups, oriented)
+
+
 def _walk_cycles(
     A: np.ndarray, k: int, succ: np.ndarray, visited: np.ndarray, oriented: bool
 ) -> PackedStrings:
@@ -293,6 +346,12 @@ def _walk_cycles(
     library is built (all-cycle worst-case inputs — circular plasmids,
     repeat-heavy genomes — run at chain-emission speed); the Python
     per-k-mer loop below is the byte-identical fallback."""
+    from ..parallel import driver as mesh_driver
+
+    if mesh_driver.should_use_mesh(succ.shape[0]):
+        res = _mesh_walk_cycles(A, k, succ, visited, oriented)
+        if res is not None:
+            return res
     res = native.walk_cycles(succ, A, k, oriented, visited)
     if res is not None:
         codes, offsets = res

@@ -302,6 +302,51 @@ def mesh_unitig_succ(A: np.ndarray, k: int, mesh=None):
         return None
 
 
+def _stride_global(mesh, blocks_flat: np.ndarray):
+    """Feeds a host-replicated stride-layout array to a shard_map input:
+    pass-through single-process; in multi-process mode wraps the
+    process's addressable slice as one global array (every process holds
+    the same host copy, matching the CLI convention of driver.py)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return blocks_flat
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .mesh import AXIS
+
+    n_dev = int(mesh.devices.size)
+    cap = blocks_flat.shape[0] // n_dev
+    sharding = NamedSharding(mesh, P(AXIS))
+    n_local = len(
+        [d for d in mesh.devices.flat
+         if d.process_index == jax.process_index()]
+    )
+    li = jax.process_index() * n_local
+    return jax.make_array_from_process_local_data(
+        sharding,
+        blocks_flat[li * cap : (li + n_local) * cap],
+        (n_dev * cap,),
+    )
+
+
+def _gather_global(arr, dtype=np.int64) -> np.ndarray:
+    """Materializes a (possibly process-spanning) sharded array on every
+    host: addressable shards fill a zero buffer, allgather-sum merges
+    (each index is addressed by exactly one process, the rest contribute
+    zero)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return np.asarray(jax.device_get(arr)).astype(dtype)
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(arr.shape, dtype=dtype)
+    for sh in arr.addressable_shards:
+        buf[sh.index] = np.asarray(sh.data, dtype=dtype)
+    return multihost_utils.process_allgather(buf).sum(axis=0).astype(dtype)
+
+
 def mesh_pointer_double(succ: np.ndarray, labels: np.ndarray | None = None, mesh=None):
     """Distributed chain/cycle resolution (mesh.sharded_pointer_double_fn)
     with the host calling convention of core.graph.pointer_double:
@@ -331,12 +376,14 @@ def mesh_pointer_double(succ: np.ndarray, labels: np.ndarray | None = None, mesh
             lp[:n] = labels
         rounds = max(1, int(np.ceil(np.log2(max(N, 2)))) + 1)
         fn = sharded_pointer_double_fn(mesh, rounds, labels is not None)
-        end, dist, is_chain, mlab = fn(sp, lp)
+        end, dist, is_chain, mlab = fn(
+            _stride_global(mesh, sp), _stride_global(mesh, lp)
+        )
         return (
-            np.asarray(end)[:n].astype(np.int64),
-            np.asarray(dist)[:n].astype(np.int64),
-            np.asarray(is_chain)[:n],
-            np.asarray(mlab)[:n].astype(np.int64) if labels is not None else None,
+            _gather_global(end)[:n],
+            _gather_global(dist)[:n],
+            _gather_global(is_chain, np.int64)[:n] != 0,
+            _gather_global(mlab)[:n] if labels is not None else None,
         )
     except Exception as e:  # noqa: BLE001
         _log.debug("mesh pointer doubling unavailable, falling back: %r", e)
@@ -378,8 +425,9 @@ def mesh_chain_group(succ: np.ndarray, starts: np.ndarray, mesh=None):
     (mesh.sharded_chain_group_fn).  The host only slices boundaries and
     permutes whole groups — no per-node pointer chase anywhere.
 
-    Single-process only (gathers via np.asarray); returns None when
-    unavailable so callers fall back to the native walk.
+    Multi-process aware (every process holds the same host arrays, as
+    in the CLI convention); returns None when unavailable so callers
+    fall back to the native walk.
     """
     try:
         import jax  # noqa: F401
@@ -411,9 +459,13 @@ def mesh_chain_group(succ: np.ndarray, starts: np.ndarray, mesh=None):
         sp = np.zeros(N, dtype=bool)
         sp[:n] = sel
         fn = sharded_chain_group_fn(mesh)
-        es, ns = fn(ep, dp, sp)
-        es = np.asarray(es)
-        ns = np.asarray(ns)
+        es, ns = fn(
+            _stride_global(mesh, ep),
+            _stride_global(mesh, dp),
+            _stride_global(mesh, sp),
+        )
+        es = _gather_global(es, np.int32)
+        ns = _gather_global(ns, np.int32)
         live = es != (1 << 31) - 1
         nodes = ns[live].astype(np.int64)
         ends = es[live]
@@ -447,7 +499,7 @@ def mesh_matching(pa: np.ndarray, pb: np.ndarray, n_ports: int, mesh=None):
     core.graph.handshake_matching (self-loop-free edge list in priority
     order): returns match[port] = partner port or -1.  The greedy
     matching is unique, so the result is bit-identical to the host and
-    native paths.  Single-process only; returns None when unavailable."""
+    native paths.  Multi-process aware; returns None when unavailable."""
     try:
         import jax  # noqa: F401
 
@@ -469,8 +521,12 @@ def mesh_matching(pa: np.ndarray, pb: np.ndarray, n_ports: int, mesh=None):
         pb_p[:n_e] = pb
         m0 = np.zeros(pcap * n_dev, dtype=np.int32)
         fn = sharded_matching_fn(mesh)
-        match = np.asarray(fn(pa_p, pb_p, m0))[:n_ports]
-        return match.astype(np.int64)
+        match = fn(
+            _stride_global(mesh, pa_p),
+            _stride_global(mesh, pb_p),
+            _stride_global(mesh, m0),
+        )
+        return _gather_global(match)[:n_ports]
     except Exception as e:  # noqa: BLE001
         _log.debug("mesh matching unavailable, falling back: %r", e)
         return None
@@ -513,10 +569,12 @@ def mesh_overlap_edges(P: np.ndarray, S: np.ndarray, k: int, mesh=None):
             1 << (max(1024, 2 * 16 * ucap // n_dev) - 1).bit_length()
         )
         qcap_max = 16 * ucap  # a source sends at most this many queries
+        ppg = _stride_global(mesh, pp)
+        ssg = _stride_global(mesh, ss)
         for _attempt in range(32):
             fn = sharded_overlap_edges_fn(mesh, k, qcap)
-            ans, dropped = fn(pp, ss)
-            if int(np.asarray(dropped)[0]) == 0:
+            ans, dropped = fn(ppg, ssg)
+            if int(np.asarray(jax.device_get(dropped))[0]) == 0:
                 break
             if qcap >= qcap_max:  # pragma: no cover - defensive ceiling
                 return None
@@ -527,7 +585,7 @@ def mesh_overlap_edges(P: np.ndarray, S: np.ndarray, k: int, mesh=None):
             qcap = min(2 * qcap, qcap_max)
         else:  # pragma: no cover - unreachable with the ceiling
             return None
-        ans = np.asarray(ans).reshape(n_dev, 16, ucap)
+        ans = _gather_global(ans, np.int32).reshape(n_dev, 16, ucap)
         cnts = [min(max(n - d * ucap, 0), ucap) for d in range(n_dev)]
         ans16 = np.concatenate(
             [ans[d][:, : cnts[d]] for d in range(n_dev)], axis=1

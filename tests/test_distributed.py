@@ -86,6 +86,54 @@ h_tl = (ldeg != 1) | (mate_l != 1)
 assert np.array_equal(term_r, h_tr) and np.array_equal(term_l, h_tl)
 assert np.array_equal(succ[0::2], np.where(h_tr, -1, 2 * rnbr + rsame))
 
+# Multi-host chain resolution + grouping: pointer doubling and the
+# owner-routed end exchange across processes, vs the host walk.
+n2 = 400
+perm = rng.permutation(n2).astype(np.int64)
+succ2 = np.full(n2, -1, dtype=np.int64)
+succ2[perm[:-1]] = perm[1:]
+cuts = list(range(12, n2 - 1, 13))
+for c in cuts:
+    succ2[perm[c]] = -1
+starts2 = perm[[0] + [c + 1 for c in cuts]]
+got = driver.mesh_chain_group(succ2, starts2, mesh=mesh)
+assert got is not None
+exp_nodes, exp_groups = [], [0]
+for s0 in starts2:
+    u = int(s0)
+    while u >= 0:
+        exp_nodes.append(u)
+        u = int(succ2[u])
+    exp_groups.append(len(exp_nodes))
+assert np.array_equal(got[0], np.array(exp_nodes))
+assert np.array_equal(got[1], np.array(exp_groups))
+
+# Multi-host greedy matching vs the host fixpoint.
+from kmerset_tpu.core.graph import handshake_matching
+
+pa = rng.integers(0, n2, 1500).astype(np.int64)
+pb = rng.integers(0, n2, 1500).astype(np.int64)
+keep = pa != pb
+pa, pb = pa[keep], pb[keep]
+got_m = driver.mesh_matching(pa, pb, n2, mesh=mesh)
+assert got_m is not None
+assert np.array_equal(got_m, handshake_matching(pa, pb, n2))
+
+# Multi-host overlap-edge discovery on real unitigs.
+from kmerset_tpu.core.kmer_set import KmerSet
+
+unitigs = spss_mod.get_unitigs_canonical(KmerSet(11, hu))
+P1 = unitigs.first_kmers(11)
+S1 = unitigs.last_kmers(11)
+got_e = driver.mesh_overlap_edges(P1, S1, 11, mesh=mesh)
+assert got_e is not None
+from kmerset_tpu.core import native
+
+want_e = native.overlap_edges(P1, S1, 11)
+if want_e is not None:
+    assert np.array_equal(got_e[0], want_e[0])
+    assert np.array_equal(got_e[1], want_e[1])
+
 print(f"proc {pid}: ok")
 """
 

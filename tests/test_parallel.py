@@ -800,3 +800,42 @@ def test_mesh_overlap_edges_matches_host():
     assert want is not None
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_mesh_cycle_emission_exact_bytes(monkeypatch):
+    """Cycle-heavy input (circular genome): mesh-routed leftover-cycle
+    emission (leader election + predecessor cut + owner-routed
+    grouping) is byte-identical to the host walk."""
+    from kmerset_tpu.core import kmer as kc
+    from kmerset_tpu.core import spss
+    from kmerset_tpu.core.kmer_set import KmerSet
+
+    rng = np.random.default_rng(137)
+    base = "".join("ACGT"[c] for c in rng.integers(0, 4, 500))
+    read = base + base[:8]  # circular at k=9
+    codes = kc.string_to_codes(read)
+    kmers = kc.canonical(kc.kmers_from_codes(codes, 9), 9)
+    ks = KmerSet(9, kmers)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "mesh")
+    a = spss.get_unitigs_canonical(ks)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    b = spss.get_unitigs_canonical(ks)
+    assert a.to_strings() == b.to_strings()
+
+
+def test_plain_spss_mesh_exact_bytes(monkeypatch):
+    """The non-canonical (directed) SPSS path under mesh force — plain
+    chain grouping, matching, cycle walk with oriented=False — is
+    byte-identical to the host path."""
+    from kmerset_tpu.core import spss
+    from kmerset_tpu.utils.random import get_random_kmer_set
+
+    rng = np.random.default_rng(139)
+    ks = get_random_kmer_set(9, 3000, False, rng)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "mesh")
+    a = spss.get_spss(ks)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    b = spss.get_spss(ks)
+    assert a.to_strings() == b.to_strings()
+    dec = spss.get_kmer_set_from_spss(a, 9, False)
+    assert dec.equals(ks)
