@@ -21,6 +21,8 @@ This replaces the reference's thread-local-buffer + try_lock merge
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,6 +56,7 @@ def _owner_edges(k: int, n_dev: int) -> np.ndarray:
     )
 
 
+@functools.lru_cache(maxsize=256)
 def sharded_count_fn(mesh: Mesh, k: int, canonical: bool, capacity: int):
     """Builds the jitted multi-device counting step.
 
@@ -211,6 +214,7 @@ def _route_queries(
     return ans_by_slot[:m], jax.lax.psum(dropped, AXIS)
 
 
+@functools.lru_cache(maxsize=256)
 def sharded_side_tables_fn(mesh: Mesh, k: int, canonical: bool, qcap: int):
     """Builds the jitted multi-device side-table step — the distributed
     form of SPSS hot loop #2 (8 membership lookups per k-mer, reference:
@@ -345,6 +349,7 @@ def _side_tables_core(a_local, k: int, canonical: bool, qcap: int, n_dev: int):
     return tables[0], tables[1], live, offs, dropped
 
 
+@functools.lru_cache(maxsize=256)
 def sharded_unitig_succ_fn(mesh: Mesh, k: int, qcap: int):
     """Full mesh front-end of canonical unitig construction: sharded
     side tables + a second owner-routed exchange fetching each unique
@@ -497,6 +502,7 @@ def _local_value_lookup(cap, base, values_hi, values_lo):
     return fn
 
 
+@functools.lru_cache(maxsize=256)
 def sharded_pointer_double_fn(mesh: Mesh, rounds: int, with_labels: bool):
     """Distributed pointer doubling — the chain/cycle resolution
     primitive (core/graph.py::pointer_double) over a mesh-sharded
@@ -582,6 +588,7 @@ def sharded_pointer_double_fn(mesh: Mesh, rounds: int, with_labels: bool):
     return jax.jit(sharded)
 
 
+@functools.lru_cache(maxsize=256)
 def sharded_hash_fn(mesh: Mesh):
     """Order-independent XOR hash of a key-range-sharded sorted set
     (reference Hash semantics, lib/core/kmer_set.h:221-244): per-device
@@ -599,6 +606,7 @@ def sharded_hash_fn(mesh: Mesh):
     return jax.jit(sharded)
 
 
+@functools.lru_cache(maxsize=256)
 def sharded_set_algebra_fn(mesh: Mesh):
     """Builds the jitted multi-device set-algebra step over key-range
     sharded sorted sets (the distributed form of the reference's bucket-
@@ -645,6 +653,7 @@ def sharded_set_algebra_fn(mesh: Mesh):
     return jax.jit(sharded)
 
 
+@functools.lru_cache(maxsize=256)
 def sharded_sketch_weights_fn(mesh: Mesh):
     """Pairwise sketch-intersection sizes over key-range sharded sketches
     (the distributed KmerSetSet similarity phase, reference:
@@ -676,6 +685,7 @@ def sharded_sketch_weights_fn(mesh: Mesh):
     return jax.jit(sharded)
 
 
+@functools.lru_cache(maxsize=256)
 def sharded_chain_group_fn(mesh: Mesh):
     """Distributed chain grouping — the string-emission front half of the
     walk phase (reference: the sequential path walks of
@@ -742,6 +752,7 @@ def sharded_chain_group_fn(mesh: Mesh):
     return jax.jit(sharded)
 
 
+@functools.lru_cache(maxsize=256)
 def sharded_matching_fn(mesh: Mesh):
     """Distributed handshake matching — the greedy edge-selection phase
     of the SPSS path cover (reference's bucket-locked try_lock greedy,
@@ -914,6 +925,7 @@ def sharded_matching_fn(mesh: Mesh):
     return jax.jit(sharded)
 
 
+@functools.lru_cache(maxsize=256)
 def sharded_overlap_edges_fn(mesh: Mesh, k: int, qcap: int):
     """Distributed unitig overlap-edge discovery — SPSS stage-2's
     candidate enumeration (reference hash multimaps of unitig

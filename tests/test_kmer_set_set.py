@@ -161,3 +161,29 @@ def test_edge_cases_empty_single_identical():
         [c1, KmerSetCompact.from_kmer_set(s1, True)], True, cfg
     )
     assert kss2.get(0, True).equals(s1) and kss2.get(1, True).equals(s1)
+
+
+def test_multi_set_compression_mesh_exact(monkeypatch):
+    """The full multi-set compression loop under mesh force — SPSS
+    rebuilds, decode, and the similarity oracle all routed through the
+    virtual 8-device mesh — produces the same factorization (identical
+    per-set SPSS bytes and children DAG) as the host path."""
+    rng = np.random.default_rng(31)
+    originals = _related_sets(4, rng)
+    compacts = [KmerSetCompact.from_kmer_set(s, True) for s in originals]
+
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "mesh")
+    kss_m = KmerSetSet(
+        [KmerSetCompact(K, c.spss) for c in compacts], True, CFG, seed=11
+    )
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    kss_h = KmerSetSet(
+        [KmerSetCompact(K, c.spss) for c in compacts], True, CFG, seed=11
+    )
+    assert kss_m.size() == kss_h.size()
+    assert kss_m.children_ == kss_h.children_
+    for cm, ch in zip(kss_m.kmer_sets_compact_, kss_h.kmer_sets_compact_):
+        assert cm.spss.to_strings() == ch.spss.to_strings()
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "mesh")
+    for i, orig in enumerate(originals):
+        assert kss_m.get(i, True).equals(orig)
