@@ -36,6 +36,11 @@ def main() -> None:
         action="store_true",
         help="also benchmark the sharded unitig graph front-end",
     )
+    parser.add_argument(
+        "--walk",
+        action="store_true",
+        help="also benchmark distributed pointer doubling + chain grouping",
+    )
     args = parser.parse_args()
 
     import jax
@@ -108,6 +113,48 @@ def main() -> None:
             print(
                 f"          graph front-end: {total/dtg/1e6:8.1f} Mkmers/s  "
                 f"({dtg*1e3:.1f} ms/step)"
+            )
+        # Walk phase at the same mesh size: distributed chain resolution
+        # (pointer doubling) + owner-routed chain grouping on a synthetic
+        # successor graph of ~64-node chains.
+        if args.walk:
+            from kmerset_tpu.parallel.mesh import (
+                sharded_chain_group_fn,
+                sharded_pointer_double_fn,
+            )
+
+            nn = per * n_dev
+            perm = rng.permutation(nn).astype(np.int32)
+            succ = np.full(nn, -1, np.int32)
+            succ[perm[:-1]] = perm[1:]
+            succ[perm[np.arange(63, nn - 1, 64)]] = -1
+            rounds = max(1, int(np.ceil(np.log2(nn))) + 1)
+            pfn = sharded_pointer_double_fn(mesh, rounds, False)
+            labels = np.zeros(nn, np.int32)
+            outp = pfn(succ, labels)
+            jax.block_until_ready(outp)
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                outp = pfn(succ, labels)
+            jax.block_until_ready(outp)
+            dtp = (time.perf_counter() - t0) / args.reps
+            end, dist, isc, _ = outp
+            cfn = sharded_chain_group_fn(mesh)
+            sel = np.asarray(isc)
+            endh = np.asarray(end).astype(np.int32)
+            disth = np.asarray(dist).astype(np.int32)
+            outc = cfn(endh, disth, sel)
+            jax.block_until_ready(outc)
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                outc = cfn(endh, disth, sel)
+            jax.block_until_ready(outc)
+            dtc = (time.perf_counter() - t0) / args.reps
+            print(
+                f"          pointer doubling: {nn/dtp/1e6:8.1f} Mnodes/s  "
+                f"({dtp*1e3:.1f} ms, {rounds} rounds)   "
+                f"chain grouping: {nn/dtc/1e6:8.1f} Mnodes/s  "
+                f"({dtc*1e3:.1f} ms)"
             )
         n_dev *= 2
 
