@@ -284,6 +284,66 @@ def _emit_kmer_chains(
     return PackedStrings(codes, offsets)
 
 
+def _mesh_emit_ordered(
+    A: np.ndarray, k: int, succ: np.ndarray, starts: np.ndarray, oriented: bool
+) -> Tuple[PackedStrings, np.ndarray] | None:
+    """Distributed chain grouping + on-device string emission
+    (parallel/driver.mesh_emit_chains), selected and ordered by `starts`
+    exactly like mesh_chain_group + _emit_kmer_chains — but the base
+    codes are rendered on the mesh, so the host never gathers through A.
+    Returns (strings, kept chain nodes) or None (callers fall back)."""
+    from ..parallel import driver as mesh_driver
+
+    res = mesh_driver.mesh_emit_chains(A, k, succ, starts, oriented)
+    if res is None:
+        return None
+    nodes, groups, codes, str_offsets = res
+    firsts = nodes[groups[:-1]]
+    pos = np.full(succ.shape[0], -1, dtype=np.int64)
+    pos[starts] = np.arange(starts.size, dtype=np.int64)
+    led = pos[firsts] >= 0
+    nodes_k, groups_k = _filter_groups(nodes, groups, led)
+    if groups_k.shape[0] - 1 != starts.size:
+        return None  # unexpected topology; use the host walk
+    order = np.argsort(pos[nodes_k[groups_k[:-1]]], kind="stable")
+    ps = _take_strings(
+        PackedStrings(codes, str_offsets), np.flatnonzero(led)[order]
+    )
+    return ps, nodes_k
+
+
+def _mesh_chain_walk_kept_emit(
+    A: np.ndarray, k: int, succ: np.ndarray, starts: np.ndarray
+) -> Tuple[PackedStrings, np.ndarray] | None:
+    """Distributed form of the canonical unitig walk WITH on-device
+    emission: groups and renders every chain on the mesh
+    (driver.mesh_emit_chains), applies the orientation skip rule
+    (reference: lib/core/spss.h:511,555) per string group, and reorders
+    to the native mirror-dedup emission order (_mesh_chain_walk_kept's
+    rule) so the bytes match the host backends exactly.  Returns
+    (strings, kept chain nodes) or None."""
+    from ..parallel import driver as mesh_driver
+
+    res = mesh_driver.mesh_emit_chains(A, k, succ, starts, oriented=True)
+    if res is None:
+        return None
+    nodes, groups, codes, str_offsets = res
+    ps = PackedStrings(codes, str_offsets)
+    firsts, lasts, nonempty = _group_endpoints(nodes, groups)
+    keep = nonempty & (A[firsts >> 1] >= A[lasts >> 1])
+    nodes_k, groups_k = _filter_groups(nodes, groups, keep)
+    keep_idx = np.flatnonzero(keep)
+    if groups_k.shape[0] <= 1:
+        return _take_strings(ps, keep_idx), nodes_k
+    fk, lk, _ = _group_endpoints(nodes_k, groups_k)
+    pos = np.full(succ.shape[0], np.int64(1) << 60, dtype=np.int64)
+    pos[starts] = np.arange(starts.size, dtype=np.int64)
+    minpos = np.minimum(pos[fk], pos[lk ^ 1])
+    lens = np.diff(groups_k)
+    order = np.lexsort((minpos & 63, lens, minpos >> 6))
+    return _take_strings(ps, keep_idx[order]), nodes_k
+
+
 def _mesh_walk_cycles(
     A: np.ndarray, k: int, succ: np.ndarray, visited: np.ndarray, oriented: bool
 ) -> PackedStrings | None:
@@ -329,6 +389,11 @@ def _mesh_walk_cycles(
     pred[succ[has_succ]] = has_succ
     pv = pred[starts]
     succ2[pv[pv >= 0]] = -1
+    em = _mesh_emit_ordered(A, k, succ2, starts, oriented)
+    if em is not None:
+        ps, nodes = em
+        visited[(nodes >> 1) if oriented else nodes] = True
+        return ps
     grouped = mesh_driver.mesh_chain_group(succ2, starts)
     if grouped is None:
         return None
@@ -517,23 +582,32 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
     # emit only winners (3n visits); fallback: walk everything and
     # filter.
     kept = None
+    chains = None
     if mesh_driver.should_use_mesh(n):
-        kept = _mesh_chain_walk_kept(A, succ, starts)
-    if kept is None:
-        kept = native.chain_walk_kept(
-            succ, starts, lambda s, e: A[s >> 1] >= A[e >> 1]
-        )
-    if kept is not None:
-        nodes_kept, groups_kept = kept
-        nodes = nodes_kept  # kept chains cover the same entities
-    else:
-        nodes, groups = _chains_grouped(succ, starts)
-        firsts, lasts, nonempty = _group_endpoints(nodes, groups)
-        keep = nonempty & (A[firsts >> 1] >= A[lasts >> 1])
-        nodes_kept, groups_kept = _filter_groups(nodes, groups, keep)
+        # Fully distributed walk: grouping + base-code rendering both
+        # happen on the mesh (one owner-routed exchange carrying values).
+        em = _mesh_chain_walk_kept_emit(A, k, succ, starts)
+        if em is not None:
+            chains, nodes = em
+        else:
+            kept = _mesh_chain_walk_kept(A, succ, starts)
+    if chains is None:
+        if kept is None:
+            kept = native.chain_walk_kept(
+                succ, starts, lambda s, e: A[s >> 1] >= A[e >> 1]
+            )
+        if kept is not None:
+            nodes_kept, groups_kept = kept
+            nodes = nodes_kept  # kept chains cover the same entities
+        else:
+            nodes, groups = _chains_grouped(succ, starts)
+            firsts, lasts, nonempty = _group_endpoints(nodes, groups)
+            keep = nonempty & (A[firsts >> 1] >= A[lasts >> 1])
+            nodes_kept, groups_kept = _filter_groups(nodes, groups, keep)
     logger.debug("unitigs: chain walk: %.2fs", time.perf_counter() - t_start)
     t_start = time.perf_counter()
-    chains = _emit_kmer_chains(A, k, nodes_kept, groups_kept, oriented=True)
+    if chains is None:
+        chains = _emit_kmer_chains(A, k, nodes_kept, groups_kept, oriented=True)
 
     parts: List[PackedStrings] = [chains]
 
@@ -585,8 +659,16 @@ def get_unitigs(kmer_set: KmerSet) -> PackedStrings:
     succ = np.where(is_end, -1, nxt)
     starts = np.flatnonzero(is_start)
 
-    nodes, groups = _chains_grouped(succ, starts)
-    chains = _emit_kmer_chains(A, k, nodes, groups, oriented=False)
+    from ..parallel import driver as mesh_driver
+
+    chains = None
+    if mesh_driver.should_use_mesh(n):
+        em = _mesh_emit_ordered(A, k, succ, starts, oriented=False)
+        if em is not None:
+            chains, nodes = em
+    if chains is None:
+        nodes, groups = _chains_grouped(succ, starts)
+        chains = _emit_kmer_chains(A, k, nodes, groups, oriented=False)
 
     visited = np.zeros(n, dtype=bool)
     visited[nodes] = True

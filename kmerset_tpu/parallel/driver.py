@@ -494,6 +494,126 @@ def mesh_chain_group(succ: np.ndarray, starts: np.ndarray, mesh=None):
         return None
 
 
+def mesh_emit_chains(
+    A: np.ndarray,
+    k: int,
+    succ: np.ndarray,
+    starts: np.ndarray,
+    oriented: bool,
+    mesh=None,
+):
+    """Distributed chain grouping AND string emission in one pass
+    (mesh.sharded_emit_fn): resolves (end, dist) via distributed pointer
+    doubling, routes each record — now carrying its oriented k-mer value
+    — to its end's owner, and renders the grouped records straight to
+    2-bit base codes on-device.  The host only concatenates per-device
+    code blocks and slices group boundaries; it never gathers node ids
+    back through A.
+
+    Returns (nodes, groups, codes, str_offsets) where groups[i]:groups[i+1]
+    indexes the nodes of chain i and codes[str_offsets[i]:str_offsets[i+1]]
+    is its rendered string — unfiltered and in end-owner order; callers
+    apply their own keep/order rules group-wise.  None when unavailable.
+    """
+    try:
+        import jax  # noqa: F401
+
+        from .mesh import make_mesh, sharded_emit_fn
+    except Exception:  # noqa: BLE001
+        return None
+    try:
+        n = succ.shape[0]
+        if n == 0 or n >= (1 << 30) or starts.size == 0:
+            return None
+        if mesh is None:
+            mesh = make_mesh()
+        pd = mesh_pointer_double(succ, mesh=mesh)
+        if pd is None:
+            return None
+        end, dist, is_chain, _ = pd
+        keep_end = np.zeros(n, dtype=bool)
+        keep_end[end[starts]] = True
+        sel = is_chain & keep_end[end]
+
+        ids = np.arange(n, dtype=np.int64)
+        if oriented:
+            vals = A[ids >> 1].astype(np.int64)
+            flip = (ids & 1).astype(np.int64)
+        else:
+            vals = A[ids].astype(np.int64)
+            flip = np.zeros(n, dtype=np.int64)
+        vhi = (((vals >> 32) & 0x3FFFFFFF) | (flip << 30)).astype(np.int32)
+        vlo = (vals & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+        n_dev = int(mesh.devices.size)
+        cap = math.ceil(n / n_dev)
+        N = cap * n_dev
+
+        def pad(x, fill, dtype):
+            out = np.full(N, fill, dtype=dtype)
+            out[:n] = x
+            return out
+
+        ep = pad(end, 0, np.int32)
+        dp = pad(dist, 0, np.int32)
+        sp = pad(sel, False, bool)
+        vhp = pad(vhi, 0, np.int32)
+        vlp = pad(vlo, 0, np.int32)
+        args = tuple(
+            _stride_global(mesh, x) for x in (ep, dp, sp, vhp, vlp)
+        )
+        n_groups = int(starts.size)
+        ocap = _mesh_env_capacity() or (
+            1
+            << max(
+                10,
+                (2 * (N // n_dev) + k * (n_groups // n_dev + 1) - 1)
+                .bit_length(),
+            )
+        )
+        ocap_max = N + (k - 1) * n_groups  # one device owning every end
+        for _attempt in range(32):
+            fn = sharded_emit_fn(mesh, k, ocap)
+            codes_d, es, ns, n_out, overflow = fn(*args)
+            if int(np.asarray(jax.device_get(overflow))[0]) == 0:
+                break
+            if ocap >= ocap_max:  # pragma: no cover - defensive ceiling
+                return None
+            _log.info(
+                "mesh emit overflow (ocap = %d); retrying", ocap
+            )
+            ocap = min(2 * ocap, ocap_max)
+        else:  # pragma: no cover - unreachable with the ceiling
+            return None
+
+        es = _gather_global(es, np.int32).reshape(n_dev, N)
+        ns = _gather_global(ns, np.int32).reshape(n_dev, N)
+        codes_d = _gather_global(codes_d, np.int8).reshape(n_dev, ocap)
+        n_out = _gather_global(n_out, np.int64).reshape(n_dev)
+        isent = (1 << 31) - 1
+        n_live = [int(np.searchsorted(es[d], isent)) for d in range(n_dev)]
+        ends = np.concatenate([es[d, : n_live[d]] for d in range(n_dev)])
+        nodes = np.concatenate(
+            [ns[d, : n_live[d]] for d in range(n_dev)]
+        ).astype(np.int64)
+        codes = np.concatenate(
+            [codes_d[d, : n_out[d]] for d in range(n_dev)]
+        ).astype(np.uint8)
+        if nodes.size == 0:
+            return None
+        bnd = np.flatnonzero(np.diff(ends)) + 1
+        groups = np.concatenate(([0], bnd, [nodes.shape[0]])).astype(np.int64)
+        counts = np.diff(groups)
+        str_offsets = np.zeros(groups.shape[0], dtype=np.int64)
+        np.cumsum(counts + k - 1, out=str_offsets[1:])
+        if int(str_offsets[-1]) != codes.shape[0]:
+            return None  # device/host accounting mismatch; fall back
+        return nodes, groups, codes, str_offsets
+    except Exception as e:  # noqa: BLE001
+        _log.debug("mesh emission unavailable, falling back: %r", e)
+        return None
+
+
 def mesh_matching(pa: np.ndarray, pb: np.ndarray, n_ports: int, mesh=None):
     """Distributed greedy matching with the host calling convention of
     core.graph.handshake_matching (self-loop-free edge list in priority

@@ -753,6 +753,120 @@ def sharded_chain_group_fn(mesh: Mesh):
 
 
 @functools.lru_cache(maxsize=256)
+def sharded_emit_fn(mesh: Mesh, k: int, ocap: int):
+    """Distributed string emission — the back half of the walk phase
+    (reference ConcatenateKmers + the emission loops,
+    lib/core/spss.h:25-41,936-1011): groups chain records by end owner
+    exactly like sharded_chain_group_fn, but every record also carries
+    its oriented k-mer value, and each device renders its groups straight
+    to a 2-bit base-code stream.  The host never touches the k-mer array
+    again after the exchange — it only concatenates per-device byte
+    blocks and slices group boundaries, so emission scales with the mesh
+    instead of one host's memory bandwidth.
+
+    Per record lanes exchanged: (end, dist, node id, vhi, vlo) where
+    vhi bit 30 is the orientation flip and vhi/vlo split the 2k-bit
+    forward k-mer value (hi bits in vhi).  The device applies the
+    reverse complement for flipped records (the bit-swizzle _rc_bits)
+    and extracts base j of each record's contribution as
+    (value >> 2*(L-1-j)) & 3 with L = k for the chain head, 1 otherwise
+    (= kmer.codes_from_kmer's layout, so output bytes are identical to
+    the host _emit_kmer_chains).
+
+    ocap: per-device output-code capacity.  A device needs
+    n_records + (k-1)*n_groups codes for the groups it owns; shortfall
+    is counted and psum'd in `overflow` so callers retry bigger.
+
+    Outputs (per device): codes (ocap,) int8, sorted end keys (N,),
+    node ids (N,), n_out (1,), overflow (1, replicated).
+    """
+    n_dev = mesh.devices.size
+    narrow = k <= SINGLE_MAX_K
+
+    def step(end_local, dist_local, sel_local, vhi_local, vlo_local):
+        cap = end_local.shape[0]
+        isent = jnp.int32(2**31 - 1)
+        my = jax.lax.axis_index(AXIS)
+        base = (my * cap).astype(jnp.int32)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0) + base
+        e = jnp.where(sel_local, end_local.astype(jnp.int32), isent)
+        d = dist_local.astype(jnp.int32)
+        es, ds, ns, vhs, vls = jax.lax.sort(
+            (e, d, ids, vhi_local, vlo_local), num_keys=1, is_stable=False
+        )
+        edges_inner = jnp.arange(1, n_dev, dtype=jnp.int32) * jnp.int32(cap)
+        bounds = jnp.searchsorted(es, edges_inner)
+        n_valid = jnp.sum(e != isent).astype(bounds.dtype)
+        lo = jnp.concatenate([jnp.zeros(1, bounds.dtype), bounds])
+        hi = jnp.concatenate([bounds, n_valid[None]])
+        lane = jnp.arange(cap, dtype=bounds.dtype)[None, :]
+        src = lo[:, None] + lane
+        in_r = src < hi[:, None]
+        clip = jnp.clip(src, 0, cap - 1)
+
+        def xchg(vals, fill):
+            send = jnp.where(in_r, vals[clip], fill)
+            return jax.lax.all_to_all(send, AXIS, 0, 0, tiled=False).reshape(-1)
+
+        fe = xchg(es, isent)
+        fd = xchg(ds, jnp.int32(0))
+        fn_ = xchg(ns, jnp.int32(-1))
+        fvh = xchg(vhs, jnp.int32(0))
+        fvl = xchg(vls, jnp.int32(0))
+        # Group order: (end asc, dist desc) = start -> end within each
+        # chain, identical to sharded_chain_group_fn.
+        neg = jnp.int32(0x3FFFFFFF) - fd
+        es2, _, ns2, vh2, vl2 = jax.lax.sort(
+            (fe, neg, fn_, fvh, fvl), num_keys=2, is_stable=False
+        )
+
+        live = es2 != isent
+        prev = jnp.concatenate([jnp.full((1,), -1, es2.dtype), es2[:-1]])
+        head = live & (es2 != prev)
+        flip = (vh2 >> 30) & 1
+        if narrow:
+            fwd = vl2
+            ov = jnp.where(flip != 0, _rc_bits(fwd, k, 32), fwd).astype(
+                jnp.int64
+            )
+        else:
+            fwd = ((vh2 & jnp.int32(0x3FFFFFFF)).astype(jnp.int64) << 32) | (
+                vl2.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
+            )
+            ov = jnp.where(flip != 0, _rc_bits(fwd, k, 64), fwd)
+        L = jnp.where(head, jnp.int32(k), jnp.where(live, 1, 0))
+        cum = jnp.cumsum(L) - L  # exclusive offsets; strictly increasing
+        n_out = jnp.sum(L)  # over the live prefix (dead lanes add 0)
+        p = jax.lax.broadcasted_iota(jnp.int32, (ocap,), 0)
+        r = jnp.clip(
+            jnp.searchsorted(cum, p, side="right").astype(jnp.int32) - 1,
+            0,
+            cum.shape[0] - 1,
+        )
+        q = p - cum[r]
+        shift = (2 * (L[r] - 1 - q)).astype(jnp.int64)
+        code = (ov[r] >> shift) & 3
+        codes = jnp.where(p < n_out, code, 0).astype(jnp.int8)
+        overflow = jnp.maximum(n_out - ocap, 0)
+        return (
+            codes,
+            es2,
+            ns2,
+            jnp.minimum(n_out, ocap)[None],
+            jax.lax.psum(overflow, AXIS)[None],
+        )
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=256)
 def sharded_matching_fn(mesh: Mesh):
     """Distributed handshake matching — the greedy edge-selection phase
     of the SPSS path cover (reference's bucket-locked try_lock greedy,

@@ -839,3 +839,132 @@ def test_plain_spss_mesh_exact_bytes(monkeypatch):
     assert a.to_strings() == b.to_strings()
     dec = spss.get_kmer_set_from_spss(a, 9, False)
     assert dec.equals(ks)
+
+
+def test_mesh_emit_chains_matches_host():
+    """Distributed string emission (grouping exchange carrying oriented
+    k-mer values + on-device base-code rendering,
+    parallel/driver.mesh_emit_chains via spss._mesh_emit_ordered) is
+    byte-identical to host chain grouping + _emit_kmer_chains on a
+    synthetic chain graph over random k-mer values (oriented=False)."""
+    from kmerset_tpu.core import native
+    from kmerset_tpu.core import spss as spss_mod
+
+    k = 9
+    rng = np.random.default_rng(211)
+    n = 2500
+    A = np.sort(rng.choice(1 << (2 * k), size=n, replace=False)).astype(
+        np.int64
+    )
+    perm = rng.permutation(n).astype(np.int64)
+    succ = np.full(n, -1, dtype=np.int64)
+    cuts = np.sort(rng.choice(np.arange(1, n), 90, replace=False))
+    bounds = np.concatenate([[0], cuts, [n]])
+    starts = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        seg = perm[lo:hi]
+        succ[seg[:-1]] = seg[1:]
+        starts.append(seg[0])
+    starts = np.array(starts[:-4], dtype=np.int64)  # a few unwalked chains
+    rng.shuffle(starts)
+
+    em = spss_mod._mesh_emit_ordered(A, k, succ, starts, oriented=False)
+    assert em is not None
+    ps_mesh, nodes_mesh = em
+    nodes_h, groups_h = native.chain_walk(succ, starts)
+    ps_host = spss_mod._emit_kmer_chains(
+        A, k, nodes_h, groups_h, oriented=False
+    )
+    assert ps_mesh.to_strings() == ps_host.to_strings()
+    np.testing.assert_array_equal(np.sort(nodes_mesh), np.sort(nodes_h))
+
+
+def test_mesh_kept_emit_matches_native():
+    """The fully distributed canonical walk WITH on-device emission
+    (spss._mesh_chain_walk_kept_emit) renders exactly the bytes of the
+    native kept walk + host emission, in the native emission order."""
+    from kmerset_tpu.core import kmer as kc
+    from kmerset_tpu.core import native
+    from kmerset_tpu.core import spss as spss_mod
+
+    k = 11
+    rng = np.random.default_rng(223)
+    codes = rng.integers(0, 4, 6000).astype(np.int64)
+    A = np.unique(kc.canonical(kc.kmers_from_codes(codes, k), k))
+    (rdeg, rnbr, rsame), (ldeg, lnbr, lsame) = spss_mod._side_tables(
+        A, k, canonical=True
+    )
+    mate_r = np.where(rsame, rdeg[rnbr], ldeg[rnbr])
+    term_r = (rdeg != 1) | (mate_r != 1)
+    mate_l = np.where(lsame, ldeg[lnbr], rdeg[lnbr])
+    term_l = (ldeg != 1) | (mate_l != 1)
+    n = A.shape[0]
+    succ = np.empty(2 * n, dtype=np.int64)
+    succ[0::2] = np.where(term_r, -1, 2 * rnbr + rsame)
+    succ[1::2] = np.where(term_l, -1, 2 * lnbr + (~lsame).astype(np.int64))
+    both = term_l & term_r
+    starts = np.concatenate(
+        [
+            np.flatnonzero(term_l & ~term_r & ~both) * 2,
+            np.flatnonzero(term_r & ~term_l) * 2 + 1,
+        ]
+    )
+
+    em = spss_mod._mesh_chain_walk_kept_emit(A, k, succ, starts)
+    assert em is not None
+    ps_mesh, nodes_mesh = em
+    kept_h = native.chain_walk_kept(
+        succ, starts, lambda s, e: A[s >> 1] >= A[e >> 1]
+    )
+    assert kept_h is not None
+    ps_host = spss_mod._emit_kmer_chains(
+        A, k, kept_h[0], kept_h[1], oriented=True
+    )
+    assert ps_mesh.to_strings() == ps_host.to_strings()
+    np.testing.assert_array_equal(np.sort(nodes_mesh), np.sort(kept_h[0]))
+
+
+def test_mesh_emit_wide_key_exact_bytes(monkeypatch):
+    """k=19 (pair-lane values, 64-bit on-device reverse complement):
+    mesh-rendered unitigs are byte-identical to the host path."""
+    from kmerset_tpu.core import spss
+    from kmerset_tpu.utils.random import get_random_kmer_set
+
+    rng = np.random.default_rng(227)
+    ks = get_random_kmer_set(19, 2500, True, rng)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "mesh")
+    a = spss.get_unitigs_canonical(ks)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    b = spss.get_unitigs_canonical(ks)
+    assert a.to_strings() == b.to_strings()
+
+
+def test_mesh_emit_ocap_retry(monkeypatch):
+    """An undersized output-code capacity overflows, is counted, and the
+    driver retries with doubled ocap until the render fits."""
+    from kmerset_tpu.core import native
+    from kmerset_tpu.core import spss as spss_mod
+    from kmerset_tpu.parallel import driver
+
+    k = 9
+    rng = np.random.default_rng(229)
+    n = 600
+    A = np.sort(rng.choice(1 << (2 * k), size=n, replace=False)).astype(
+        np.int64
+    )
+    perm = rng.permutation(n).astype(np.int64)
+    succ = np.full(n, -1, dtype=np.int64)
+    succ[perm[:-1]] = perm[1:]
+    starts = np.array([perm[0]], dtype=np.int64)
+
+    monkeypatch.setenv("KMERSET_TPU_MESH_CAPACITY", "64")
+    res = driver.mesh_emit_chains(A, k, succ, starts, oriented=False)
+    monkeypatch.delenv("KMERSET_TPU_MESH_CAPACITY")
+    assert res is not None
+    nodes, groups, codes, str_offsets = res
+    nodes_h, groups_h = native.chain_walk(succ, starts)
+    ps_host = spss_mod._emit_kmer_chains(
+        A, k, nodes_h, groups_h, oriented=False
+    )
+    assert codes.shape[0] == int(str_offsets[-1])
+    np.testing.assert_array_equal(codes, ps_host.codes)
