@@ -108,6 +108,16 @@ for s0 in starts2:
 assert np.array_equal(got[0], np.array(exp_nodes))
 assert np.array_equal(got[1], np.array(exp_groups))
 
+# Multi-host string emission: the same chains rendered to base codes on
+# the process-spanning mesh, vs the host render of the expected groups.
+A2 = np.sort(rng.choice(1 << 18, size=n2, replace=False)).astype(np.int64)
+em = spss_mod._mesh_emit_ordered(A2, 9, succ2, starts2, oriented=False)
+assert em is not None
+exp_ps = spss_mod._emit_kmer_chains(
+    A2, 9, np.array(exp_nodes), np.array(exp_groups), oriented=False
+)
+assert em[0].to_strings() == exp_ps.to_strings()
+
 # Multi-host greedy matching vs the host fixpoint.
 from kmerset_tpu.core.graph import handshake_matching
 
