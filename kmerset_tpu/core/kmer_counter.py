@@ -132,6 +132,16 @@ class KmerCounter:
                 if result is not None:
                     uniq, counts = result
                     return cls(k, uniq, np.minimum(counts, value_max), value_max)
+            if backend.should_use_device_chunked(n_windows):
+                # Out-of-core single chip: chunked device counting +
+                # host merge of the sorted runs (ops/backend.py).
+                backend.enable_compile_cache()
+                result = backend.device_count_chunked(
+                    codes, offsets, k, canonical
+                )
+                if result is not None:
+                    uniq, counts = result
+                    return cls(k, uniq, np.minimum(counts, value_max), value_max)
             if backend.should_use_device(n_windows):
                 backend.enable_compile_cache()
                 result = backend.device_count(codes, offsets, k, canonical)

@@ -716,6 +716,37 @@ def sorted_algebra(a: np.ndarray, b: np.ndarray):
     return inter[: counts[0]], a_only[: counts[1]], b_only[: counts[2]]
 
 
+def merge_counts(
+    ak: np.ndarray, ac: np.ndarray, bk: np.ndarray, bc: np.ndarray
+):
+    """One-pass merge of two sorted-unique (key, count) runs, summing
+    counts of equal keys (the out-of-core chunk combiner; reference's
+    bucket merge, lib/core/kmer_counter.h:105-126), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_mc_ready"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.kmerio_merge_counts.restype = ctypes.c_long
+        lib.kmerio_merge_counts.argtypes = [
+            i64p, i64p, ctypes.c_long, i64p, i64p, ctypes.c_long, i64p, i64p,
+        ]
+        lib._mc_ready = True
+    ak = np.ascontiguousarray(ak, dtype=np.int64)
+    ac = np.ascontiguousarray(ac, dtype=np.int64)
+    bk = np.ascontiguousarray(bk, dtype=np.int64)
+    bc = np.ascontiguousarray(bc, dtype=np.int64)
+    ok = np.empty(max(ak.size + bk.size, 1), dtype=np.int64)
+    oc = np.empty(max(ak.size + bk.size, 1), dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    m = lib.kmerio_merge_counts(
+        ak.ctypes.data_as(i64p), ac.ctypes.data_as(i64p), ak.size,
+        bk.ctypes.data_as(i64p), bc.ctypes.data_as(i64p), bk.size,
+        ok.ctypes.data_as(i64p), oc.ctypes.data_as(i64p),
+    )
+    return ok[:m], oc[:m]
+
+
 def gather_ranges(src: np.ndarray, lo: np.ndarray, hi: np.ndarray):
     """Concatenation of src[lo[i]:hi[i]] slices (uint8 or int64), or None."""
     lib = get_lib()

@@ -148,6 +148,28 @@ def _cpu_backend() -> bool:
 MAX_DEVICE_WINDOWS = 1 << 29
 
 
+# Per-shot window count of the out-of-core chunked path (half the one-shot
+# ceiling: two live chunk buffers fit where one maximal sort did).
+CHUNK_WINDOWS = 1 << 28
+
+
+def should_use_device_chunked(n_windows: int) -> bool:
+    """Out-of-core single-chip counting: inputs past the one-shot sort
+    ceiling are counted in CHUNK_WINDOWS slices and merged on the host.
+    Only worth it off the mesh path (a second device would take it), on a
+    non-slow link (the codes stream crosses the link once per chunk)."""
+    force = _force()
+    if force == "host":
+        return False
+    if n_windows <= MAX_DEVICE_WINDOWS:
+        return False  # the one-shot path owns this range
+    if force == "device":
+        return True
+    if _cpu_backend():
+        return False
+    return not _slow_link()
+
+
 def should_use_device(n_windows: int) -> bool:
     force = _force()
     if force == "host":
@@ -226,6 +248,71 @@ def device_unique(
         return np.asarray(uniq[: int(n_kept)])
     except Exception as e:  # noqa: BLE001
         _note_fallback("device_unique", e)
+        return None
+
+
+def _merge_count_runs(
+    parts: list,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Balanced pairwise merge of sorted-unique (keys, counts) runs,
+    summing counts of shared keys (native one-pass merge; numpy
+    stable-sort fallback)."""
+    from ..core import native
+
+    while len(parts) > 1:
+        nxt = []
+        for i in range(0, len(parts) - 1, 2):
+            (ak, ac), (bk, bc) = parts[i], parts[i + 1]
+            m = native.merge_counts(ak, ac, bk, bc)
+            if m is None:
+                keys = np.concatenate([ak, bk])
+                cnts = np.concatenate([ac, bc])
+                order = np.argsort(keys, kind="stable")
+                keys, cnts = keys[order], cnts[order]
+                boundary = np.empty(keys.shape[0], dtype=bool)
+                boundary[0] = True
+                np.not_equal(keys[1:], keys[:-1], out=boundary[1:])
+                idx = np.flatnonzero(boundary)
+                m = keys[idx], np.add.reduceat(cnts, idx)
+            nxt.append(m)
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
+
+
+def device_count_chunked(
+    codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Out-of-core single-chip counting: slices the code stream into
+    CHUNK_WINDOWS-window chunks with a k-1 code halo (the same boundary
+    treatment as the mesh shard layout, parallel/driver._shard_layout),
+    counts each chunk with the fused one-shot pipeline, and merges the
+    sorted per-chunk (uniq, counts) runs on the host — so a lone chip
+    keeps its full counting throughput on inputs its HBM cannot hold in
+    one sort.  Replaces the reference's shared-memory bucket merge
+    (lib/core/kmer_counter.h:105-126) at out-of-core scale."""
+    try:
+        n_windows = codes.shape[0] - (k - 1)
+        if n_windows <= 0:
+            return None
+        parts = []
+        lo = 0
+        while lo < n_windows:
+            hi = min(lo + CHUNK_WINDOWS, n_windows)
+            hi_code = hi + k - 1
+            # Fragment boundaries clipped to the slice: windows starting
+            # in [lo, hi) see their true fragment cover (the halo extends
+            # to hi_code), so per-chunk validity equals the global one.
+            offs_c = np.unique(np.clip(offsets, lo, hi_code)) - lo
+            res = device_count(codes[lo:hi_code], offs_c, k, canonical)
+            if res is None:
+                return None
+            parts.append(res)
+            lo = hi
+        return _merge_count_runs(parts)
+    except Exception as e:  # noqa: BLE001
+        _note_fallback("device_count_chunked", e)
         return None
 
 

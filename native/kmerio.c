@@ -1252,6 +1252,30 @@ void kmerio_sorted_algebra(const int64_t *a, long na,
     out_counts[0] = ni; out_counts[1] = nao; out_counts[2] = nbo;
 }
 
+/* Merges two sorted-unique (key, count) runs, summing counts of equal
+ * keys — the combiner of the out-of-core chunked counting path (the
+ * sorted-array equivalent of the reference's thread-buffer bucket merge,
+ * lib/core/kmer_counter.h:105-126).  Output buffers must hold na + nb
+ * elements; returns the merged length. */
+long kmerio_merge_counts(const int64_t *ak, const int64_t *ac, long na,
+                         const int64_t *bk, const int64_t *bc, long nb,
+                         int64_t *ok, int64_t *oc) {
+    long i = 0, j = 0, m = 0;
+    while (i < na && j < nb) {
+        int64_t x = ak[i], y = bk[j];
+        if (x < y) {
+            ok[m] = x; oc[m++] = ac[i++];
+        } else if (y < x) {
+            ok[m] = y; oc[m++] = bc[j++];
+        } else {
+            ok[m] = x; oc[m++] = ac[i++] + bc[j++];
+        }
+    }
+    for (; i < na; i++) { ok[m] = ak[i]; oc[m++] = ac[i]; }
+    for (; j < nb; j++) { ok[m] = bk[j]; oc[m++] = bc[j]; }
+    return m;
+}
+
 /* Concatenates [lo[i], hi[i]) ranges of src into out (the gather behind
  * string/group selection; replaces numpy repeat/cumsum index fabrication). */
 void kmerio_gather_ranges_u8(const uint8_t *src, const int64_t *lo,

@@ -968,3 +968,53 @@ def test_mesh_emit_ocap_retry(monkeypatch):
     )
     assert codes.shape[0] == int(str_offsets[-1])
     np.testing.assert_array_equal(codes, ps_host.codes)
+
+
+def test_device_count_chunked_matches_host(monkeypatch):
+    """Out-of-core single-chip counting (CHUNK_WINDOWS slices with k-1
+    halos + native run merge, ops/backend.device_count_chunked) returns
+    the exact global (uniq, counts) of the one-shot host count, across
+    chunk boundaries and fragment splits."""
+    from kmerset_tpu.core.kmer_counter import KmerCounter, extract_kmers
+    from kmerset_tpu.ops import backend
+
+    rng = np.random.default_rng(233)
+    codes = rng.integers(0, 4, 10000).astype(np.int32)
+    # Fragment boundaries straddling chunk edges (chunk = 1500 windows).
+    offsets = np.array([0, 1499, 1501, 4096, 9000, 10000], dtype=np.int64)
+    monkeypatch.setattr(backend, "CHUNK_WINDOWS", 1500)
+    got = backend.device_count_chunked(codes, offsets, 9, True)
+    assert got is not None
+    hu, hc = np.unique(
+        extract_kmers(codes, offsets, 9, True), return_counts=True
+    )
+    np.testing.assert_array_equal(got[0], hu)
+    np.testing.assert_array_equal(got[1], hc)
+
+    # The counter routes past-ceiling inputs through the chunked path
+    # (force=device bypasses the CPU-backend guard like the other tests).
+    monkeypatch.setattr(backend, "MAX_DEVICE_WINDOWS", 2048)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    c = KmerCounter._from_codes(9, codes, offsets, True)
+    monkeypatch.delenv("KMERSET_TPU_FORCE_BACKEND")
+    np.testing.assert_array_equal(c.kmers, hu)
+    np.testing.assert_array_equal(c.counts, np.minimum(hc, c.value_max))
+
+
+def test_merge_count_runs_numpy_fallback(monkeypatch):
+    """The pure-numpy run merge agrees with the native one on shared and
+    disjoint keys (3-way balanced cascade)."""
+    from kmerset_tpu.core import native
+    from kmerset_tpu.ops.backend import _merge_count_runs
+
+    rng = np.random.default_rng(239)
+    parts = []
+    for _ in range(3):
+        k = np.unique(rng.integers(0, 500, 200)).astype(np.int64)
+        c = rng.integers(1, 9, k.size).astype(np.int64)
+        parts.append((k, c))
+    want = _merge_count_runs([(a.copy(), b.copy()) for a, b in parts])
+    monkeypatch.setattr(native, "merge_counts", lambda *a: None)
+    got = _merge_count_runs(parts)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
