@@ -747,6 +747,31 @@ def merge_counts(
     return ok[:m], oc[:m]
 
 
+def merge_keys(ak: np.ndarray, bk: np.ndarray):
+    """Sorted union of two sorted-unique int64 arrays (keys-only mode of
+    kmerio_merge_counts — the decode-direction chunk combiner), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_mc_ready"):
+        merge_counts(
+            np.empty(0, np.int64), np.empty(0, np.int64),
+            np.empty(0, np.int64), np.empty(0, np.int64),
+        )  # bind the signature once
+        if not hasattr(lib, "_mc_ready"):  # pragma: no cover - lib vanished
+            return None
+    ak = np.ascontiguousarray(ak, dtype=np.int64)
+    bk = np.ascontiguousarray(bk, dtype=np.int64)
+    ok = np.empty(max(ak.size + bk.size, 1), dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    m = lib.kmerio_merge_counts(
+        ak.ctypes.data_as(i64p), None, ak.size,
+        bk.ctypes.data_as(i64p), None, bk.size,
+        ok.ctypes.data_as(i64p), None,
+    )
+    return ok[:m]
+
+
 def gather_ranges(src: np.ndarray, lo: np.ndarray, hi: np.ndarray):
     """Concatenation of src[lo[i]:hi[i]] slices (uint8 or int64), or None."""
     lib = get_lib()

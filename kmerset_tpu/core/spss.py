@@ -991,6 +991,14 @@ def decode_unique_kmers(spss: PackedStrings, k: int, canonical: bool) -> np.ndar
         res = driver.mesh_count(spss.codes, spss.offsets, k, canonical)
         if res is not None:
             return res[0]
+    if n_windows > 0 and backend.should_use_device_chunked(n_windows):
+        # Out-of-core single chip: chunked unique + keys-only run merge.
+        backend.enable_compile_cache()
+        uniq = backend.device_unique_chunked(
+            spss.codes, spss.offsets, k, canonical
+        )
+        if uniq is not None:
+            return uniq
     if n_windows > 0 and backend.should_use_device(n_windows):
         backend.enable_compile_cache()
         uniq = backend.device_unique(spss.codes, spss.offsets, k, canonical)

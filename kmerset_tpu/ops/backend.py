@@ -316,6 +316,46 @@ def device_count_chunked(
         return None
 
 
+def device_unique_chunked(
+    codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool
+) -> Optional[np.ndarray]:
+    """Out-of-core decode direction: CHUNK_WINDOWS slices with k-1 code
+    halos through the cutoff-1 unique pipeline, combined by keys-only
+    sorted-union merges on the host (kmerio_merge_counts' NULL-count
+    mode; np.union1d fallback).  Same layout as device_count_chunked."""
+    try:
+        from ..core import native
+
+        n_windows = codes.shape[0] - (k - 1)
+        if n_windows <= 0:
+            return None
+        parts = []
+        lo = 0
+        while lo < n_windows:
+            hi = min(lo + CHUNK_WINDOWS, n_windows)
+            hi_code = hi + k - 1
+            offs_c = np.unique(np.clip(offsets, lo, hi_code)) - lo
+            res = device_unique(codes[lo:hi_code], offs_c, k, canonical)
+            if res is None:
+                return None
+            parts.append(res)
+            lo = hi
+        while len(parts) > 1:
+            nxt = []
+            for i in range(0, len(parts) - 1, 2):
+                m = native.merge_keys(parts[i], parts[i + 1])
+                if m is None:
+                    m = np.union1d(parts[i], parts[i + 1])
+                nxt.append(m)
+            if len(parts) % 2:
+                nxt.append(parts[-1])
+            parts = nxt
+        return parts[0]
+    except Exception as e:  # noqa: BLE001
+        _note_fallback("device_unique_chunked", e)
+        return None
+
+
 def device_count(
     codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:

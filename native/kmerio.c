@@ -1256,7 +1256,8 @@ void kmerio_sorted_algebra(const int64_t *a, long na,
  * keys — the combiner of the out-of-core chunked counting path (the
  * sorted-array equivalent of the reference's thread-buffer bucket merge,
  * lib/core/kmer_counter.h:105-126).  Output buffers must hold na + nb
- * elements; returns the merged length. */
+ * elements; returns the merged length.  Pass oc == NULL (ac/bc then
+ * unread) for a keys-only sorted union — the decode-direction merge. */
 long kmerio_merge_counts(const int64_t *ak, const int64_t *ac, long na,
                          const int64_t *bk, const int64_t *bc, long nb,
                          int64_t *ok, int64_t *oc) {
@@ -1264,15 +1265,21 @@ long kmerio_merge_counts(const int64_t *ak, const int64_t *ac, long na,
     while (i < na && j < nb) {
         int64_t x = ak[i], y = bk[j];
         if (x < y) {
-            ok[m] = x; oc[m++] = ac[i++];
+            ok[m] = x;
+            if (oc) oc[m] = ac[i];
+            m++; i++;
         } else if (y < x) {
-            ok[m] = y; oc[m++] = bc[j++];
+            ok[m] = y;
+            if (oc) oc[m] = bc[j];
+            m++; j++;
         } else {
-            ok[m] = x; oc[m++] = ac[i++] + bc[j++];
+            ok[m] = x;
+            if (oc) oc[m] = ac[i] + bc[j];
+            m++; i++; j++;
         }
     }
-    for (; i < na; i++) { ok[m] = ak[i]; oc[m++] = ac[i]; }
-    for (; j < nb; j++) { ok[m] = bk[j]; oc[m++] = bc[j]; }
+    for (; i < na; i++) { ok[m] = ak[i]; if (oc) oc[m] = ac[i]; m++; }
+    for (; j < nb; j++) { ok[m] = bk[j]; if (oc) oc[m] = bc[j]; m++; }
     return m;
 }
 

@@ -1018,3 +1018,44 @@ def test_merge_count_runs_numpy_fallback(monkeypatch):
     got = _merge_count_runs(parts)
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_device_unique_chunked_matches_host(monkeypatch):
+    """Out-of-core decode (chunked cutoff-1 unique + keys-only union
+    merge) equals the one-shot host unique, and decode_unique_kmers
+    routes past-ceiling SPSS decodes through it."""
+    from kmerset_tpu.core import spss
+    from kmerset_tpu.core.kmer_counter import extract_kmers
+    from kmerset_tpu.core.strings import PackedStrings
+    from kmerset_tpu.ops import backend
+
+    rng = np.random.default_rng(241)
+    codes = rng.integers(0, 4, 8000).astype(np.uint8)
+    offsets = np.array([0, 900, 901, 3000, 8000], dtype=np.int64)
+    monkeypatch.setattr(backend, "CHUNK_WINDOWS", 900)
+    got = backend.device_unique_chunked(codes, offsets, 9, True)
+    assert got is not None
+    hu = np.unique(extract_kmers(codes, offsets, 9, True))
+    np.testing.assert_array_equal(got, hu)
+
+    monkeypatch.setattr(backend, "MAX_DEVICE_WINDOWS", 1024)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    ps = PackedStrings(codes, offsets)
+    routed = spss.decode_unique_kmers(ps, 9, True)
+    monkeypatch.delenv("KMERSET_TPU_FORCE_BACKEND")
+    np.testing.assert_array_equal(routed, hu)
+
+
+def test_native_merge_keys():
+    from kmerset_tpu.core import native
+
+    if native.get_lib() is None:
+        import pytest as _pytest
+
+        _pytest.skip("native library unavailable")
+    rng = np.random.default_rng(251)
+    a = np.unique(rng.integers(0, 300, 120)).astype(np.int64)
+    b = np.unique(rng.integers(0, 300, 120)).astype(np.int64)
+    got = native.merge_keys(a, b)
+    assert got is not None
+    np.testing.assert_array_equal(got, np.union1d(a, b))
