@@ -716,6 +716,16 @@ def sorted_algebra(a: np.ndarray, b: np.ndarray):
     return inter[: counts[0]], a_only[: counts[1]], b_only[: counts[2]]
 
 
+def _bind_merge_counts(lib) -> None:
+    if not hasattr(lib, "_mc_ready"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.kmerio_merge_counts.restype = ctypes.c_long
+        lib.kmerio_merge_counts.argtypes = [
+            i64p, i64p, ctypes.c_long, i64p, i64p, ctypes.c_long, i64p, i64p,
+        ]
+        lib._mc_ready = True
+
+
 def merge_counts(
     ak: np.ndarray, ac: np.ndarray, bk: np.ndarray, bc: np.ndarray
 ):
@@ -725,13 +735,7 @@ def merge_counts(
     lib = get_lib()
     if lib is None:
         return None
-    if not hasattr(lib, "_mc_ready"):
-        i64p = ctypes.POINTER(ctypes.c_int64)
-        lib.kmerio_merge_counts.restype = ctypes.c_long
-        lib.kmerio_merge_counts.argtypes = [
-            i64p, i64p, ctypes.c_long, i64p, i64p, ctypes.c_long, i64p, i64p,
-        ]
-        lib._mc_ready = True
+    _bind_merge_counts(lib)
     ak = np.ascontiguousarray(ak, dtype=np.int64)
     ac = np.ascontiguousarray(ac, dtype=np.int64)
     bk = np.ascontiguousarray(bk, dtype=np.int64)
@@ -753,13 +757,7 @@ def merge_keys(ak: np.ndarray, bk: np.ndarray):
     lib = get_lib()
     if lib is None:
         return None
-    if not hasattr(lib, "_mc_ready"):
-        merge_counts(
-            np.empty(0, np.int64), np.empty(0, np.int64),
-            np.empty(0, np.int64), np.empty(0, np.int64),
-        )  # bind the signature once
-        if not hasattr(lib, "_mc_ready"):  # pragma: no cover - lib vanished
-            return None
+    _bind_merge_counts(lib)
     ak = np.ascontiguousarray(ak, dtype=np.int64)
     bk = np.ascontiguousarray(bk, dtype=np.int64)
     ok = np.empty(max(ak.size + bk.size, 1), dtype=np.int64)

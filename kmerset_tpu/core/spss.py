@@ -328,6 +328,17 @@ def _mesh_chain_walk_kept_emit(
     if res is None:
         return None
     nodes, groups, codes, str_offsets = res
+    # Same led-by-starts topology guard as mesh_chain_group /
+    # _mesh_emit_ordered: every group must begin at one of the requested
+    # starts (chains are node-disjoint, so firsts are chain origins) or
+    # the keep rule below would judge the wrong endpoint — fall back to
+    # the host walk instead of silently emitting from a foreign origin.
+    in_starts = np.zeros(succ.shape[0], dtype=bool)
+    in_starts[starts] = True
+    if groups.shape[0] - 1 != starts.size or not in_starts[
+        nodes[groups[:-1]]
+    ].all():
+        return None  # unexpected topology; use the host walk
     ps = PackedStrings(codes, str_offsets)
     firsts, lasts, nonempty = _group_endpoints(nodes, groups)
     keep = nonempty & (A[firsts >> 1] >= A[lasts >> 1])

@@ -251,109 +251,121 @@ def device_unique(
         return None
 
 
-def _merge_count_runs(
-    parts: list,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Balanced pairwise merge of sorted-unique (keys, counts) runs,
-    summing counts of shared keys (native one-pass merge; numpy
-    stable-sort fallback)."""
+def _merge_count_pair(ak, ac, bk, bc):
+    """One merge of two sorted-unique (keys, counts) runs, summing counts
+    of shared keys (native one-pass merge; numpy stable-sort fallback)."""
     from ..core import native
 
+    m = native.merge_counts(ak, ac, bk, bc)
+    if m is None:
+        keys = np.concatenate([ak, bk])
+        cnts = np.concatenate([ac, bc])
+        if keys.size == 0:
+            return keys, cnts
+        order = np.argsort(keys, kind="stable")
+        keys, cnts = keys[order], cnts[order]
+        boundary = np.empty(keys.shape[0], dtype=bool)
+        boundary[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=boundary[1:])
+        idx = np.flatnonzero(boundary)
+        m = keys[idx], np.add.reduceat(cnts, idx)
+    return m
+
+
+def _merge_key_pair(ak, bk):
+    """Keys-only sorted-union merge (kmerio_merge_counts' NULL-count
+    mode; np.union1d fallback)."""
+    from ..core import native
+
+    m = native.merge_keys(ak, bk)
+    if m is None:
+        m = np.union1d(ak, bk)
+    return m
+
+
+def _merge_cascade(parts: list, merge_pair):
+    """Balanced pairwise merge of sorted runs down to one."""
     while len(parts) > 1:
         nxt = []
         for i in range(0, len(parts) - 1, 2):
-            (ak, ac), (bk, bc) = parts[i], parts[i + 1]
-            m = native.merge_counts(ak, ac, bk, bc)
-            if m is None:
-                keys = np.concatenate([ak, bk])
-                cnts = np.concatenate([ac, bc])
-                order = np.argsort(keys, kind="stable")
-                keys, cnts = keys[order], cnts[order]
-                boundary = np.empty(keys.shape[0], dtype=bool)
-                boundary[0] = True
-                np.not_equal(keys[1:], keys[:-1], out=boundary[1:])
-                idx = np.flatnonzero(boundary)
-                m = keys[idx], np.add.reduceat(cnts, idx)
-            nxt.append(m)
+            a, b = parts[i], parts[i + 1]
+            if isinstance(a, tuple):
+                nxt.append(merge_pair(a[0], a[1], b[0], b[1]))
+            else:
+                nxt.append(merge_pair(a, b))
         if len(parts) % 2:
             nxt.append(parts[-1])
         parts = nxt
     return parts[0]
 
 
-def device_count_chunked(
-    codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool
-) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-    """Out-of-core single-chip counting: slices the code stream into
-    CHUNK_WINDOWS-window chunks with a k-1 code halo (the same boundary
-    treatment as the mesh shard layout, parallel/driver._shard_layout),
-    counts each chunk with the fused one-shot pipeline, and merges the
-    sorted per-chunk (uniq, counts) runs on the host — so a lone chip
-    keeps its full counting throughput on inputs its HBM cannot hold in
-    one sort.  Replaces the reference's shared-memory bucket merge
-    (lib/core/kmer_counter.h:105-126) at out-of-core scale."""
+def _merge_count_runs(parts: list) -> Tuple[np.ndarray, np.ndarray]:
+    return _merge_cascade(parts, _merge_count_pair)
+
+
+def _chunk_slices(codes: np.ndarray, offsets: np.ndarray, k: int):
+    """Yields (codes_slice, offsets_slice) per CHUNK_WINDOWS-window chunk,
+    each with a k-1 code halo (the mesh shard-layout boundary treatment,
+    parallel/driver._shard_layout): windows starting in [lo, hi) see
+    their true fragment cover, so per-chunk validity equals the global
+    one.  Fragment boundaries are located with searchsorted on the
+    already-sorted offsets instead of clipping the whole array."""
+    n_windows = codes.shape[0] - (k - 1)
+    lo = 0
+    while lo < n_windows:
+        hi = min(lo + CHUNK_WINDOWS, n_windows)
+        hi_code = hi + k - 1
+        a = np.searchsorted(offsets, lo, side="right")
+        b = np.searchsorted(offsets, hi_code, side="left")
+        offs_c = np.unique(
+            np.concatenate([[0], offsets[a:b] - lo, [hi_code - lo]])
+        )
+        yield codes[lo:hi_code], offs_c
+        lo = hi
+
+
+def _device_chunked(codes, offsets, k, canonical, one_shot, merge_pair, tag):
+    """Shared driver of the out-of-core chunked paths: runs one_shot per
+    halo chunk and combines the sorted per-chunk results with a balanced
+    cascade of merge_pair calls.  Replaces the reference's shared-memory
+    bucket merge (lib/core/kmer_counter.h:105-126) at out-of-core scale."""
     try:
-        n_windows = codes.shape[0] - (k - 1)
-        if n_windows <= 0:
+        if codes.shape[0] - (k - 1) <= 0:
             return None
         parts = []
-        lo = 0
-        while lo < n_windows:
-            hi = min(lo + CHUNK_WINDOWS, n_windows)
-            hi_code = hi + k - 1
-            # Fragment boundaries clipped to the slice: windows starting
-            # in [lo, hi) see their true fragment cover (the halo extends
-            # to hi_code), so per-chunk validity equals the global one.
-            offs_c = np.unique(np.clip(offsets, lo, hi_code)) - lo
-            res = device_count(codes[lo:hi_code], offs_c, k, canonical)
+        for codes_c, offs_c in _chunk_slices(codes, offsets, k):
+            res = one_shot(codes_c, offs_c, k, canonical)
             if res is None:
                 return None
             parts.append(res)
-            lo = hi
-        return _merge_count_runs(parts)
+        return _merge_cascade(parts, merge_pair)
     except Exception as e:  # noqa: BLE001
-        _note_fallback("device_count_chunked", e)
+        _note_fallback(tag, e)
         return None
+
+
+def device_count_chunked(
+    codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Out-of-core single-chip counting: CHUNK_WINDOWS-window halo chunks
+    through the fused one-shot pipeline, merged on the host — so a lone
+    chip keeps its full counting throughput on inputs its HBM cannot
+    hold in one sort."""
+    return _device_chunked(
+        codes, offsets, k, canonical,
+        device_count, _merge_count_pair, "device_count_chunked",
+    )
 
 
 def device_unique_chunked(
     codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool
 ) -> Optional[np.ndarray]:
-    """Out-of-core decode direction: CHUNK_WINDOWS slices with k-1 code
-    halos through the cutoff-1 unique pipeline, combined by keys-only
-    sorted-union merges on the host (kmerio_merge_counts' NULL-count
-    mode; np.union1d fallback).  Same layout as device_count_chunked."""
-    try:
-        from ..core import native
-
-        n_windows = codes.shape[0] - (k - 1)
-        if n_windows <= 0:
-            return None
-        parts = []
-        lo = 0
-        while lo < n_windows:
-            hi = min(lo + CHUNK_WINDOWS, n_windows)
-            hi_code = hi + k - 1
-            offs_c = np.unique(np.clip(offsets, lo, hi_code)) - lo
-            res = device_unique(codes[lo:hi_code], offs_c, k, canonical)
-            if res is None:
-                return None
-            parts.append(res)
-            lo = hi
-        while len(parts) > 1:
-            nxt = []
-            for i in range(0, len(parts) - 1, 2):
-                m = native.merge_keys(parts[i], parts[i + 1])
-                if m is None:
-                    m = np.union1d(parts[i], parts[i + 1])
-                nxt.append(m)
-            if len(parts) % 2:
-                nxt.append(parts[-1])
-            parts = nxt
-        return parts[0]
-    except Exception as e:  # noqa: BLE001
-        _note_fallback("device_unique_chunked", e)
-        return None
+    """Out-of-core decode direction: halo chunks through the cutoff-1
+    unique pipeline, combined by keys-only sorted-union merges."""
+    return _device_chunked(
+        codes, offsets, k, canonical,
+        device_unique, _merge_key_pair, "device_unique_chunked",
+    )
 
 
 def device_count(

@@ -572,6 +572,12 @@ def mesh_emit_chains(
             )
         )
         ocap_max = N + (k - 1) * n_groups  # one device owning every end
+        if ocap_max >= (1 << 31):
+            # The emit kernel's offset arithmetic (cumsum/iota) is int32;
+            # past this bound a skewed end-ownership could wrap silently.
+            # Such inputs are out of single-mesh-emit range anyway (>2 GB
+            # of rendered codes on one device) — use the host walk.
+            return None
         for _attempt in range(32):
             fn = sharded_emit_fn(mesh, k, ocap)
             codes_d, es, ns, n_out, overflow = fn(*args)

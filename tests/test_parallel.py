@@ -1020,6 +1020,23 @@ def test_merge_count_runs_numpy_fallback(monkeypatch):
     np.testing.assert_array_equal(got[1], want[1])
 
 
+def test_merge_count_runs_numpy_fallback_empty(monkeypatch):
+    """Empty runs (a chunk with zero valid windows) merge cleanly in the
+    numpy fallback — regression for an IndexError on boundary[0]."""
+    from kmerset_tpu.core import native
+    from kmerset_tpu.ops.backend import _merge_count_runs
+
+    monkeypatch.setattr(native, "merge_counts", lambda *a: None)
+    e = np.empty(0, dtype=np.int64)
+    k, c = _merge_count_runs([(e, e), (e, e)])
+    assert k.size == 0 and c.size == 0
+    k, c = _merge_count_runs(
+        [(e, e), (np.array([7], dtype=np.int64), np.array([2], dtype=np.int64))]
+    )
+    np.testing.assert_array_equal(k, [7])
+    np.testing.assert_array_equal(c, [2])
+
+
 def test_device_unique_chunked_matches_host(monkeypatch):
     """Out-of-core decode (chunked cutoff-1 unique + keys-only union
     merge) equals the one-shot host unique, and decode_unique_kmers
