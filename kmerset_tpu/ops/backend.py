@@ -100,6 +100,10 @@ def _slow_link() -> bool:
                         return _link_slow
         except OSError:
             pass
+        if not _backend_alive():
+            # Dead/hung device transport: the probe itself would block.
+            _link_slow = True
+            return _link_slow
         try:
             import time
 
@@ -125,14 +129,82 @@ def _slow_link() -> bool:
     return _link_slow
 
 
+_backend_ready: Optional[bool] = None
+
+
+def _backend_alive() -> bool:
+    """Initializes jax's default backend once, under a timeout.  A dead
+    or hung device transport (e.g. an unreachable tunneled TPU) blocks
+    jax.default_backend() indefinitely — and with it every CLI that so
+    much as asks whether a device exists.  The init runs in a daemon
+    thread; on timeout the process permanently treats the device as
+    absent (all host paths, counted in FALLBACK_COUNT like any other
+    device fallback).  KMERSET_TPU_DEVICE_TIMEOUT overrides the 180 s
+    default; 0 disables the guard (block forever, jax's own behavior)."""
+    global _backend_ready
+    if _backend_ready is None:
+        try:
+            import jax
+        except Exception:  # noqa: BLE001 - no jax => no device either
+            _backend_ready = False
+            return False
+        try:
+            timeout = float(
+                os.environ.get("KMERSET_TPU_DEVICE_TIMEOUT", "180")
+            )
+        except ValueError:
+            timeout = 180.0
+        if timeout <= 0:
+            try:
+                jax.default_backend()
+                _backend_ready = True
+            except Exception as e:  # noqa: BLE001
+                _note_fallback("backend_init", e)
+                _backend_ready = False
+            return _backend_ready
+        import threading
+
+        result: dict = {}
+
+        def _init() -> None:
+            try:
+                result["backend"] = jax.default_backend()
+            except Exception as e:  # noqa: BLE001
+                result["error"] = e
+
+        t = threading.Thread(
+            target=_init, daemon=True, name="kmerset-tpu-backend-init"
+        )
+        t.start()
+        t.join(timeout)
+        if t.is_alive():
+            _note_fallback(
+                "backend_init",
+                TimeoutError(
+                    f"device backend init exceeded {timeout:.0f}s "
+                    "(set KMERSET_TPU_DEVICE_TIMEOUT to adjust)"
+                ),
+            )
+            _backend_ready = False
+        elif "error" in result:
+            _note_fallback("backend_init", result["error"])
+            _backend_ready = False
+        else:
+            _backend_ready = True
+    return _backend_ready
+
+
 def _cpu_backend() -> bool:
-    """True when jax's default backend is the host CPU itself.  The
-    offload pipelines exist to use an accelerator; routed to XLA-CPU they
+    """True when jax's default backend is the host CPU itself (or no
+    usable device backend exists — see _backend_alive).  The offload
+    pipelines exist to use an accelerator; routed to XLA-CPU they
     lose to the native/NumPy host paths (measured: an 8-set compress ran
     >20x slower under JAX_PLATFORMS=cpu on a single-core host, paying an
     XLA-CPU recompile per distinct greedy-loop size class).  Tests that
     exercise the device code paths on CPU set
     KMERSET_TPU_FORCE_BACKEND=device, which bypasses this check."""
+    if not _backend_alive():
+        return True
     try:
         import jax
 

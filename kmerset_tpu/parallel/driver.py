@@ -44,6 +44,8 @@ def should_use_mesh(n_windows: int) -> bool:
         return True
     if force in ("host", "device"):
         return False
+    if not backend._backend_alive():
+        return False  # dead/hung device transport (see ops/backend.py)
     try:
         import jax
 

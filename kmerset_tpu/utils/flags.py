@@ -58,6 +58,27 @@ def add_bool_flag(parser: argparse.ArgumentParser, name: str, default: bool, hel
     parser._bool_flags.add(name)  # type: ignore[attr-defined]
 
 
+def honor_platform_env() -> None:
+    """Re-assert the standard JAX_PLATFORMS env-var semantics for this
+    process.  Some environments (e.g. a TPU tunnel's sitecustomize) pin
+    jax_platforms programmatically in every interpreter, overriding the
+    env var — a user running a CLI with JAX_PLATFORMS=cpu would silently
+    still get (and possibly hang dialing) the pinned platform.  No-op
+    when the var is unset (don't pay a jax import) or jax is absent."""
+    import os
+
+    env = os.environ.get("JAX_PLATFORMS")
+    if not env:
+        return
+    try:
+        import jax
+
+        if jax.config.jax_platforms != env:
+            jax.config.update("jax_platforms", env)
+    except Exception:  # noqa: BLE001 - no jax => nothing to pin
+        pass
+
+
 def parse_args(parser: argparse.ArgumentParser, argv: List[str] | None = None):
     """parse_args with absl bool-flag semantics: a bare `--flag` never
     consumes the following token (argparse's nargs='?' would swallow a
@@ -65,6 +86,7 @@ def parse_args(parser: argparse.ArgumentParser, argv: List[str] | None = None):
     (reference absl behavior, lib/flags.h:12-22)."""
     import sys
 
+    honor_platform_env()
     if argv is None:
         argv = sys.argv[1:]
     bools = getattr(parser, "_bool_flags", set())

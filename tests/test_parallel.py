@@ -380,6 +380,64 @@ def test_device_fallback_is_logged(monkeypatch, caplog):
     )
 
 
+def test_backend_init_timeout(monkeypatch):
+    """A hung device transport (e.g. an unreachable tunneled TPU) must
+    not block the CLIs forever: _backend_alive initializes the backend
+    under a timeout and a timeout is treated as no-device (host paths,
+    counted in FALLBACK_COUNT), cached for the process lifetime."""
+    import time
+
+    import jax
+
+    from kmerset_tpu.ops import backend
+
+    monkeypatch.setattr(backend, "_backend_ready", None)
+    monkeypatch.setenv("KMERSET_TPU_DEVICE_TIMEOUT", "0.2")
+    monkeypatch.setattr(jax, "default_backend", lambda: time.sleep(30))
+    before = backend.FALLBACK_COUNT
+    t0 = time.perf_counter()
+    assert backend._cpu_backend() is True
+    assert time.perf_counter() - t0 < 10
+    assert backend.FALLBACK_COUNT == before + 1
+    # The verdict is cached: no second thread, no second fallback note.
+    assert backend._cpu_backend() is True
+    assert backend.FALLBACK_COUNT == before + 1
+
+
+def test_backend_init_error(monkeypatch):
+    """A backend init that raises is the same as no device."""
+    import jax
+
+    from kmerset_tpu.ops import backend
+
+    def boom():
+        raise RuntimeError("injected backend failure")
+
+    monkeypatch.setattr(backend, "_backend_ready", None)
+    monkeypatch.setattr(jax, "default_backend", boom)
+    before = backend.FALLBACK_COUNT
+    assert backend._cpu_backend() is True
+    assert backend.FALLBACK_COUNT == before + 1
+
+
+def test_mesh_kept_emit_rejects_foreign_start():
+    """The kept-emit mesh path falls back (None) when a requested start
+    is not its chain's origin — the led-by-starts topology guard shared
+    with mesh_chain_group, instead of silently emitting a string that
+    includes upstream nodes (core/spss._mesh_chain_walk_kept_emit)."""
+    from kmerset_tpu.core import spss as spss_mod
+
+    k = 11
+    # One chain of oriented nodes 0 -> 2 -> 4 over 4 entities.
+    A = np.array([5, 9, 17, 33], dtype=np.int64)
+    succ = np.full(8, -1, dtype=np.int64)
+    succ[0] = 2
+    succ[2] = 4
+    starts = np.array([2], dtype=np.int64)  # mid-chain, not the origin
+    em = spss_mod._mesh_chain_walk_kept_emit(A, k, succ, starts)
+    assert em is None
+
+
 def test_decode_unique_via_mesh(monkeypatch):
     """decode_unique_kmers routes through mesh_count under mesh force and
     equals the host decode (the decode-direction scale-out wiring)."""
