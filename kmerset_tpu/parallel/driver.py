@@ -97,7 +97,7 @@ def mesh_count(
         import jax
 
         from ..ops.count import window_validity
-        from .mesh import AXIS, make_mesh, sharded_count_fn
+        from .mesh import make_mesh, sharded_count_fn
     except Exception:  # noqa: BLE001
         return None
     try:
@@ -126,21 +126,8 @@ def mesh_count(
         codes_flat = codes_sh.reshape(-1)
         valid_flat = valid_sh.reshape(-1)
 
-        multiproc = jax.process_count() > 1
-        if multiproc:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            sharding = NamedSharding(mesh, P(AXIS))
-            n_local = len([d for d in mesh.devices.flat if d.process_index == jax.process_index()])
-            li = jax.process_index() * n_local
-            codes_in = jax.make_array_from_process_local_data(
-                sharding, codes_sh[li : li + n_local].reshape(-1), (n_dev * Lh,)
-            )
-            valid_in = jax.make_array_from_process_local_data(
-                sharding, valid_sh[li : li + n_local].reshape(-1), (n_dev * Lh,)
-            )
-        else:
-            codes_in, valid_in = codes_flat, valid_flat
+        codes_in = _stride_global(mesh, codes_flat)
+        valid_in = _stride_global(mesh, valid_flat)
 
         capacity = _initial_capacity(W, n_dev)
         for _attempt in range(8):
@@ -164,25 +151,9 @@ def mesh_count(
             return None
 
         m = n_dev * capacity  # per-device output width
-        if multiproc:
-            from jax.experimental import multihost_utils
-
-            def collect(arr, dtype):
-                # Reassemble the P(kv)-sharded global array on every host:
-                # fill this process's shard slices into a zero buffer and
-                # sum buffers across processes (each position is owned by
-                # exactly one process, so the sum is a placement union).
-                buf = np.zeros(arr.shape, dtype=dtype)
-                for s in arr.addressable_shards:
-                    buf[s.index] = np.asarray(s.data, dtype=dtype)
-                return multihost_utils.process_allgather(buf).sum(axis=0)
-
-            uniq = collect(uniq, np.int64)
-            counts = collect(counts, np.int64)
-            n_unique = collect(n_unique, np.int64)
-        uniq = np.asarray(uniq).reshape(n_dev, m)
-        counts = np.asarray(counts).reshape(n_dev, m)
-        n_unique = np.asarray(n_unique).reshape(n_dev)
+        uniq = _gather_global(uniq, np.int64).reshape(n_dev, m)
+        counts = _gather_global(counts, np.int64).reshape(n_dev, m)
+        n_unique = _gather_global(n_unique, np.int64).reshape(n_dev)
         parts_k = [uniq[d, : n_unique[d]] for d in range(n_dev)]
         parts_c = [counts[d, : n_unique[d]] for d in range(n_dev)]
         # Device d owns key range d: concatenation is globally sorted.
@@ -227,25 +198,7 @@ def mesh_unitig_succ(A: np.ndarray, k: int, mesh=None):
         for d, p in enumerate(parts):
             blocks[d, : p.shape[0]] = p
 
-        multiproc = jax.process_count() > 1
-        if multiproc:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from .mesh import AXIS
-
-            sharding = NamedSharding(mesh, P(AXIS))
-            n_local = len(
-                [d for d in mesh.devices.flat
-                 if d.process_index == jax.process_index()]
-            )
-            li = jax.process_index() * n_local
-            blocks_in = jax.make_array_from_process_local_data(
-                sharding,
-                blocks[li : li + n_local].reshape(-1),
-                (n_dev * cap,),
-            )
-        else:
-            blocks_in = blocks.reshape(-1)
+        blocks_in = _stride_global(mesh, blocks.reshape(-1))
 
         qcap = _mesh_env_capacity() or (
             1 << (max(1024, 16 * cap // n_dev) - 1).bit_length()
@@ -274,18 +227,8 @@ def mesh_unitig_succ(A: np.ndarray, k: int, mesh=None):
         if int(np.asarray(jax.device_get(total))[0]) != n:
             return None  # shard assembly mismatch; fall back
 
-        if multiproc:
-            from jax.experimental import multihost_utils
-
-            def _host_full(arr):
-                buf = np.zeros(arr.shape, dtype=np.int64)
-                for sh in arr.addressable_shards:
-                    buf[sh.index] = np.asarray(sh.data, dtype=np.int64)
-                return multihost_utils.process_allgather(buf).sum(axis=0)
-
         def collect(x, dtype):
-            x = _host_full(x) if multiproc else np.asarray(x)
-            x = x.reshape(n_dev, cap)
+            x = _gather_global(x, np.int64).reshape(n_dev, cap)
             return np.concatenate(
                 [x[d, : parts[d].shape[0]] for d in range(n_dev)]
             ).astype(dtype)
@@ -678,6 +621,12 @@ def mesh_overlap_edges(P: np.ndarray, S: np.ndarray, k: int, mesh=None):
     try:
         n = int(P.shape[0])
         if n == 0 or n >= (1 << 29):
+            return None
+        if k > 30:
+            # The exchange key is (value << 1) | table_bit — 2k+1 bits —
+            # and the device sentinel is 2^62 (mesh.sharded_overlap_
+            # edges_fn); k = 31 keys would reach/pass the sentinel and
+            # silently drop edges.  Host join handles k = 31.
             return None
         if (
             np.unique(P).shape[0] != n

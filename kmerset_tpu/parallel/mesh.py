@@ -126,20 +126,13 @@ def sharded_count_fn(mesh: Mesh, k: int, canonical: bool, capacity: int):
 
 def _rc_bits(x, k: int, nbits: int):
     """Reverse complement of packed k-mers as a bit swizzle: complement
-    every base, reverse 2-bit lanes, shift down to 2k bits."""
+    every base, reverse 2-bit lanes, shift down to 2k bits.  The int32
+    half is ops/neighbors._rc32 (one shared implementation); the int64
+    half is the 5-round shuffle of core/kmer.py reverse_complement."""
     if nbits == 32:
-        m2 = jnp.int32(0x33333333)
-        m4 = jnp.int32(0x0F0F0F0F)
-        x = ~x
-        x = ((x >> 2) & m2) | ((x & m2) << 2)
-        x = ((x >> 4) & m4) | ((x & m4) << 4)
-        # byte reverse via shifts (int32)
-        b0 = (x >> 24) & jnp.int32(0xFF)
-        b1 = (x >> 16) & jnp.int32(0xFF)
-        b2 = (x >> 8) & jnp.int32(0xFF)
-        b3 = x & jnp.int32(0xFF)
-        x = (b3 << 24) | (b2 << 16) | (b1 << 8) | b0
-        return jax.lax.shift_right_logical(x, jnp.int32(32 - 2 * k))
+        from ..ops.neighbors import _rc32
+
+        return _rc32(x, k)
     m2 = jnp.int64(0x3333333333333333)
     m4 = jnp.int64(0x0F0F0F0F0F0F0F0F)
     m8 = jnp.int64(0x00FF00FF00FF00FF)
@@ -523,7 +516,14 @@ def sharded_pointer_double_fn(mesh: Mesh, rounds: int, with_labels: bool):
     (min_label = input labels when with_labels is False).
     """
     n_dev = mesh.devices.size
-    MASK = jnp.int64((1 << 31) - 1)
+    # dist rides bits [0, 30) of the packed hi half; bit 30 is the done
+    # flag.  Cycle nodes' dist doubles every round (2^r after r rounds),
+    # so it MUST be masked on write: at rounds >= 31 (padded N > 2^29)
+    # an unmasked 2^30 would spuriously set the done bit and mark cycle
+    # nodes as chains (silently dropping their k-mers downstream).  The
+    # masked value only differs for non-chain nodes, whose dist is
+    # unused — chain dists are true distances < N <= 2^30 and unmasked.
+    DIST_MASK = jnp.int32((1 << 30) - 1)
 
     def step(succ_local, labels_local):
         cap = succ_local.shape[0]
@@ -544,8 +544,8 @@ def sharded_pointer_double_fn(mesh: Mesh, rounds: int, with_labels: bool):
 
         for _ in range(rounds):
             frozen_pre = reached
-            # hi half: (done << 30) | dist; lo half: ptr (31 bits each).
-            st_hi = (done0.astype(jnp.int32) << 30) | dist
+            # hi half: (done << 30) | (dist & DIST_MASK); lo half: ptr.
+            st_hi = (done0.astype(jnp.int32) << 30) | (dist & DIST_MASK)
             t, _dropped = _route_queries(
                 ptr,
                 edges_inner,
@@ -556,7 +556,7 @@ def sharded_pointer_double_fn(mesh: Mesh, rounds: int, with_labels: bool):
             )
             t_hi = (t >> 32).astype(jnp.int32)
             t_done = (t_hi >> 30) != 0
-            t_dist = t_hi & jnp.int32((1 << 30) - 1)
+            t_dist = t_hi & DIST_MASK
             t_ptr = (t & 0xFFFFFFFF).astype(jnp.int32)
             if with_labels:
                 tl, _d2 = _route_queries(

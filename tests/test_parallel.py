@@ -420,6 +420,38 @@ def test_backend_init_error(monkeypatch):
     assert backend.FALLBACK_COUNT == before + 1
 
 
+def test_mesh_pointer_double_cycle_high_rounds():
+    """A cycle node's dist doubles to 2^30 by round 30; the packed done
+    bit (bit 30 of the exchanged hi half) must not be contaminated by it
+    (mesh.sharded_pointer_double_fn DIST_MASK) — regression for cycles
+    being misclassified as chains at rounds >= 31, i.e. padded N > 2^29,
+    which silently dropped cycle k-mers from the SPSS."""
+    from kmerset_tpu.parallel import driver as mesh_driver
+    from kmerset_tpu.parallel.mesh import make_mesh, sharded_pointer_double_fn
+
+    mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    n = 16
+    succ = np.full(n, -1, dtype=np.int32)
+    for i in range(8):  # one 8-node cycle
+        succ[i] = (i + 1) % 8
+    succ[8] = 9  # one 3-node chain: 8 -> 9 -> 10 (terminal)
+    succ[9] = 10
+    cap = -(-n // n_dev)
+    N = cap * n_dev
+    sp = np.full(N, -1, dtype=np.int32)
+    sp[:n] = succ
+    lp = np.zeros(N, dtype=np.int32)
+    fn = sharded_pointer_double_fn(mesh, 33, False)
+    _, _, is_chain, _ = fn(
+        mesh_driver._stride_global(mesh, sp),
+        mesh_driver._stride_global(mesh, lp),
+    )
+    is_chain = np.asarray(is_chain)[:n] != 0
+    assert not is_chain[:8].any()
+    assert is_chain[8:11].all()
+
+
 def test_mesh_kept_emit_rejects_foreign_start():
     """The kept-emit mesh path falls back (None) when a requested start
     is not its chain's origin — the led-by-starts topology guard shared
