@@ -1048,7 +1048,10 @@ def sharded_overlap_edges_fn(mesh: Mesh, k: int, qcap: int):
 
     Each device owns a block of unitigs and contributes its (first,
     last) k-mers to a key-range sharded lookup table (combined key =
-    (value << 1) | table_bit, int64: 2k+1 <= 47 bits), then probes the
+    (value << 1) | table_bit, int64: 2k+1 bits — 61 at the driver's
+    k <= 30 ceiling, which keeps every key below this function's 2^62
+    sentinel; k = 31 keys would reach it, so the driver routes k = 31
+    to the host join instead), then probes the
     16 gluing candidates per unitig (4 bases x {next, rc(next), prev,
     rc(prev)}) through the owner-routed query cycle.  Assumes P and S
     values are globally unique (true for unitigs: every k-mer appears

@@ -64,11 +64,15 @@ def honor_platform_env() -> None:
     jax_platforms programmatically in every interpreter, overriding the
     env var — a user running a CLI with JAX_PLATFORMS=cpu would silently
     still get (and possibly hang dialing) the pinned platform.  No-op
-    when the var is unset (don't pay a jax import) or jax is absent."""
+    when the var is unset or jax was never imported: an un-imported jax
+    honors JAX_PLATFORMS itself at import time, and the pin scenario
+    this targets (a sitecustomize) necessarily imports jax before
+    main() — so host-only CLIs never pay a jax import here."""
     import os
+    import sys
 
     env = os.environ.get("JAX_PLATFORMS")
-    if not env:
+    if not env or "jax" not in sys.modules:
         return
     try:
         import jax

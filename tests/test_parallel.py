@@ -468,6 +468,19 @@ def test_mesh_kept_emit_rejects_foreign_start():
     starts = np.array([2], dtype=np.int64)  # mid-chain, not the origin
     em = spss_mod._mesh_chain_walk_kept_emit(A, k, succ, starts)
     assert em is None
+    # Positive companion so the rejection above cannot pass vacuously
+    # (every failure inside the mesh emit path also returns None): the
+    # true origin must round-trip through the same path.  A[first] >=
+    # A[last] is required or the orientation skip rule drops the chain.
+    A2 = np.array([33, 9, 17, 5], dtype=np.int64)
+    em = spss_mod._mesh_chain_walk_kept_emit(
+        A2, k, succ, np.array([0], dtype=np.int64)
+    )
+    assert em is not None
+    strings, nodes_k = em
+    np.testing.assert_array_equal(nodes_k, [0, 2, 4])
+    assert strings.offsets.shape[0] == 2  # one kept string
+    assert strings.offsets[1] - strings.offsets[0] == k + 2
 
 
 def test_decode_unique_via_mesh(monkeypatch):
