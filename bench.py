@@ -96,6 +96,16 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # A dead/hung device transport would block jax.devices() forever and
+    # stall the caller; bound the init with the backend's timeout guard
+    # (KMERSET_TPU_DEVICE_TIMEOUT, default 180 s) and fail loudly instead.
+    if not backend._backend_alive():
+        print(
+            "device backend unreachable (transport hung or dead); "
+            "no benchmark result",
+            file=sys.stderr,
+        )
+        sys.exit(3)
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 

@@ -38,13 +38,31 @@ def _fresh_kmers(strings, k, canonical):
 @pytest.mark.parametrize("trial", range(5))
 def test_spss_fuzz_random_seed(trial):
     rng = np.random.default_rng(SEED + trial)
-    k = int(rng.integers(2, 6)) * 2 + 1  # odd k (canonical contract)
+    # Odd k (canonical contract) across every key layout: one-int32-lane
+    # (k <= 15), int32 pair (k <= 23), int64 (k <= 31).
+    k = int(rng.integers(2, 16)) * 2 + 1
     n = int(rng.integers(1, 1 << 12))
     ks = get_random_kmer_set(k, n, True, rng)
     out = spss.get_spss_canonical(ks, fast=bool(rng.integers(0, 2)))
     uniq = _fresh_kmers(out, k, True)
     assert np.array_equal(uniq, ks.kmers), f"seed={SEED} k={k} n={n}"
     rt = spss.get_kmer_set_from_spss(out, k, True)
+    assert rt.equals(KmerSet(k, ks.kmers, _sorted=True)), f"seed={SEED}"
+
+
+@pytest.mark.random
+@pytest.mark.parametrize("trial", range(3))
+def test_spss_plain_fuzz_random_seed(trial):
+    """Non-canonical family (GetSPSS, reference: lib/core/spss.h:698-1016):
+    freshness + reconstruction under fresh entropy, any k in [2, 31]."""
+    rng = np.random.default_rng(SEED + 1000 + trial)
+    k = int(rng.integers(2, 32))
+    n = int(rng.integers(1, 1 << 12))
+    ks = get_random_kmer_set(k, n, False, rng)
+    out = spss.get_spss(ks)
+    uniq = _fresh_kmers(out, k, False)
+    assert np.array_equal(uniq, ks.kmers), f"seed={SEED} k={k} n={n}"
+    rt = spss.get_kmer_set_from_spss(out, k, False)
     assert rt.equals(KmerSet(k, ks.kmers, _sorted=True)), f"seed={SEED}"
 
 
