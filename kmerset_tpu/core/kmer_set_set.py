@@ -35,6 +35,26 @@ from .kmer_set_compact import KmerSetCompact
 AdjacencyList = Dict[int, List[int]]
 
 
+def _pop_best_pair(heap, weights):
+    """Max-weight pair via the lazy-deletion heap: pops entries until one
+    matches the live `weights` value (stale entries — superseded updates —
+    are discarded), returning None when the max weight is 0 (the greedy
+    loop's termination, reference: lib/core/kmer_set_set.h:318-322).  The
+    (-w, pair) order makes ties break on the smallest pair, exactly the
+    full-scan argmax the reference computes each round
+    (lib/core/kmer_set_set.h:308-316) at O(log P) amortized instead of
+    O(P)."""
+    import heapq
+
+    while heap:
+        negw, pair = heapq.heappop(heap)
+        if weights.get(pair) == -negw:
+            if negw < 0:  # all-zero weights end the loop
+                return pair
+            break
+    return None
+
+
 class _HostWeightOracle:
     """Pairwise sketch-intersection sizes, host sorted-merge."""
 
@@ -232,13 +252,7 @@ class KmerSetSet:
 
             # Max-weight pair; deterministic smallest-pair tie-break
             # ((-w, pair) heap order pops exactly the scan's choice).
-            best_pair: Tuple[int, int] | None = None
-            while heap:
-                negw, pair = heapq.heappop(heap)
-                if weights.get(pair) == -negw:
-                    if negw < 0:  # all-zero weights end the loop
-                        best_pair = pair
-                    break
+            best_pair = _pop_best_pair(heap, weights)
             if best_pair is None:
                 break
             j, k = best_pair

@@ -187,3 +187,52 @@ def test_multi_set_compression_mesh_exact(monkeypatch):
     monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "mesh")
     for i, orig in enumerate(originals):
         assert kss_m.get(i, True).equals(orig)
+
+
+def test_pop_best_pair_equals_scan_at_1000_sets():
+    """The lazy-deletion selection heap returns exactly the full-scan
+    argmax (max weight, smallest-pair tie-break) through hundreds of
+    mutation rounds on a 1000-set pair universe — the sub-quadratic
+    selection path for the sharded 1000-set configuration (the reference
+    rescans its whole weight map per round,
+    lib/core/kmer_set_set.h:308-316)."""
+    import heapq
+
+    from kmerset_tpu.core.kmer_set_set import _pop_best_pair
+
+    rng = np.random.default_rng(17)
+    n = 1000
+    # Sparse random pair universe (the dense one is 500k pairs; 20k is
+    # plenty to exercise staleness) with small weights so ties are common.
+    pairs = set()
+    while len(pairs) < 20000:
+        i, j = sorted(rng.integers(0, n, 2).tolist())
+        if i != j:
+            pairs.add((i, j))
+    weights = {p: int(w) for p, w in zip(pairs, rng.integers(0, 50, len(pairs)))}
+    heap = [(-w, p) for p, w in weights.items()]
+    heapq.heapify(heap)
+
+    def scan_best():
+        best = None
+        for p, w in weights.items():
+            if w > 0 and (best is None or (-w, p) < (-weights[best], best)):
+                best = p
+        return best
+
+    for _round in range(300):
+        expect = scan_best()
+        got = _pop_best_pair(heap, weights)
+        assert got == expect, f"round={_round}"
+        if got is None:
+            break
+        # Consume the chosen pair and mutate a random batch of weights
+        # (stale heap entries accumulate; pushes mirror the greedy loop).
+        weights[got] = 0
+        batch = rng.choice(len(weights), size=40, replace=False)
+        keys = list(weights.keys())
+        for bi in batch:
+            p = keys[int(bi)]
+            w = int(rng.integers(0, 50))
+            weights[p] = w
+            heapq.heappush(heap, (-w, p))
