@@ -150,10 +150,11 @@ def test_unsupported_k():
     assert "unsupported k value" in (r.stderr + r.stdout)
 
 
-@pytest.mark.parametrize("k", [19, 23])
+@pytest.mark.parametrize("k", [19, 23, 31])
 def test_build_check_other_k(tmp_path, genome_reads, k):
     """k=19 (int32-pair keys, N=10) and k=23 (N=14) round-trip via --check
-    (reference k dispatch: src/kmerset-build.cc:130-143)."""
+    (reference k dispatch: src/kmerset-build.cc:130-143); k=31 is this
+    build's int64-layout CLI extension (core/config.py CLI_SUPPORTED_K)."""
     genome, reads = genome_reads
     fasta = str(tmp_path / "reads.fasta")
     _write_fasta(fasta, reads)
