@@ -38,6 +38,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return None
     try:
         lib = ctypes.CDLL(path)
+        # Stale-build guard: per-symbol presence checks below cannot see
+        # signature changes (e.g. the side-table editions' void -> long
+        # status return), so any ABI mismatch disables the lib entirely —
+        # rebuild with `make -C native`.
+        lib.kmerio_abi_version.restype = ctypes.c_long
+        if lib.kmerio_abi_version() != 2:
+            return None
         lib.kmerio_parse_fasta.restype = ctypes.c_long
         lib.kmerio_parse_fasta.argtypes = [
             ctypes.c_char_p,
@@ -168,6 +175,10 @@ def chain_walk(succ: np.ndarray, starts: np.ndarray):
         groups.ctypes.data_as(i64p),
         visited.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
+    if total < 0:
+        # succ violated the chain contract (cycle / revisits): the C walk
+        # refuses rather than overrun; let the caller's fallback handle it.
+        return None
     return nodes[:total], groups
 
 
@@ -384,7 +395,7 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
     if not hasattr(lib, "_st_ready"):
         i32p = ctypes.POINTER(ctypes.c_int32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.kmerio_side_tables.restype = None
+        lib.kmerio_side_tables.restype = ctypes.c_long
         lib.kmerio_side_tables.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_long,
@@ -398,7 +409,7 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
         # Merge-join edition (half the probes become sequential merges);
         # absent in stale builds -> fall back to the hash version.
         try:
-            lib.kmerio_side_tables_merge.restype = None
+            lib.kmerio_side_tables_merge.restype = ctypes.c_long
             lib.kmerio_side_tables_merge.argtypes = (
                 lib.kmerio_side_tables.argtypes
             )
@@ -407,7 +418,7 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
             lib._st_merge = False
         # fp edition (packed single-read probe table, fused candidates).
         try:
-            lib.kmerio_side_tables_fp.restype = None
+            lib.kmerio_side_tables_fp.restype = ctypes.c_long
             lib.kmerio_side_tables_fp.argtypes = (
                 lib.kmerio_side_tables.argtypes[:4]
                 + [ctypes.POINTER(ctypes.c_uint64)]
@@ -437,7 +448,7 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
     rsame = np.empty(n, np.uint8); lsame = np.empty(n, np.uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    fn(
+    rc = fn(
         A.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n, k,
         1 if canonical else 0,
         tptr, logcap,
@@ -446,6 +457,10 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
         ldeg.ctypes.data_as(i32p), lnbr.ctypes.data_as(i32p),
         lsame.ctypes.data_as(u8p),
     )
+    if rc != 0:
+        # Allocation failure inside the C pass: the zeroed tables would
+        # silently classify every k-mer as terminal — fall back instead.
+        return None
     # int32/uint8 returned as-is (callers index with them directly);
     # bool views are zero-copy over the uint8 buffers.
     return (

@@ -95,16 +95,11 @@ long kmerio_parse_fasta(const char *buf, long n,
     return n_frag;
 }
 
-/* Encodes a run of A/C/G/T bytes to codes; returns 0 or -3 on invalid. */
-long kmerio_encode(const char *buf, long n, uint8_t *out) {
-    init_lut();
-    for (long i = 0; i < n; i++) {
-        uint8_t c = LUT[(uint8_t)buf[i]];
-        if (c > 3) return -3;
-        out[i] = c;
-    }
-    return 0;
-}
+/* ABI version, bumped on any signature change of an existing export.
+ * The Python binding refuses a mismatched lib outright: its per-symbol
+ * presence checks can spot missing functions in a stale build, but not
+ * a changed return type or argument list. */
+long kmerio_abi_version(void) { return 2; }
 
 /* 2-bit pack: 4 codes per byte, first code in the low bits
  * (density parity with the reference's vector<bool> form,
@@ -121,12 +116,6 @@ void kmerio_unpack2(const uint8_t *packed, long n, uint8_t *out) {
         out[i] = (packed[i >> 2] >> ((i & 3) * 2)) & 3;
 }
 
-/* Decode codes back to ACGT bytes. */
-void kmerio_decode(const uint8_t *codes, long n, char *out) {
-    static const char B[4] = {'A', 'C', 'G', 'T'};
-    for (long i = 0; i < n; i++) out[i] = B[codes[i]];
-}
-
 /* Walks chains of a functional successor graph (succ[u] in [0,n) or -1)
  * from each start, concatenating node sequences.  This is the native
  * sequential path walk the reference performs under its thread pool
@@ -136,13 +125,14 @@ void kmerio_decode(const uint8_t *codes, long n, char *out) {
  *
  * out_nodes: size >= n; group_starts: size >= n_starts + 1;
  * visited: size n, zeroed by caller; set for every emitted node.
- * Returns total nodes emitted.
+ * Returns total nodes emitted, or -1 when succ violates the chain
+ * contract (a cycle reachable from a start, or total length > n) —
+ * emitting then would overrun the caller's n-sized out_nodes.
  */
 long kmerio_chain_walk(const int64_t *succ, long n,
                        const int64_t *starts, long n_starts,
                        int64_t *out_nodes, int64_t *group_starts,
                        uint8_t *visited) {
-    (void)n;
     /* Chains are node-disjoint (in-degree <= 1), so walks from distinct
      * starts never interact; interleaving W walks hides the ~100ns
      * dependent-load latency of each succ[] chase behind its siblings.
@@ -168,12 +158,14 @@ long kmerio_chain_walk(const int64_t *succ, long n,
                 if (nx >= 0) live++;
             }
         }
+        if (live > 0) return -1; /* cycle reached from a start */
         for (long w = 0; w < m; w++)
             group_starts[base + w + 1] = len[w]; /* lengths for now */
     }
     group_starts[0] = 0;
     for (long s = 0; s < n_starts; s++)
         group_starts[s + 1] += group_starts[s];
+    if (group_starts[n_starts] > n) return -1; /* revisits: not chains */
     for (long base = 0; base < n_starts; base += W) {
         long m = n_starts - base < W ? n_starts - base : W;
         int64_t cur[W];
@@ -519,12 +511,14 @@ static inline int32_t hash_find(const int64_t *A, const int32_t *table,
  * canonical != 0: candidates are canonicalized before lookup and `same`
  * records whether the raw candidate differed from its canonical form.
  * table: caller-allocated int32[1 << logcap] filled with -1.
- * deg/nbr are int32; same is uint8. */
-void kmerio_side_tables(const int64_t *A, long n, int k, int canonical,
+ * deg/nbr are int32; same is uint8.
+ * Returns 0, or -1 on allocation failure (outputs then unusable — the
+ * caller must fall back rather than read the zeroed tables). */
+long kmerio_side_tables(const int64_t *A, long n, int k, int canonical,
                         int32_t *table, int logcap,
                         int32_t *rdeg, int32_t *rnbr, uint8_t *rsame,
                         int32_t *ldeg, int32_t *lnbr, uint8_t *lsame) {
-    if (n <= 0) return;
+    if (n <= 0) return 0;
     hash_build(A, n, table, logcap);
     const uint64_t kmask = (1ULL << (2 * k)) - 1;
     const uint64_t tmask = (1ULL << logcap) - 1;
@@ -538,7 +532,7 @@ void kmerio_side_tables(const int64_t *A, long n, int k, int canonical,
     enum { PD = 32 };
     int64_t *q = (int64_t *)malloc((size_t)(n > 0 ? n : 1) * sizeof(int64_t));
     uint8_t *diff = (uint8_t *)malloc((size_t)(n > 0 ? n : 1));
-    if (!q || !diff) { free(q); free(diff); return; }
+    if (!q || !diff) { free(q); free(diff); return -1; }
     for (int side = 0; side < 2; side++) {
         int32_t *deg = side ? ldeg : rdeg;
         int32_t *nbr = side ? lnbr : rnbr;
@@ -574,6 +568,7 @@ void kmerio_side_tables(const int64_t *A, long n, int k, int canonical,
     }
     free(q);
     free(diff);
+    return 0;
 }
 
 /* Greedy maximal matching over ports, edges in priority order.  One
@@ -614,12 +609,12 @@ static long lower_bound64(const int64_t *A, long n, int64_t key) {
  * Those lookups become sequential two-pointer merges against A (~2 ns
  * per element vs ~150 ns per probe); only rc-canonical candidates
  * (canonical mode, cand > rc) still probe the hash table.
- * Same outputs/contract as kmerio_side_tables. */
-void kmerio_side_tables_merge(const int64_t *A, long n, int k, int canonical,
+ * Same outputs/contract (incl. the 0 / -1 return) as kmerio_side_tables. */
+long kmerio_side_tables_merge(const int64_t *A, long n, int k, int canonical,
                               int32_t *table, int logcap,
                               int32_t *rdeg, int32_t *rnbr, uint8_t *rsame,
                               int32_t *ldeg, int32_t *lnbr, uint8_t *lsame) {
-    if (n <= 0) return;
+    if (n <= 0) return 0;
     double t0 = now_s();
     if (canonical) hash_build(A, n, table, logcap);
     TLOG("side_tables: hash_build: %.2fs\n", now_s() - t0);
@@ -633,7 +628,7 @@ void kmerio_side_tables_merge(const int64_t *A, long n, int k, int canonical,
     int64_t *q = (int64_t *)malloc((size_t)n * sizeof(int64_t));
     int64_t *qr = canonical
         ? (int64_t *)malloc((size_t)n * sizeof(int64_t)) : NULL;
-    if (!q || (canonical && !qr)) { free(q); free(qr); return; }
+    if (!q || (canonical && !qr)) { free(q); free(qr); return -1; }
     long class_lo[5];
     for (int b = 0; b < 4; b++)
         class_lo[b] = lower_bound64(A, n, (int64_t)((uint64_t)b << (2 * k - 2)));
@@ -709,6 +704,7 @@ void kmerio_side_tables_merge(const int64_t *A, long n, int k, int canonical,
          t_cand, t_probe, t_merge);
     free(q);
     free(qr);
+    return 0;
 }
 
 /* Dense canonical window keys, int32 edition (k <= 15: 2k <= 30 bits).
@@ -779,11 +775,11 @@ static inline int32_t fp_find(const int64_t *A, const uint64_t *tab,
  * the hash table is uint64[1 << logcap] ZEROED by the caller, probes are
  * single-read, and the candidate arrays are fused into the loops (the
  * q/qr temporaries cost ~2 GB of traffic per call at 29M k-mers). */
-void kmerio_side_tables_fp(const int64_t *A, long n, int k, int canonical,
+long kmerio_side_tables_fp(const int64_t *A, long n, int k, int canonical,
                            uint64_t *tab, int logcap,
                            int32_t *rdeg, int32_t *rnbr, uint8_t *rsame,
                            int32_t *ldeg, int32_t *lnbr, uint8_t *lsame) {
-    if (n <= 0) return;
+    if (n <= 0) return 0;
     double t0 = now_s();
     if (canonical) fp_build(A, n, tab, logcap);
     TLOG("side_tables_fp: build: %.2fs\n", now_s() - t0);
@@ -868,6 +864,7 @@ void kmerio_side_tables_fp(const int64_t *A, long n, int k, int canonical,
         }
     }
     TLOG("side_tables_fp: probes: %.2fs  merges: %.2fs\n", t_probe, t_merge);
+    return 0;
 }
 
 /* Reference-style canonical k-mer counter: rolling window + rolling
@@ -1100,6 +1097,11 @@ long kmerio_overlap_edges_cap(const int64_t *P, const int64_t *S, long n,
 long kmerio_seq_match(const int64_t *pa, const int64_t *pb, long n_e,
                       long n_nodes, int64_t *match) {
     long n_ports = 2 * n_nodes;
+    /* The CSR arrays (off/cur/dst and the port casts below) are int32;
+     * past these bounds the prefix sums would wrap and write outside
+     * dst — return the alloc-failure code so the caller falls back to
+     * the Python path instead. */
+    if (2 * n_e > (long)INT32_MAX || n_ports >= (long)INT32_MAX) return -1;
     int32_t *off = (int32_t *)malloc(((size_t)n_ports + 1) * 4);
     int32_t *cur = (int32_t *)malloc((size_t)n_ports * 4);
     int32_t *dst = (int32_t *)malloc((size_t)2 * (size_t)(n_e ? n_e : 1) * 4);

@@ -55,7 +55,13 @@ static size_t stat_pool_hits = 0, stat_pool_misses = 0, stat_unmapped = 0;
 
 static size_t bin_index(size_t block_size) { return block_size / CHUNK; }
 
-static void *pool_malloc_impl(size_t size) {
+/* fresh_out (optional): set to 1 when the returned block came from a new
+ * anonymous mmap — its user bytes are kernel-zeroed and UNPROVISIONED, so
+ * calloc must not memset it (that would eagerly pay the ~per-byte OS page
+ * provisioning this allocator exists to avoid); 0 for recycled-pool or
+ * libc-malloc blocks, whose contents are dirty. */
+static void *pool_malloc_fresh(size_t size, int *fresh_out) {
+    if (fresh_out) *fresh_out = 0;
     if (size > SIZE_MAX - HDR - CHUNK) return NULL; /* round-up overflow */
     size_t need = size + HDR;
     if (size < POOL_MIN) {
@@ -93,9 +99,14 @@ static void *pool_malloc_impl(size_t size) {
         if (p == MAP_FAILED) return NULL;
         h = (header_t *)p;
         h->block_size = block;
+        if (fresh_out) *fresh_out = 1;
     }
     h->magic = MAGIC_POOL;
     return (char *)h + HDR;
+}
+
+static void *pool_malloc_impl(size_t size) {
+    return pool_malloc_fresh(size, NULL);
 }
 
 static void pool_free_impl(void *ptr) {
@@ -144,11 +155,15 @@ static void *hook_calloc(void *ctx, size_t nelem, size_t elsize) {
     (void)ctx;
     if (elsize && nelem > (SIZE_MAX - HDR) / elsize) return NULL;
     size_t size = nelem * elsize;
-    void *p = pool_malloc_impl(size ? size : 1);
-    /* Recycled pool pages are dirty; zero explicitly.  memset on warm
-     * pages runs at memory bandwidth — still far cheaper than the fresh
-     * mmap zero-page provisioning it replaces. */
-    if (p) memset(p, 0, size);
+    int fresh = 0;
+    void *p = pool_malloc_fresh(size ? size : 1, &fresh);
+    /* Recycled pool pages are dirty; zero explicitly (memset on warm
+     * pages runs at memory bandwidth).  A FRESH anonymous mmap is
+     * already kernel-zeroed and unprovisioned — memset there would
+     * eagerly first-touch every page (~8 s/GB on the virtualized hosts
+     * this pool targets) for zeros the kernel provides lazily, charging
+     * np.zeros users for pages they may never densely write. */
+    if (p && !fresh) memset(p, 0, size);
     return p;
 }
 

@@ -261,3 +261,53 @@ def test_set_threads_binds():
         pytest.skip("native lib not built")
     assert native.set_threads(2)
     assert native.set_threads(1)
+
+
+def test_native_abi_version_matches_binding():
+    """The Python binding hard-refuses a lib whose kmerio_abi_version
+    differs from its expected value; this pins the current pair so a C
+    signature change without a bump (or vice versa) fails loudly."""
+    import ctypes
+
+    lib = native.get_lib()
+    lib.kmerio_abi_version.restype = ctypes.c_long
+    assert lib.kmerio_abi_version() == 2
+
+
+def test_native_chain_walk_refuses_cycles():
+    """kmerio_chain_walk returns the violation code (binding: None) when
+    succ reaches a cycle from a start or revisits nodes, instead of
+    overrunning the n-sized output; _chains_grouped then still answers
+    via the pointer-doubling fallback."""
+    from kmerset_tpu.core import spss as S
+
+    # start 0 leads into the 1<->2 cycle: not a chain.
+    succ = np.array([1, 2, 1], dtype=np.int64)
+    assert native.chain_walk(succ, np.array([0], np.int64)) is None
+    # two starts converge on node 2: total emitted would exceed n.
+    succ2 = np.array([2, 2, -1], dtype=np.int64)
+    res = native.chain_walk(succ2, np.array([0, 1], np.int64))
+    assert res is None
+    # the public grouping still resolves the valid-chain portion of a
+    # mixed graph through the fallback (cycle 3<->4 untouched, chains ok).
+    succ3 = np.array([1, 2, -1, 4, 3], dtype=np.int64)
+    nodes, groups = S._chains_grouped(succ3, np.array([0], np.int64))
+    np.testing.assert_array_equal(nodes, [0, 1, 2])
+    np.testing.assert_array_equal(groups, [0, 3])
+
+
+def test_pool_calloc_zeroes_fresh_and_recycled():
+    """hook_calloc skips the memset only for brand-new anonymous mmaps
+    (kernel-zeroed); recycled pool blocks are dirty and must be zeroed.
+    Exercise both orders: fresh np.zeros, then dirty-then-reuse."""
+    pool = sys.modules.get("kmerset_pool")
+    if pool is None:
+        pytest.skip("pool allocator extension not built")
+    n = 1 << 21  # 16MB of int64: pooled size class, likely-fresh mmap
+    a = np.zeros(n, dtype=np.int64)
+    assert not a.any()
+    a += 1  # dirty every page
+    del a
+    b = np.zeros(n, dtype=np.int64)  # recycled block: memset path
+    assert not b.any()
+    del b
