@@ -42,6 +42,9 @@ def _install_pool_allocator() -> None:
 
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+        from kmerset_tpu._nativebuild import ensure_built
+
+        ensure_built("kmerset_pool" + suffix, ["pool_alloc.c"])
         path = os.path.join(here, "native", "kmerset_pool" + suffix)
         if not os.path.exists(path):
             return

@@ -33,6 +33,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _TRIED:
         return _LIB
     _TRIED = True
+    # Fresh/stale checkouts: build the library on first use rather than
+    # silently running the (complete but slower) fallback paths.
+    from kmerset_tpu._nativebuild import ensure_built
+
+    ensure_built("libkmerio.so", ["kmerio.c"])
     path = _find_lib()
     if path is None:
         return None

@@ -311,3 +311,50 @@ def test_pool_calloc_zeroes_fresh_and_recycled():
     b = np.zeros(n, dtype=np.int64)  # recycled block: memset path
     assert not b.any()
     del b
+
+
+def test_ensure_built_builds_missing_and_stale(tmp_path, monkeypatch):
+    """The on-demand native build (kmerset_tpu/_nativebuild.py): a missing
+    target is built, an up-to-date target is left alone, a stale target
+    (source newer than .so) is rebuilt, and KMERSET_TPU_NO_AUTOBUILD
+    suppresses the whole mechanism.  Uses a toy Makefile so the test is
+    hermetic and fast."""
+    import os
+    import time
+
+    from kmerset_tpu import _nativebuild as nb
+
+    ndir = tmp_path / "native"
+    ndir.mkdir()
+    (ndir / "Makefile").write_text(
+        "out.txt: src.c\n\tcp src.c out.txt\n"
+    )
+    (ndir / "src.c").write_text("v1")
+    monkeypatch.setattr(nb, "_native_dir", lambda: str(ndir))
+
+    # missing -> built
+    monkeypatch.setattr(nb, "_ATTEMPTED", set())
+    nb.ensure_built("out.txt", ["src.c"])
+    assert (ndir / "out.txt").read_text() == "v1"
+
+    # fresh -> untouched (mtime preserved)
+    t0 = os.path.getmtime(ndir / "out.txt")
+    monkeypatch.setattr(nb, "_ATTEMPTED", set())
+    nb.ensure_built("out.txt", ["src.c"])
+    assert os.path.getmtime(ndir / "out.txt") == t0
+
+    # stale -> rebuilt
+    time.sleep(0.01)
+    (ndir / "src.c").write_text("v2")
+    os.utime(ndir / "src.c", (time.time() + 1, time.time() + 1))
+    monkeypatch.setattr(nb, "_ATTEMPTED", set())
+    nb.ensure_built("out.txt", ["src.c"])
+    assert (ndir / "out.txt").read_text() == "v2"
+
+    # suppressed by env var
+    (ndir / "src.c").write_text("v3")
+    os.utime(ndir / "src.c", (time.time() + 2, time.time() + 2))
+    monkeypatch.setattr(nb, "_ATTEMPTED", set())
+    monkeypatch.setenv("KMERSET_TPU_NO_AUTOBUILD", "1")
+    nb.ensure_built("out.txt", ["src.c"])
+    assert (ndir / "out.txt").read_text() == "v2"
