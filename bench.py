@@ -69,12 +69,25 @@ def reference_style_rate(codes: np.ndarray, k: int) -> float:
     codes_u8 = codes.astype(np.uint8)
     if native.count_hash(codes_u8, k) is None:  # warm-up (untimed)
         return 0.0
-    best = 0.0
-    for _ in range(3):
+    # This virtualized 1-vCPU host's effective speed fluctuates ~2-3x with
+    # hypervisor contention (measured 14-33 Mkmers/s across minutes).  The
+    # best of many trials converges on the *uncontended* rate — what the
+    # reference would sustain on the dedicated machines it targets
+    # (README.md:10-14) — which is the generous-to-the-reference and
+    # run-to-run-stable choice; fewer trials would let a contended phase
+    # shrink the baseline and inflate vs_baseline by luck.
+    rates = []
+    for _ in range(16):
         t0 = time.perf_counter()
         native.count_hash(codes_u8, k)
-        best = max(best, n_windows / (time.perf_counter() - t0))
-    return best
+        rates.append(n_windows / (time.perf_counter() - t0))
+    print(
+        f"reference-style C loop trials: min {min(rates)/1e6:.1f} / "
+        f"median {sorted(rates)[len(rates)//2]/1e6:.1f} / "
+        f"max {max(rates)/1e6:.1f} Mkmers/s (16 warm trials)",
+        file=sys.stderr,
+    )
+    return max(rates)
 
 
 def main() -> None:
