@@ -42,7 +42,18 @@ AXIS = "kv"
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D mesh over the first n devices.  KMERSET_TPU_MESH_DEVICES caps
+    the default (testing odd mesh sizes; pinning a CLI to a device
+    subset).  Nothing in the shard layout assumes a power of two — the
+    key range splits by _owner_edges and exchange capacities are
+    per-pair — and the non-pow2 case is pinned by parity tests."""
+    import os
+
     devices = jax.devices()
+    if n_devices is None:
+        env = os.environ.get("KMERSET_TPU_MESH_DEVICES", "")
+        if env.isdigit() and int(env) > 0:
+            n_devices = int(env)
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (AXIS,))

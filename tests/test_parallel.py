@@ -41,11 +41,14 @@ def test_device_count_cutoff():
     np.testing.assert_array_equal(np.asarray(uniq)[: int(n_kept)], expected)
 
 
-@pytest.mark.parametrize("n_dev", [1, 4, 8])
+@pytest.mark.parametrize("n_dev", [1, 3, 4, 5, 8])
 def test_sharded_count(n_dev):
     assert len(jax.devices()) >= n_dev
     mesh = make_mesh(n_dev)
-    codes = _random_codes(8192, 2)
+    # 8160 = lcm(3,4,5,8)·68: sharded_count_fn's contract is per-device
+    # equal shards (the production driver pads; here the test sizes the
+    # global array directly so odd mesh sizes divide it).
+    codes = _random_codes(8160, 2)
     offsets = np.array([0, codes.size], dtype=np.int64)
     valid = window_validity(offsets, codes.size, K)
 
@@ -875,6 +878,24 @@ def test_spss_canonical_mesh_exact_bytes(monkeypatch):
 
     rng = np.random.default_rng(127)
     ks = get_random_kmer_set(11, 4000, True, rng)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "mesh")
+    a = spss.get_spss_canonical(ks, fast=True)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    b = spss.get_spss_canonical(ks, fast=True)
+    assert a.to_strings() == b.to_strings()
+
+
+def test_spss_canonical_mesh_exact_bytes_non_pow2(monkeypatch):
+    """Same full-pipeline byte parity on a 6-device (non-power-of-2)
+    mesh: nothing in the key-range split (_owner_edges handles the
+    remainder), exchange capacities, or all_to_all layouts may assume a
+    power-of-2 device count."""
+    from kmerset_tpu.core import spss
+    from kmerset_tpu.utils.random import get_random_kmer_set
+
+    rng = np.random.default_rng(211)
+    ks = get_random_kmer_set(11, 4000, True, rng)
+    monkeypatch.setenv("KMERSET_TPU_MESH_DEVICES", "6")
     monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "mesh")
     a = spss.get_spss_canonical(ks, fast=True)
     monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
