@@ -196,14 +196,21 @@ def iter_mesh(rng: np.random.Generator, log) -> None:
     n = int(rng.integers(256, 8192))
     log(f"mesh k={k} n_dev={n_dev} n~{n}")
     ks = get_random_kmer_set(k, n, True, rng)
+    prior = os.environ.get("KMERSET_TPU_FORCE_BACKEND")
     os.environ["KMERSET_TPU_MESH_DEVICES"] = str(n_dev)
     os.environ["KMERSET_TPU_FORCE_BACKEND"] = "mesh"
     try:
         a = spss.get_spss_canonical(ks, fast=True)
-    finally:
         os.environ["KMERSET_TPU_FORCE_BACKEND"] = "host"
+        b = spss.get_spss_canonical(ks, fast=True)
+    finally:
+        # Restore (not overwrite) so the rest of the soak keeps
+        # exercising whatever backend the caller configured.
+        if prior is None:
+            os.environ.pop("KMERSET_TPU_FORCE_BACKEND", None)
+        else:
+            os.environ["KMERSET_TPU_FORCE_BACKEND"] = prior
         os.environ.pop("KMERSET_TPU_MESH_DEVICES", None)
-    b = spss.get_spss_canonical(ks, fast=True)
     assert a.to_strings() == b.to_strings(), "mesh/host SPSS bytes differ"
 
 

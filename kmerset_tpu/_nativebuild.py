@@ -61,8 +61,14 @@ def ensure_built(target: str, sources: Sequence[str]) -> None:
             fcntl.flock(fh, fcntl.LOCK_EX)
             if not _stale():  # another process built it while we waited
                 return
+            import sys
+
+            # PY pins the Makefile's EXT_SUFFIX / header paths to the
+            # *running* interpreter — PATH python3 may be a different
+            # version, which would build a wrongly-suffixed (or
+            # wrongly-headered) extension.
             subprocess.run(
-                ["make", "-C", ndir, target],
+                ["make", "-C", ndir, target, f"PY={sys.executable}"],
                 stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL,
                 timeout=300,

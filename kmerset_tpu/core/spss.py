@@ -240,6 +240,36 @@ def _group_endpoints(
     return nodes[lo], nodes[hi], nonempty
 
 
+def _kept_native_order(
+    A: np.ndarray,
+    succ: np.ndarray,
+    starts: np.ndarray,
+    nodes: np.ndarray,
+    groups: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
+    """Shared parity-critical block of the mesh chain emitters: applies
+    the canonical orientation keep rule (A[first] >= A[last], the
+    reference tie-break, lib/core/spss.h:511,555) and reconstructs
+    native/kmerio.c::kmerio_chain_pairs' 64-lane batched emission order
+    — the winner of each mirror pair is the lower-positioned start, and
+    within a 64-wide batch records land in (chain length, lane) order
+    because shorter walks finish earlier.  Returns
+    (keep, nodes_kept, groups_kept, order); order is None when fewer
+    than two groups survive (nothing to reorder)."""
+    firsts, lasts, nonempty = _group_endpoints(nodes, groups)
+    keep = nonempty & (A[firsts >> 1] >= A[lasts >> 1])
+    nodes_k, groups_k = _filter_groups(nodes, groups, keep)
+    if groups_k.shape[0] <= 1:
+        return keep, nodes_k, groups_k, None
+    fk, lk, _ = _group_endpoints(nodes_k, groups_k)
+    pos = np.full(succ.shape[0], np.int64(1) << 60, dtype=np.int64)
+    pos[starts] = np.arange(starts.size, dtype=np.int64)
+    minpos = np.minimum(pos[fk], pos[lk ^ 1])
+    lens = np.diff(groups_k)
+    order = np.lexsort((minpos & 63, lens, minpos >> 6))
+    return keep, nodes_k, groups_k, order
+
+
 def _oriented_kmers(A: np.ndarray, k: int, entity: np.ndarray, flip: np.ndarray) -> np.ndarray:
     vals = A[entity]
     rc = kmer_ops.reverse_complement(vals, k)
@@ -313,7 +343,7 @@ def _mesh_emit_ordered(
 
 
 def _mesh_chain_walk_kept_emit(
-    A: np.ndarray, k: int, succ: np.ndarray, starts: np.ndarray
+    A: np.ndarray, k: int, succ: np.ndarray, starts: np.ndarray, pd=None
 ) -> Tuple[PackedStrings, np.ndarray] | None:
     """Distributed form of the canonical unitig walk WITH on-device
     emission: groups and renders every chain on the mesh
@@ -324,7 +354,7 @@ def _mesh_chain_walk_kept_emit(
     (strings, kept chain nodes) or None."""
     from ..parallel import driver as mesh_driver
 
-    res = mesh_driver.mesh_emit_chains(A, k, succ, starts, oriented=True)
+    res = mesh_driver.mesh_emit_chains(A, k, succ, starts, oriented=True, pd=pd)
     if res is None:
         return None
     nodes, groups, codes, str_offsets = res
@@ -340,18 +370,12 @@ def _mesh_chain_walk_kept_emit(
     ].all():
         return None  # unexpected topology; use the host walk
     ps = PackedStrings(codes, str_offsets)
-    firsts, lasts, nonempty = _group_endpoints(nodes, groups)
-    keep = nonempty & (A[firsts >> 1] >= A[lasts >> 1])
-    nodes_k, groups_k = _filter_groups(nodes, groups, keep)
+    keep, nodes_k, _groups_k, order = _kept_native_order(
+        A, succ, starts, nodes, groups
+    )
     keep_idx = np.flatnonzero(keep)
-    if groups_k.shape[0] <= 1:
+    if order is None:
         return _take_strings(ps, keep_idx), nodes_k
-    fk, lk, _ = _group_endpoints(nodes_k, groups_k)
-    pos = np.full(succ.shape[0], np.int64(1) << 60, dtype=np.int64)
-    pos[starts] = np.arange(starts.size, dtype=np.int64)
-    minpos = np.minimum(pos[fk], pos[lk ^ 1])
-    lens = np.diff(groups_k)
-    order = np.lexsort((minpos & 63, lens, minpos >> 6))
     return _take_strings(ps, keep_idx[order]), nodes_k
 
 
@@ -476,7 +500,7 @@ def _concat_packed(parts: List[PackedStrings]) -> PackedStrings:
 
 
 def _mesh_chain_walk_kept(
-    A: np.ndarray, succ: np.ndarray, starts: np.ndarray
+    A: np.ndarray, succ: np.ndarray, starts: np.ndarray, pd=None
 ) -> Tuple[np.ndarray, np.ndarray] | None:
     """Distributed form of native.chain_walk_kept: group every chain on
     the mesh (pointer doubling + owner-routed exchange), apply the
@@ -492,21 +516,15 @@ def _mesh_chain_walk_kept(
     """
     from ..parallel import driver as mesh_driver
 
-    grouped = mesh_driver.mesh_chain_group(succ, starts)
+    grouped = mesh_driver.mesh_chain_group(succ, starts, pd=pd)
     if grouped is None:
         return None
     nodes, groups = grouped
-    firsts, lasts, nonempty = _group_endpoints(nodes, groups)
-    keep = nonempty & (A[firsts >> 1] >= A[lasts >> 1])
-    nodes_k, groups_k = _filter_groups(nodes, groups, keep)
-    if groups_k.shape[0] <= 1:
+    _keep, nodes_k, groups_k, order = _kept_native_order(
+        A, succ, starts, nodes, groups
+    )
+    if order is None:
         return nodes_k, groups_k
-    fk, lk, _ = _group_endpoints(nodes_k, groups_k)
-    pos = np.full(succ.shape[0], np.int64(1) << 60, dtype=np.int64)
-    pos[starts] = np.arange(starts.size, dtype=np.int64)
-    minpos = np.minimum(pos[fk], pos[lk ^ 1])
-    lens = np.diff(groups_k)
-    order = np.lexsort((minpos & 63, lens, minpos >> 6))
     return _permute_groups(nodes_k, groups_k, order)
 
 
@@ -597,11 +615,21 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
     if mesh_driver.should_use_mesh(n):
         # Fully distributed walk: grouping + base-code rendering both
         # happen on the mesh (one owner-routed exchange carrying values).
-        em = _mesh_chain_walk_kept_emit(A, k, succ, starts)
-        if em is not None:
-            chains, nodes = em
-        else:
-            kept = _mesh_chain_walk_kept(A, succ, starts)
+        # Pointer doubling runs once; the grouping-only fallback reuses
+        # its (end, dist, is_chain) result instead of re-walking.  The
+        # guards mirror the drivers' own early-outs, which used to skip
+        # the doubling entirely.
+        pd = (
+            mesh_driver.mesh_pointer_double(succ)
+            if 0 < starts.size and 0 < succ.shape[0] < (1 << 30)
+            else None
+        )
+        if pd is not None:
+            em = _mesh_chain_walk_kept_emit(A, k, succ, starts, pd=pd)
+            if em is not None:
+                chains, nodes = em
+            else:
+                kept = _mesh_chain_walk_kept(A, succ, starts, pd=pd)
     if chains is None:
         if kept is None:
             kept = native.chain_walk_kept(

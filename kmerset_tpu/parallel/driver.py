@@ -263,15 +263,20 @@ def _stride_global(mesh, blocks_flat: np.ndarray):
     n_dev = int(mesh.devices.size)
     cap = blocks_flat.shape[0] // n_dev
     sharding = NamedSharding(mesh, P(AXIS))
-    n_local = len(
-        [d for d in mesh.devices.flat
-         if d.process_index == jax.process_index()]
+    # This process's devices may occupy any positions in the mesh order
+    # (e.g. a KMERSET_TPU_MESH_DEVICES-truncated mesh can take 4 devices
+    # from process 0 and 2 from process 1), and they need not even be
+    # contiguous — slice by actual mesh position, not process_index
+    # arithmetic.
+    local_pos = [
+        i for i, d in enumerate(mesh.devices.flat)
+        if d.process_index == jax.process_index()
+    ]
+    local = np.concatenate(
+        [blocks_flat[p * cap : (p + 1) * cap] for p in local_pos]
     )
-    li = jax.process_index() * n_local
     return jax.make_array_from_process_local_data(
-        sharding,
-        blocks_flat[li * cap : (li + n_local) * cap],
-        (n_dev * cap,),
+        sharding, local, (n_dev * cap,)
     )
 
 
@@ -358,7 +363,7 @@ def maybe_init_distributed() -> None:
     )
 
 
-def mesh_chain_group(succ: np.ndarray, starts: np.ndarray, mesh=None):
+def mesh_chain_group(succ: np.ndarray, starts: np.ndarray, mesh=None, pd=None):
     """Distributed chain grouping with the host calling convention of
     core.spss._chains_grouped / native.chain_walk: groups the nodes of
     the chains led by `starts` contiguously in (chain, position) order,
@@ -386,7 +391,8 @@ def mesh_chain_group(succ: np.ndarray, starts: np.ndarray, mesh=None):
             return None
         if mesh is None:
             mesh = make_mesh()
-        pd = mesh_pointer_double(succ, mesh=mesh)
+        if pd is None:  # callers may pass a precomputed doubling result
+            pd = mesh_pointer_double(succ, mesh=mesh)
         if pd is None:
             return None
         end, dist, is_chain, _ = pd
@@ -446,6 +452,7 @@ def mesh_emit_chains(
     starts: np.ndarray,
     oriented: bool,
     mesh=None,
+    pd=None,
 ):
     """Distributed chain grouping AND string emission in one pass
     (mesh.sharded_emit_fn): resolves (end, dist) via distributed pointer
@@ -472,7 +479,8 @@ def mesh_emit_chains(
             return None
         if mesh is None:
             mesh = make_mesh()
-        pd = mesh_pointer_double(succ, mesh=mesh)
+        if pd is None:  # callers may pass a precomputed doubling result
+            pd = mesh_pointer_double(succ, mesh=mesh)
         if pd is None:
             return None
         end, dist, is_chain, _ = pd

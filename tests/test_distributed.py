@@ -148,6 +148,42 @@ print(f"proc {pid}: ok")
 """
 
 
+_CHILD_UNEVEN = r"""
+import sys
+import numpy as np
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"localhost:{port}", nproc, pid)
+
+from kmerset_tpu.core.kmer_counter import extract_kmers
+from kmerset_tpu.parallel import driver
+from kmerset_tpu.parallel.mesh import make_mesh
+
+assert len(jax.local_devices()) == 4
+# Truncated mesh: process 0 contributes 4 devices, process 1 only 2 —
+# the uneven case where a process's shard positions are NOT
+# process_index * its own device count (driver._stride_global must
+# slice by actual mesh position).
+mesh = make_mesh(6)
+assert mesh.devices.size == 6
+
+rng = np.random.default_rng(3)
+codes = rng.integers(0, 4, 5000).astype(np.int32)
+offsets = np.array([0, 1800, 5000], dtype=np.int64)
+got = driver.mesh_count(codes, offsets, 11, True, mesh=mesh)
+assert got is not None
+uniq, counts = got
+hu, hc = np.unique(extract_kmers(codes, offsets, 11, True), return_counts=True)
+assert np.array_equal(uniq, hu), "uneven-mesh uniq mismatch"
+assert np.array_equal(counts, hc), "uneven-mesh counts mismatch"
+print(f"proc {pid}: ok")
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -168,6 +204,38 @@ def test_two_process_distributed_mesh(tmp_path):
     env.pop("XLA_FLAGS", None)  # one device per process
     # The child runs from tmp_path, so the repo root is not on sys.path
     # automatically; make the package importable without requiring pip install.
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(p), str(nproc), str(port)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            cwd=repo_root,
+        )
+        for p in range(nproc)
+    ]
+    outs = []
+    for pr in procs:
+        out, _ = pr.communicate(timeout=300)
+        outs.append(out.decode())
+    for p, (pr, out) in enumerate(zip(procs, outs)):
+        assert pr.returncode == 0, f"proc {p} failed:\n{out}"
+        assert f"proc {p}: ok" in out
+
+
+@pytest.mark.slow
+def test_two_process_uneven_device_mesh(tmp_path):
+    """Processes contributing unequal device counts to a truncated mesh:
+    counting parity across 2 processes x 4 devices with make_mesh(6)."""
+    nproc = 2
+    port = _free_port()
+    script = tmp_path / "child_uneven.py"
+    script.write_text(_CHILD_UNEVEN)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
