@@ -324,6 +324,7 @@ def test_ensure_built_builds_missing_and_stale(tmp_path, monkeypatch):
 
     from kmerset_tpu import _nativebuild as nb
 
+    monkeypatch.delenv("KMERSET_TPU_NO_AUTOBUILD", raising=False)
     ndir = tmp_path / "native"
     ndir.mkdir()
     (ndir / "Makefile").write_text(
