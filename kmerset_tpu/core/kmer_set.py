@@ -156,9 +156,19 @@ def _isin_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def intersection_size(a: np.ndarray, b: np.ndarray) -> int:
     """|a ∩ b| for sorted-unique arrays — the similarity-sketch kernel
-    (reference: lib/core/kmer_set_set.h:158-184 sorted-merge loop)."""
+    (reference: lib/core/kmer_set_set.h:158-184 sorted-merge loop).
+
+    The native one-pass merge wins when the sizes are comparable (the
+    sketch case: same sampled buckets of related sets); binary search
+    wins when one side is much smaller (O(m log n) beats O(m + n))."""
     if a.size == 0 or b.size == 0:
         return 0
     if a.size > b.size:
         a, b = b, a
+    if b.size <= 32 * a.size:
+        from . import native
+
+        got = native.intersect_size(a, b)
+        if got is not None:
+            return got
     return int(np.count_nonzero(_isin_sorted(a, b)))

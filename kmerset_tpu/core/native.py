@@ -736,6 +736,36 @@ def sorted_algebra(a: np.ndarray, b: np.ndarray):
     return inter[: counts[0]], a_only[: counts[1]], b_only[: counts[2]]
 
 
+def intersect_size(a: np.ndarray, b: np.ndarray):
+    """|a ∩ b| of sorted-unique int64 arrays — kmerio_sorted_algebra in
+    count-only mode (NULL outputs), the similarity-sketch kernel
+    (reference sorted-merge loop, lib/core/kmer_set_set.h:158-184).
+    Returns None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_sa_ready"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.kmerio_sorted_algebra.restype = None
+        lib.kmerio_sorted_algebra.argtypes = [
+            i64p, ctypes.c_long, i64p, ctypes.c_long,
+            i64p, i64p, i64p, ctypes.POINTER(ctypes.c_long),
+        ]
+        lib._sa_ready = True
+    a = np.ascontiguousarray(a, dtype=np.int64)
+    b = np.ascontiguousarray(b, dtype=np.int64)
+    counts = np.zeros(3, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    null = ctypes.cast(None, i64p)
+    lib.kmerio_sorted_algebra(
+        a.ctypes.data_as(i64p), a.size,
+        b.ctypes.data_as(i64p), b.size,
+        null, null, null,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    return int(counts[0])
+
+
 def _bind_merge_counts(lib) -> None:
     if not hasattr(lib, "_mc_ready"):
         i64p = ctypes.POINTER(ctypes.c_int64)
