@@ -199,30 +199,41 @@ def _route_queries(
     recv_q = jax.lax.all_to_all(send_q, AXIS, 0, 0, tiled=False)
     recv_s = jax.lax.all_to_all(send_s, AXIS, 0, 0, tiled=False)
     if values is None:
-        ans = answer_fn(recv_q.reshape(-1)).reshape(n_dev, qcap)
+        raw = answer_fn(recv_q.reshape(-1))
     else:
         send_v = jnp.where(in_range, vals_s[clip], jnp.int32(0))
         recv_v = jax.lax.all_to_all(send_v, AXIS, 0, 0, tiled=False)
-        ans = answer_fn(recv_q.reshape(-1), recv_v.reshape(-1)).reshape(
-            n_dev, qcap
-        )
-    back_a = jax.lax.all_to_all(ans, AXIS, 0, 0, tiled=False)
+        raw = answer_fn(recv_q.reshape(-1), recv_v.reshape(-1))
+    # answer_fn may return several lanes (a tuple) from one routing —
+    # all lanes ride one return exchange set and one realign sort.
+    multi = isinstance(raw, tuple)
+    lanes = raw if multi else (raw,)
+    backs = [
+        jax.lax.all_to_all(
+            a.reshape(n_dev, qcap), AXIS, 0, 0, tiled=False
+        ).reshape(-1)
+        for a in lanes
+    ]
     # The slot lane needs no return trip: all_to_all is a transpose
     # across (device, row), so applying it twice is the identity — the
     # sender's own send_s already equals all_to_all(recv_s) row for row,
-    # aligned with back_a.  (Verified bit-identical; saves one of the
-    # four collectives in every owner-routed exchange.)
+    # aligned with the back lanes.  (Verified bit-identical; saves one
+    # of the collectives in every owner-routed exchange.)
     bs = send_s.reshape(-1)
-    ba = back_a.reshape(-1)
     skey = jnp.where(bs < 0, jnp.int32(m), bs)
-    _, ans_by_slot = jax.lax.sort((skey, ba), num_keys=1, is_stable=False)
-    if n_dev * qcap < m:
-        # Undersized lanes cannot carry every slot even perfectly
-        # balanced; keep shapes consistent (missing answers read as
-        # misses) — `dropped` is necessarily nonzero, so callers retry.
-        pad = jnp.zeros(m - n_dev * qcap, ans_by_slot.dtype)
-        ans_by_slot = jnp.concatenate([ans_by_slot, pad])
-    return ans_by_slot[:m], jax.lax.psum(dropped, AXIS)
+    realigned = jax.lax.sort((skey, *backs), num_keys=1, is_stable=False)
+    outs = []
+    for ab in realigned[1:]:
+        if n_dev * qcap < m:
+            # Undersized lanes cannot carry every slot even perfectly
+            # balanced; keep shapes consistent (missing answers read as
+            # misses) — `dropped` is necessarily nonzero, so callers
+            # retry.
+            pad = jnp.zeros(m - n_dev * qcap, ab.dtype)
+            ab = jnp.concatenate([ab, pad])
+        outs.append(ab[:m])
+    out = tuple(outs) if multi else outs[0]
+    return out, jax.lax.psum(dropped, AXIS)
 
 
 @functools.lru_cache(maxsize=256)
@@ -394,44 +405,12 @@ def sharded_unitig_succ_fn(mesh: Mesh, k: int, qcap: int):
         q_l = jnp.where(live & (ldeg > 0), lnbr, isent)
         Qi = jnp.concatenate([q_r, q_l])
 
-        def deg_at(rq):
-            # Value lookup by dense index via monotone packed cummax:
-            # every owned index exists exactly once, so the last set row
-            # at/below a query key is an exact match when in range.
-            mm = rq.shape[0]
-            jloc = rq - my_off
-            val = (rdeg & 7) | ((ldeg & 7) << 3)
-            keyj = jnp.concatenate(
-                [jax.lax.broadcasted_iota(jnp.int32, (cap,), 0), jloc]
-            )
-            tag = jnp.concatenate(
-                [jnp.zeros(cap, jnp.int32), jnp.ones(mm, jnp.int32)]
-            )
-            pos = jnp.concatenate(
-                [
-                    jax.lax.broadcasted_iota(jnp.int32, (cap,), 0),
-                    jax.lax.broadcasted_iota(jnp.int32, (mm,), 0),
-                ]
-            )
-            vlane = jnp.concatenate([val, jnp.zeros(mm, jnp.int32)])
-            ks_, tg_, ps, vs = jax.lax.sort(
-                (keyj, tag, pos, vlane), num_keys=2, is_stable=False
-            )
-            is_set = tg_ == 0
-            packed_set = jnp.where(
-                is_set,
-                (ks_.astype(jnp.int64) << 8) | vs.astype(jnp.int64),
-                jnp.int64(-1),
-            )
-            prop = jax.lax.cummax(packed_set, axis=0)
-            match = (prop >> 8) == ks_.astype(jnp.int64)
-            qval = jnp.where(match, prop & 0xFF, 0).astype(jnp.int32)
-            rkey = jnp.where(is_set, jnp.int32(-1), ps)
-            _, out = jax.lax.sort((rkey, qval), num_keys=1, is_stable=False)
-            return out[cap:]
-
-        ans, d2 = _route_queries(
-            Qi, offs[1:].astype(jnp.int32), qcap, n_dev, isent, deg_at
+        # Mate-degree lookup by dense index: the shared scatter-free
+        # cummax lookup with one packed (rdeg | ldeg << 3) lane.
+        val = (rdeg & 7) | ((ldeg & 7) << 3)
+        (ans,), d2 = _route_queries(
+            Qi, offs[1:].astype(jnp.int32), qcap, n_dev, isent,
+            _local_multi_lookup(cap, my_off, (val,)),
         )
         mr_deg = ans[:cap]
         ml_deg = ans[cap:]
@@ -464,11 +443,14 @@ def sharded_unitig_succ_fn(mesh: Mesh, k: int, qcap: int):
     return jax.jit(sharded)
 
 
-def _local_value_lookup(cap, base, values_hi, values_lo):
-    """Returns an answer_fn (for _route_queries) serving
-    (hi << 32 | lo) at local indices [base, base + cap): every owned
-    index exists exactly once, so two monotone packed cummaxes recover
-    exact 32-bit halves without any scatter."""
+def _local_multi_lookup(cap, base, lanes):
+    """Returns an answer_fn (for _route_queries) serving one int32 value
+    per lane at local dense indices [base, base + cap): every owned index
+    exists exactly once, so ONE merge sort answers every lane, with one
+    monotone packed cummax per lane recovering exact values without any
+    scatter (misses read as 0, so lane values must keep bit 31 clear).
+    answer_fn returns a tuple of int32 arrays, one per lane — they ride
+    _route_queries' multi-lane return path in the same routing."""
 
     def fn(rq):
         mm = rq.shape[0]
@@ -485,30 +467,28 @@ def _local_value_lookup(cap, base, values_hi, values_lo):
                 jax.lax.broadcasted_iota(jnp.int32, (mm,), 0),
             ]
         )
-        vh = jnp.concatenate([values_hi, jnp.zeros(mm, jnp.int32)])
-        vl = jnp.concatenate([values_lo, jnp.zeros(mm, jnp.int32)])
-        ks_, tg_, ps, sh, sl = jax.lax.sort(
-            (keyj, tag, pos, vh, vl), num_keys=2, is_stable=False
+        padded = [
+            jnp.concatenate([v, jnp.zeros(mm, jnp.int32)]) for v in lanes
+        ]
+        merged = jax.lax.sort(
+            (keyj, tag, pos, *padded), num_keys=2, is_stable=False
         )
+        ks_, tg_, ps = merged[:3]
         is_set = tg_ == 0
         k64 = ks_.astype(jnp.int64)
-
-        def prop(v):
+        outs = []
+        for sv in merged[3:]:
             pk = jnp.where(
                 is_set,
-                (k64 << 32) | (v.astype(jnp.int64) & 0xFFFFFFFF),
+                (k64 << 32) | (sv.astype(jnp.int64) & 0xFFFFFFFF),
                 jnp.int64(-1),
             )
             pr = jax.lax.cummax(pk, axis=0)
             ok = (pr >> 32) == k64
-            return jnp.where(ok, pr & 0xFFFFFFFF, 0).astype(jnp.int64)
-
-        hi_v = prop(sh)
-        lo_v = prop(sl)
-        ans64 = (hi_v << 32) | lo_v
+            outs.append(jnp.where(ok, pr & 0xFFFFFFFF, 0).astype(jnp.int32))
         rkey = jnp.where(is_set, jnp.int32(-1), ps)
-        _, out = jax.lax.sort((rkey, ans64), num_keys=1, is_stable=False)
-        return out[cap:]
+        realigned = jax.lax.sort((rkey, *outs), num_keys=1, is_stable=False)
+        return tuple(a[cap:] for a in realigned[1:])
 
     return fn
 
@@ -557,37 +537,29 @@ def sharded_pointer_double_fn(mesh: Mesh, rounds: int, with_labels: bool):
         mlab = labels_local.astype(jnp.int32)
         reached = done0
 
-        def value_lookup(values_hi, values_lo):
-            return _local_value_lookup(cap, base, values_hi, values_lo)
-
         for _ in range(rounds):
             frozen_pre = reached
-            # hi half: (done << 30) | (dist & DIST_MASK); lo half: ptr.
+            # Lane 0: (done << 30) | (dist & DIST_MASK); lane 1: ptr;
+            # with labels, lane 2: the running min-label — all three
+            # answered by ONE owner routing per round (one query sort,
+            # one exchange set) instead of a second full cycle for the
+            # label lane.
             st_hi = (done0.astype(jnp.int32) << 30) | (dist & DIST_MASK)
-            t, _dropped = _route_queries(
+            lanes = (st_hi, ptr, mlab) if with_labels else (st_hi, ptr)
+            ans, _dropped = _route_queries(
                 ptr,
                 edges_inner,
                 cap,
                 n_dev,
                 isent,
-                value_lookup(st_hi, ptr),
+                _local_multi_lookup(cap, base, lanes),
             )
-            t_hi = (t >> 32).astype(jnp.int32)
+            t_hi, t_ptr = ans[0], ans[1]
             t_done = (t_hi >> 30) != 0
             t_dist = t_hi & DIST_MASK
-            t_ptr = (t & 0xFFFFFFFF).astype(jnp.int32)
             if with_labels:
-                tl, _d2 = _route_queries(
-                    ptr,
-                    edges_inner,
-                    cap,
-                    n_dev,
-                    isent,
-                    value_lookup(mlab, mlab),
-                )
-                t_lab = (tl >> 32).astype(jnp.int32)
                 mlab = jnp.where(
-                    frozen_pre, mlab, jnp.minimum(mlab, t_lab)
+                    frozen_pre, mlab, jnp.minimum(mlab, ans[2])
                 )
             dist = jnp.where(
                 frozen_pre, dist, dist + jnp.where(t_done, 0, t_dist)
@@ -955,12 +927,12 @@ def sharded_matching_fn(mesh: Mesh):
                     jnp.where(alive, pb_local, psent),
                 ]
             )
-            ansA, _ = _route_queries(
+            (ansA,), _ = _route_queries(
                 Q, pedges, qcap, n_dev, psent,
-                _local_value_lookup(pcap, pbase, fi, fi),
+                _local_multi_lookup(pcap, pbase, (fi,)),
             )
-            fa = (ansA[:ecap] >> 32) != 0
-            fb = (ansA[ecap:] >> 32) != 0
+            fa = ansA[:ecap] != 0
+            fb = ansA[ecap:] != 0
             alive = alive & fa & fb
             # (B) per-port minimum priority over live edges.
             Q2 = jnp.concatenate(
