@@ -187,7 +187,15 @@ def _route_queries(
         )
     bounds = jnp.searchsorted(Qs, edges_inner.astype(Qs.dtype))
     lo = jnp.concatenate([jnp.zeros(1, bounds.dtype), bounds])
-    hi = jnp.concatenate([bounds, jnp.full((1,), m, bounds.dtype)])
+    # Sentinel (padding) queries sort to the tail and never cross the
+    # wire: the last owner's lane carries only the real queries, so qcap
+    # sizes against data rather than padding (callers previously paid
+    # guaranteed overflow retries — each a recompile — just to ship
+    # sentinels).  Padding slots are realigned locally below.
+    n_valid = jnp.searchsorted(Qs, jnp.asarray(sent, Qs.dtype)).astype(
+        bounds.dtype
+    )
+    hi = jnp.concatenate([bounds, n_valid[None]])
     lane = jnp.arange(qcap, dtype=bounds.dtype)[None, :]
     src_idx = lo[:, None] + lane
     in_range = src_idx < hi[:, None]
@@ -220,18 +228,21 @@ def _route_queries(
     # aligned with the back lanes.  (Verified bit-identical; saves one
     # of the collectives in every owner-routed exchange.)
     bs = send_s.reshape(-1)
-    skey = jnp.where(bs < 0, jnp.int32(m), bs)
-    realigned = jax.lax.sort((skey, *backs), num_keys=1, is_stable=False)
-    outs = []
-    for ab in realigned[1:]:
-        if n_dev * qcap < m:
-            # Undersized lanes cannot carry every slot even perfectly
-            # balanced; keep shapes consistent (missing answers read as
-            # misses) — `dropped` is necessarily nonzero, so callers
-            # retry.
-            pad = jnp.zeros(m - n_dev * qcap, ab.dtype)
-            ab = jnp.concatenate([ab, pad])
-        outs.append(ab[:m])
+    # Local miss lanes for the unrouted sentinel slots (answers read as
+    # 0 of the lane dtype); every slot then appears exactly once in the
+    # realign sort — routed real slots from the back lanes, padding
+    # slots from here.  (If a real slot overflowed its lane, it is
+    # missing and alignment past it is garbage — but `dropped` is
+    # necessarily nonzero then, so callers retry; same contract as
+    # before.)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+    pad_key = jnp.where(qpos >= n_valid.astype(jnp.int32), slot_s, jnp.int32(m))
+    skey = jnp.concatenate([jnp.where(bs < 0, jnp.int32(m), bs), pad_key])
+    full = [
+        jnp.concatenate([ab, jnp.zeros(m, ab.dtype)]) for ab in backs
+    ]
+    realigned = jax.lax.sort((skey, *full), num_keys=1, is_stable=False)
+    outs = [ab[:m] for ab in realigned[1:]]
     out = tuple(outs) if multi else outs[0]
     return out, jax.lax.psum(dropped, AXIS)
 

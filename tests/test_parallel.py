@@ -1200,3 +1200,59 @@ def test_native_merge_keys():
     got = native.merge_keys(a, b)
     assert got is not None
     np.testing.assert_array_equal(got, np.union1d(a, b))
+
+
+def test_sentinel_queries_do_not_consume_lane_capacity():
+    """Padding (sentinel) queries stay local in _route_queries: with a
+    block that is >90% sentinel padding, a lane capacity sized for the
+    REAL queries alone must not overflow (before the sentinel-free
+    exchange every padding query was routed to the last owner and
+    overflowed any realistically-sized lane), and the answers must still
+    match the host side tables."""
+    from kmerset_tpu.core import spss as spss_mod
+    from kmerset_tpu.parallel.mesh import (
+        _S_SENT,
+        _owner_edges,
+        make_mesh,
+        sharded_side_tables_fn,
+    )
+
+    k, n_dev = 9, 4
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(77)
+    from kmerset_tpu.core import kmer as kc
+
+    A = np.unique(
+        kc.canonical(
+            np.unique(rng.integers(0, 1 << (2 * k), 600).astype(np.int64)), k
+        )
+    )
+    sent = int(_S_SENT)
+    edges = _owner_edges(k, n_dev)
+    parts = [A[(A >= edges[d]) & (A < edges[d + 1])] for d in range(n_dev)]
+    # Pad blocks to 16x the biggest shard: >90% of the 8*cap query
+    # slots are sentinels.
+    cap = 16 * max(p.shape[0] for p in parts)
+    blocks = np.full((n_dev, cap), sent, dtype=np.int32)
+    for d, p in enumerate(parts):
+        blocks[d, : p.shape[0]] = p
+
+    # Lanes sized for real traffic only: every live row emits 8 queries,
+    # spread over n_dev owners; 4x slack covers key skew but is far
+    # below the sentinel flood (which would need ~8*cap on one lane).
+    qcap = 8 * max(p.shape[0] for p in parts)
+    assert qcap * n_dev < 8 * cap  # the flood would not fit
+    fn = sharded_side_tables_fn(mesh, k, True, qcap)
+    rdeg, rnbr, rsame, ldeg, lnbr, lsame, dropped = fn(blocks.reshape(-1))
+    assert int(np.asarray(dropped)[0]) == 0
+
+    def collect(x):
+        x = np.asarray(x).reshape(n_dev, cap)
+        return np.concatenate(
+            [x[d, : parts[d].shape[0]] for d in range(n_dev)]
+        )
+
+    er = spss_mod._side_table_canonical(A, k, right=True)
+    el = spss_mod._side_table_canonical(A, k, right=False)
+    np.testing.assert_array_equal(collect(rdeg), er[0])
+    np.testing.assert_array_equal(collect(ldeg), el[0])
