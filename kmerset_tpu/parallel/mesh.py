@@ -686,6 +686,51 @@ def sharded_sketch_weights_fn(mesh: Mesh):
     return jax.jit(sharded)
 
 
+def _group_records_by_end(end_local, dist_local, sel_local, lanes, n_dev):
+    """Owner-routed chain grouping shared by sharded_chain_group_fn and
+    sharded_emit_fn: route each selected record (end, dist, node id,
+    *lanes) to the owner of its `end` id (stride layout: device d owns
+    ids [d*cap, (d+1)*cap)), then locally sort by (end asc, dist desc)
+    so every chain lies start->end contiguously.  Groups are owner-local
+    by construction, so the device-block concatenation is globally
+    grouped.  Per-(src,dst) lanes = cap, so the exchange can never
+    overflow (a source holds only cap records).  dist < 2^30, so the
+    monotone 0x3FFFFFFF - dist flip is exact.
+
+    Returns (sorted end keys with sentinel 2^31-1, tuple of grouped
+    lanes: node ids first, then `lanes` in order)."""
+    cap = end_local.shape[0]
+    isent = jnp.int32(2**31 - 1)
+    my = jax.lax.axis_index(AXIS)
+    base = (my * cap).astype(jnp.int32)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0) + base
+    e = jnp.where(sel_local, end_local.astype(jnp.int32), isent)
+    d = dist_local.astype(jnp.int32)
+    pre = jax.lax.sort((e, d, ids, *lanes), num_keys=1, is_stable=False)
+    es, ds = pre[0], pre[1]
+    edges_inner = jnp.arange(1, n_dev, dtype=jnp.int32) * jnp.int32(cap)
+    bounds = jnp.searchsorted(es, edges_inner)
+    n_valid = jnp.sum(e != isent).astype(bounds.dtype)
+    lo = jnp.concatenate([jnp.zeros(1, bounds.dtype), bounds])
+    hi = jnp.concatenate([bounds, n_valid[None]])
+    lane = jnp.arange(cap, dtype=bounds.dtype)[None, :]
+    src = lo[:, None] + lane
+    in_r = src < hi[:, None]
+    clip = jnp.clip(src, 0, cap - 1)
+
+    def xchg(vals, fill):
+        send = jnp.where(in_r, vals[clip], fill)
+        return jax.lax.all_to_all(send, AXIS, 0, 0, tiled=False).reshape(-1)
+
+    fe = xchg(es, isent)
+    fd = xchg(ds, jnp.int32(0))
+    fills = (jnp.int32(-1),) + tuple(jnp.int32(0) for _ in lanes)
+    fl = [xchg(v, f) for v, f in zip(pre[2:], fills)]
+    neg = jnp.int32(0x3FFFFFFF) - fd
+    grouped = jax.lax.sort((fe, neg, *fl), num_keys=2, is_stable=False)
+    return grouped[0], tuple(grouped[2:])
+
+
 @functools.lru_cache(maxsize=256)
 def sharded_chain_group_fn(mesh: Mesh):
     """Distributed chain grouping — the string-emission front half of the
@@ -709,38 +754,9 @@ def sharded_chain_group_fn(mesh: Mesh):
     n_dev = mesh.devices.size
 
     def step(end_local, dist_local, sel_local):
-        cap = end_local.shape[0]
-        isent = jnp.int32(2**31 - 1)
-        my = jax.lax.axis_index(AXIS)
-        base = (my * cap).astype(jnp.int32)
-        ids = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0) + base
-        e = jnp.where(sel_local, end_local.astype(jnp.int32), isent)
-        d = dist_local.astype(jnp.int32)
-        # Owner partition (owner = end // cap is monotone in end): one
-        # local sort by end, then searchsorted at the stride edges.
-        es, ds, ns = jax.lax.sort((e, d, ids), num_keys=1, is_stable=False)
-        edges_inner = jnp.arange(1, n_dev, dtype=jnp.int32) * jnp.int32(cap)
-        bounds = jnp.searchsorted(es, edges_inner)
-        n_valid = jnp.sum(e != isent).astype(bounds.dtype)
-        lo = jnp.concatenate([jnp.zeros(1, bounds.dtype), bounds])
-        hi = jnp.concatenate([bounds, n_valid[None]])
-        lane = jnp.arange(cap, dtype=bounds.dtype)[None, :]
-        src = lo[:, None] + lane
-        in_r = src < hi[:, None]
-        clip = jnp.clip(src, 0, cap - 1)
-        send_e = jnp.where(in_r, es[clip], isent)
-        send_d = jnp.where(in_r, ds[clip], jnp.int32(0))
-        send_n = jnp.where(in_r, ns[clip], jnp.int32(-1))
-        recv_e = jax.lax.all_to_all(send_e, AXIS, 0, 0, tiled=False)
-        recv_d = jax.lax.all_to_all(send_d, AXIS, 0, 0, tiled=False)
-        recv_n = jax.lax.all_to_all(send_n, AXIS, 0, 0, tiled=False)
-        fe = recv_e.reshape(-1)
-        fd = recv_d.reshape(-1)
-        fn_ = recv_n.reshape(-1)
-        # Group order: (end asc, dist desc) = start -> end within each
-        # chain (dist < 2^30, so the monotone flip below is exact).
-        neg = jnp.int32(0x3FFFFFFF) - fd
-        es2, _, ns2 = jax.lax.sort((fe, neg, fn_), num_keys=2, is_stable=False)
+        es2, (ns2,) = _group_records_by_end(
+            end_local, dist_local, sel_local, (), n_dev
+        )
         return es2, ns2
 
     sharded = jax.shard_map(
@@ -785,40 +801,9 @@ def sharded_emit_fn(mesh: Mesh, k: int, ocap: int):
     narrow = k <= SINGLE_MAX_K
 
     def step(end_local, dist_local, sel_local, vhi_local, vlo_local):
-        cap = end_local.shape[0]
         isent = jnp.int32(2**31 - 1)
-        my = jax.lax.axis_index(AXIS)
-        base = (my * cap).astype(jnp.int32)
-        ids = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0) + base
-        e = jnp.where(sel_local, end_local.astype(jnp.int32), isent)
-        d = dist_local.astype(jnp.int32)
-        es, ds, ns, vhs, vls = jax.lax.sort(
-            (e, d, ids, vhi_local, vlo_local), num_keys=1, is_stable=False
-        )
-        edges_inner = jnp.arange(1, n_dev, dtype=jnp.int32) * jnp.int32(cap)
-        bounds = jnp.searchsorted(es, edges_inner)
-        n_valid = jnp.sum(e != isent).astype(bounds.dtype)
-        lo = jnp.concatenate([jnp.zeros(1, bounds.dtype), bounds])
-        hi = jnp.concatenate([bounds, n_valid[None]])
-        lane = jnp.arange(cap, dtype=bounds.dtype)[None, :]
-        src = lo[:, None] + lane
-        in_r = src < hi[:, None]
-        clip = jnp.clip(src, 0, cap - 1)
-
-        def xchg(vals, fill):
-            send = jnp.where(in_r, vals[clip], fill)
-            return jax.lax.all_to_all(send, AXIS, 0, 0, tiled=False).reshape(-1)
-
-        fe = xchg(es, isent)
-        fd = xchg(ds, jnp.int32(0))
-        fn_ = xchg(ns, jnp.int32(-1))
-        fvh = xchg(vhs, jnp.int32(0))
-        fvl = xchg(vls, jnp.int32(0))
-        # Group order: (end asc, dist desc) = start -> end within each
-        # chain, identical to sharded_chain_group_fn.
-        neg = jnp.int32(0x3FFFFFFF) - fd
-        es2, _, ns2, vh2, vl2 = jax.lax.sort(
-            (fe, neg, fn_, fvh, fvl), num_keys=2, is_stable=False
+        es2, (ns2, vh2, vl2) = _group_records_by_end(
+            end_local, dist_local, sel_local, (vhi_local, vlo_local), n_dev
         )
 
         live = es2 != isent
