@@ -122,7 +122,12 @@ def _pack_span_rc(codes: jnp.ndarray, positions: range, dtype) -> jnp.ndarray:
 
 def _use_pallas() -> bool:
     """The fused pack kernel (ops/pallas_pack.py) needs a real TPU backend
-    (Mosaic); CPU runs (tests, virtual meshes) take the XLA roll path."""
+    (Mosaic); CPU runs (tests, virtual meshes) take the XLA roll path.
+
+    Resolved at TRACE time: KMERSET_TPU_NO_PALLAS must be set before the
+    first count call of the process — toggling it afterwards does not
+    invalidate already-compiled executables (the flag is not part of the
+    jit cache key)."""
     import os
 
     if os.environ.get("KMERSET_TPU_NO_PALLAS"):
@@ -244,14 +249,14 @@ def _slice_windows(codes, valid, k: int):
 
 
 def _sorted_runs(codes, valid, k: int, canonical: bool):
-    """Sort all window keys and mark run boundaries + run lengths.
+    """Sort all window keys and mark run boundaries.
 
-    Returns (to_int64, sorted_keys, live, boundary, counts) where
-    sorted_keys is a tuple of key arrays (single int32 for k <= 15, an
-    int32 pair for k <= 23, single int64 above) and to_int64 combines
-    compacted keys.  counts is lazy (run lengths come from a reverse
-    cummin scan, ~20% of step time) — callers that only threshold on a
-    small cutoff use `_run_reaches` instead."""
+    Returns (to_int64, sorted_keys, live, boundary) where sorted_keys is
+    a tuple of key arrays (single int32 for k <= 15, an int32 pair for
+    k <= 23, single int64 above) and to_int64 combines compacted keys.
+    Run lengths are NOT materialized here — callers use `_run_lengths`
+    (reverse cummin scan, ~20% of step time) or, when only thresholding
+    on a small cutoff, the cheaper `_run_reaches` shifted compare."""
     codes, valid = _slice_windows(codes, valid, k)
     n_keys = valid.shape[0]
     if k <= SINGLE_MAX_K:
@@ -304,6 +309,10 @@ def _run_reaches(keys, live, c: int) -> jnp.ndarray:
     cummin scan of `_run_lengths`."""
     if c <= 1:
         return jnp.ones(live.shape, dtype=bool)
+    if c - 1 >= live.shape[0]:
+        # Fewer keys than cutoff-1: no run can reach c (and the shifted
+        # concatenates below would be shape-mismatched).
+        return jnp.zeros(live.shape, dtype=bool)
     eq = jnp.ones(live.shape, dtype=bool)
     for key in keys:
         shifted = jnp.concatenate(
@@ -353,9 +362,10 @@ def count_kmers(codes: jnp.ndarray, valid: jnp.ndarray, k: int, canonical: bool)
     Returns (uniq, counts, n_unique): uniq[:n_unique] are the sorted
     distinct (canonical) k-mers as int64, counts aligned; tail is sentinel.
 
-    On TPU (single-int32 layout) the run-head keys and their positions are
-    compacted by the O(n) Pallas stream compactor and run lengths become
-    position diffs — no reverse-cummin scan and no second full sort.
+    On TPU, both int32 layouts (single lane for k <= 15, hi/lo pair for
+    k <= 23) compact the run-head keys and their positions through the
+    O(n) Pallas stream compactor and run lengths become position diffs —
+    no reverse-cummin scan and no second full sort.
     """
     to64, keys, live, boundary = _sorted_runs(codes, valid, k, canonical)
 

@@ -1256,3 +1256,18 @@ def test_sentinel_queries_do_not_consume_lane_capacity():
     el = spss_mod._side_table_canonical(A, k, right=False)
     np.testing.assert_array_equal(collect(rdeg), er[0])
     np.testing.assert_array_equal(collect(ldeg), el[0])
+
+
+def test_count_to_set_tiny_input_large_cutoff():
+    """Fewer window keys than cutoff-1 must yield an empty set, not a
+    shape-broadcast trace error in _run_reaches' shifted compare."""
+    k = 9
+    codes = _random_codes(k + 2, 4)  # 3 windows
+    valid = np.ones(codes.size, dtype=bool)
+    valid[-(k - 1):] = False
+    for cutoff in (4, 8):
+        uniq, n_kept, n_cut = count_to_set(codes, valid, k, True, cutoff)
+        assert int(n_kept) == 0
+        assert int(n_cut) == np.unique(
+            kc.canonical(kc.kmers_from_codes(codes.astype(np.int64), k), k)
+        ).shape[0]
