@@ -119,7 +119,7 @@ def handshake_matching(
     # same match array bit-for-bit.
     from ..parallel import driver as mesh_driver
 
-    if mesh_driver.should_use_mesh(n_ports):
+    if mesh_driver.should_use_mesh_graph(n_ports):
         res = mesh_driver.mesh_matching(pa, pb, n_ports)
         if res is not None:
             return res
@@ -172,3 +172,61 @@ def expand_ranges(lo: np.ndarray, hi: np.ndarray) -> Tuple[np.ndarray, np.ndarra
     np.cumsum(counts[:-1], out=starts[1:])
     idx = np.arange(total, dtype=np.int64) - starts[rows] + lo[rows]
     return rows, idx
+
+
+def filter_groups(
+    nodes: np.ndarray, groups: np.ndarray, keep: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Keeps the selected (non-empty) chain groups."""
+    from . import native
+
+    counts = np.diff(groups)
+    keep = keep & (counts > 0)
+    if keep.all():
+        return nodes, groups
+    lo, hi = groups[:-1][keep], groups[1:][keep]
+    new_groups = np.zeros(int(keep.sum()) + 1, dtype=np.int64)
+    np.cumsum(counts[keep], out=new_groups[1:])
+    gathered = native.gather_ranges(nodes, lo, hi)
+    if gathered is None:
+        _, idx = expand_ranges(lo, hi)
+        gathered = nodes[idx]
+    return gathered, new_groups
+
+
+def permute_groups(
+    nodes: np.ndarray, groups: np.ndarray, order: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Reorders chain groups by `order` (a permutation of group indices)."""
+    from . import native
+
+    counts = np.diff(groups)[order]
+    lo, hi = groups[:-1][order], groups[1:][order]
+    new_groups = np.zeros(order.shape[0] + 1, dtype=np.int64)
+    np.cumsum(counts, out=new_groups[1:])
+    gathered = native.gather_ranges(nodes, lo, hi)
+    if gathered is None:
+        _, idx = expand_ranges(lo, hi)
+        gathered = nodes[idx]
+    return gathered, new_groups
+
+
+def led_group_selection(
+    nodes: np.ndarray, groups: np.ndarray, starts: np.ndarray, n_nodes: int
+):
+    """Selects exactly the chain groups led by `starts`, with the stable
+    reorder back to `starts` order — the shared parity-critical guard of
+    the mesh chain-grouping/emission drivers.  Chains are node-disjoint
+    (in-degree <= 1), so each group's first node is its chain's origin.
+    Returns (led_mask, nodes_kept, groups_kept, order), or None when the
+    grouping does not cover every start exactly once (callers fall back
+    to the host walk rather than emit from a foreign origin)."""
+    firsts = nodes[groups[:-1]]
+    pos = np.full(n_nodes, -1, dtype=np.int64)
+    pos[starts] = np.arange(starts.size, dtype=np.int64)
+    led = pos[firsts] >= 0
+    nodes_k, groups_k = filter_groups(nodes, groups, led)
+    if groups_k.shape[0] - 1 != starts.size:
+        return None
+    order = np.argsort(pos[nodes_k[groups_k[:-1]]], kind="stable")
+    return led, nodes_k, groups_k, order

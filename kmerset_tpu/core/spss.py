@@ -38,7 +38,14 @@ import numpy as np
 
 from . import kmer as kmer_ops
 from . import native
-from .graph import expand_ranges, handshake_matching, pointer_double
+from .graph import (
+    expand_ranges,
+    filter_groups as _filter_groups,
+    handshake_matching,
+    led_group_selection,
+    permute_groups as _permute_groups,
+    pointer_double,
+)
 from .kmer_set import KmerSet
 from .strings import PackedStrings
 
@@ -172,7 +179,7 @@ def _chains_grouped(
         return np.empty(0, np.int64), np.zeros(1, np.int64)
     from ..parallel import driver as mesh_driver
 
-    if mesh_driver.should_use_mesh(succ.shape[0]):
+    if mesh_driver.should_use_mesh_graph(succ.shape[0]):
         res = mesh_driver.mesh_chain_group(succ, starts)
         if res is not None:
             return res
@@ -193,39 +200,6 @@ def _chains_grouped(
         ([0], boundaries, [nodes_sorted.shape[0]])
     ).astype(np.int64)
     return nodes_sorted, group_starts
-
-
-def _filter_groups(
-    nodes: np.ndarray, groups: np.ndarray, keep: np.ndarray
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Keeps the selected (non-empty) chain groups."""
-    counts = np.diff(groups)
-    keep = keep & (counts > 0)
-    if keep.all():
-        return nodes, groups
-    lo, hi = groups[:-1][keep], groups[1:][keep]
-    new_groups = np.zeros(int(keep.sum()) + 1, dtype=np.int64)
-    np.cumsum(counts[keep], out=new_groups[1:])
-    gathered = native.gather_ranges(nodes, lo, hi)
-    if gathered is None:
-        _, idx = expand_ranges(lo, hi)
-        gathered = nodes[idx]
-    return gathered, new_groups
-
-
-def _permute_groups(
-    nodes: np.ndarray, groups: np.ndarray, order: np.ndarray
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Reorders chain groups by `order` (a permutation of group indices)."""
-    counts = np.diff(groups)[order]
-    lo, hi = groups[:-1][order], groups[1:][order]
-    new_groups = np.zeros(order.shape[0] + 1, dtype=np.int64)
-    np.cumsum(counts, out=new_groups[1:])
-    gathered = native.gather_ranges(nodes, lo, hi)
-    if gathered is None:
-        _, idx = expand_ranges(lo, hi)
-        gathered = nodes[idx]
-    return gathered, new_groups
 
 
 def _group_endpoints(
@@ -315,7 +289,12 @@ def _emit_kmer_chains(
 
 
 def _mesh_emit_ordered(
-    A: np.ndarray, k: int, succ: np.ndarray, starts: np.ndarray, oriented: bool
+    A: np.ndarray,
+    k: int,
+    succ: np.ndarray,
+    starts: np.ndarray,
+    oriented: bool,
+    pd=None,
 ) -> Tuple[PackedStrings, np.ndarray] | None:
     """Distributed chain grouping + on-device string emission
     (parallel/driver.mesh_emit_chains), selected and ordered by `starts`
@@ -324,18 +303,14 @@ def _mesh_emit_ordered(
     Returns (strings, kept chain nodes) or None (callers fall back)."""
     from ..parallel import driver as mesh_driver
 
-    res = mesh_driver.mesh_emit_chains(A, k, succ, starts, oriented)
+    res = mesh_driver.mesh_emit_chains(A, k, succ, starts, oriented, pd=pd)
     if res is None:
         return None
     nodes, groups, codes, str_offsets = res
-    firsts = nodes[groups[:-1]]
-    pos = np.full(succ.shape[0], -1, dtype=np.int64)
-    pos[starts] = np.arange(starts.size, dtype=np.int64)
-    led = pos[firsts] >= 0
-    nodes_k, groups_k = _filter_groups(nodes, groups, led)
-    if groups_k.shape[0] - 1 != starts.size:
+    sel = led_group_selection(nodes, groups, starts, succ.shape[0])
+    if sel is None:
         return None  # unexpected topology; use the host walk
-    order = np.argsort(pos[nodes_k[groups_k[:-1]]], kind="stable")
+    led, nodes_k, _groups_k, order = sel
     ps = _take_strings(
         PackedStrings(codes, str_offsets), np.flatnonzero(led)[order]
     )
@@ -424,12 +399,18 @@ def _mesh_walk_cycles(
     pred[succ[has_succ]] = has_succ
     pv = pred[starts]
     succ2[pv[pv >= 0]] = -1
-    em = _mesh_emit_ordered(A, k, succ2, starts, oriented)
+    # One distributed doubling over the cut graph, shared by the emit
+    # attempt and its grouping-only fallback (succ2 != succ, so the
+    # orbit-discovery doubling above cannot be reused here).
+    pd2 = mesh_driver.mesh_pointer_double(succ2)
+    if pd2 is None:
+        return None
+    em = _mesh_emit_ordered(A, k, succ2, starts, oriented, pd=pd2)
     if em is not None:
         ps, nodes = em
         visited[(nodes >> 1) if oriented else nodes] = True
         return ps
-    grouped = mesh_driver.mesh_chain_group(succ2, starts)
+    grouped = mesh_driver.mesh_chain_group(succ2, starts, pd=pd2)
     if grouped is None:
         return None
     nodes, groups = grouped
@@ -448,7 +429,7 @@ def _walk_cycles(
     per-k-mer loop below is the byte-identical fallback."""
     from ..parallel import driver as mesh_driver
 
-    if mesh_driver.should_use_mesh(succ.shape[0]):
+    if mesh_driver.should_use_mesh_graph(succ.shape[0]):
         res = _mesh_walk_cycles(A, k, succ, visited, oriented)
         if res is not None:
             return res
@@ -555,7 +536,7 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
     dev = None
     from ..parallel import driver as mesh_driver
 
-    if mesh_driver.should_use_mesh(n):
+    if mesh_driver.should_use_mesh_graph(n):
         # Multi-device front-end: sharded side tables + mate exchange +
         # successor assembly (parallel/mesh.sharded_unitig_succ_fn).
         backend.enable_compile_cache()
@@ -599,7 +580,7 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
         "unitigs: side tables + successor: %.2fs", time.perf_counter() - t_start
     )
     t_start = time.perf_counter()
-    starts_r_exit = np.flatnonzero(term_l & ~term_r & ~both) * 2
+    starts_r_exit = np.flatnonzero(term_l & ~term_r) * 2
     starts_l_exit = np.flatnonzero(term_r & ~term_l) * 2 + 1
     starts = np.concatenate([starts_r_exit, starts_l_exit])
 
@@ -612,7 +593,7 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
     # filter.
     kept = None
     chains = None
-    if mesh_driver.should_use_mesh(n):
+    if mesh_driver.should_use_mesh_graph(n):
         # Fully distributed walk: grouping + base-code rendering both
         # happen on the mesh (one owner-routed exchange carrying values).
         # Pointer doubling runs once; the grouping-only fallback reuses
@@ -701,7 +682,7 @@ def get_unitigs(kmer_set: KmerSet) -> PackedStrings:
     from ..parallel import driver as mesh_driver
 
     chains = None
-    if mesh_driver.should_use_mesh(n):
+    if mesh_driver.should_use_mesh_graph(n):
         em = _mesh_emit_ordered(A, k, succ, starts, oriented=False)
         if em is not None:
             chains, nodes = em
@@ -738,7 +719,7 @@ def _candidate_port_edges_canonical(
 
     from ..parallel import driver as mesh_driver
 
-    if mesh_driver.should_use_mesh(n):
+    if mesh_driver.should_use_mesh_graph(n):
         res = mesh_driver.mesh_overlap_edges(P, S, k)
         if res is not None:
             a, b = res
@@ -828,7 +809,7 @@ def _break_cycles(succ: np.ndarray, match: np.ndarray | None, oriented: bool) ->
     leaders = None
     from ..parallel import driver as mesh_driver
 
-    if mesh_driver.should_use_mesh(succ.shape[0]):
+    if mesh_driver.should_use_mesh_graph(succ.shape[0]):
         # Distributed leader election: min-label pointer doubling over
         # the mesh (parallel/mesh.sharded_pointer_double_fn).
         ids = np.arange(succ.shape[0], dtype=np.int64)
@@ -855,18 +836,18 @@ def _break_cycles(succ: np.ndarray, match: np.ndarray | None, oriented: bool) ->
     if leaders.size == 0:
         return succ
     succ = succ.copy()
-    for r in leaders:
-        if oriented:
-            # Cut the match at the leader's left port (reference removes
-            # edge_left of the group leader, lib/core/spss.h:1626-1643).
-            a = 2 * int(r) + 1
-            b = int(match[a])
-            succ[a] = -1
-            succ[b] = -1
-        else:
-            # Cut the leader's outgoing edge (reference:
-            # lib/core/spss.h:924-930).
-            succ[int(r)] = -1
+    if oriented:
+        # Cut the match at every leader's left port (reference removes
+        # edge_left of the group leader, lib/core/spss.h:1626-1643).  All
+        # writes are the constant -1, so the vectorized form is
+        # order-independent even if cut ports coincide.
+        a = 2 * leaders + 1
+        succ[a] = -1
+        succ[match[a]] = -1
+    else:
+        # Cut each leader's outgoing edge (reference:
+        # lib/core/spss.h:924-930).
+        succ[leaders] = -1
     return succ
 
 

@@ -423,12 +423,25 @@ def count_to_set(codes, valid, k: int, canonical: bool, cutoff: int):
 
 def window_validity(offsets: np.ndarray, total: int, k: int) -> np.ndarray:
     """Host helper: windows fully inside one fragment are valid
-    (split-at-'N' semantics, reference: lib/core/kmer_counter.h:78)."""
-    pos = np.arange(total)
-    frag_start = np.searchsorted(offsets, pos, side="right")
-    end_pos = pos + k - 1
-    frag_end = np.searchsorted(offsets, np.minimum(end_pos, total - 1), side="right")
-    return (frag_start == frag_end) & (end_pos < total)
+    (split-at-'N' semantics, reference: lib/core/kmer_counter.h:78).
+
+    A window starting at s is invalid iff some fragment boundary o
+    (interior or the terminal `total`) lies in (s, s + k - 1] — i.e.
+    s in [o - k + 1, o).  Only those (k-1)-wide bands are materialized
+    (<= (k-1) * n_fragments indices), instead of several full-length
+    int64 temporaries: at the out-of-core scales that route through the
+    mesh/chunked paths the old formulation transiently allocated ~24x
+    the codes array."""
+    valid = np.ones(total, dtype=bool)
+    if total == 0 or k <= 1:
+        return valid
+    from ..core.graph import expand_ranges
+
+    o = np.asarray(offsets, dtype=np.int64)[1:]
+    lo = np.maximum(o - (k - 1), 0)
+    _, idx = expand_ranges(lo, np.minimum(o, total))
+    valid[idx] = False
+    return valid
 
 
 def pad_to(x: np.ndarray, size: int, fill=0) -> np.ndarray:

@@ -33,10 +33,10 @@ def _mesh_env_capacity() -> Optional[int]:
     return int(v) if v else None
 
 
-def should_use_mesh(n_windows: int) -> bool:
-    """Mesh counting pays a full all_to_all; it wins when there is more
-    than one device and the input is big enough (or too big for one chip,
-    ops/backend.py MAX_DEVICE_WINDOWS)."""
+def _mesh_available() -> Optional[bool]:
+    """Shared transport/topology gate of the mesh routers: True = forced
+    on, False = forced off or unusable, None = usable (size gates
+    decide)."""
     from ..ops import backend
 
     force = os.environ.get("KMERSET_TPU_FORCE_BACKEND", "")
@@ -55,12 +55,45 @@ def should_use_mesh(n_windows: int) -> bool:
         return False
     if backend._cpu_backend():
         return False  # virtual CPU meshes are for tests, not production
+    return None
+
+
+def should_use_mesh(n_windows: int) -> bool:
+    """Mesh counting pays a full all_to_all; it wins when there is more
+    than one device and the input is big enough (or too big for one chip,
+    ops/backend.py MAX_DEVICE_WINDOWS)."""
+    from ..ops import backend
+
+    avail = _mesh_available()
+    if avail is not None:
+        return avail
     if n_windows > backend.MAX_DEVICE_WINDOWS:
         return True  # too big for the one-shot single-chip sort
     if n_windows < backend._threshold():
         return False
     return not backend._slow_link() or n_windows >= (
         backend._threshold() * backend._SLOW_LINK_FACTOR
+    )
+
+
+def should_use_mesh_graph(n_nodes: int) -> bool:
+    """Mesh gate for the graph phases (side tables, successor assembly,
+    pointer doubling, chain grouping/emission, matching, overlap edges):
+    same transport/topology checks as `should_use_mesh`, sized by the
+    graph-offload crossover (ops/backend._graph_threshold, ~8M nodes —
+    graph exchanges carry several lanes per node and lose to the
+    host/native path well past the counting crossover at 2^21).  No
+    unconditional big-input route: the host graph path is complete at
+    any size, so an oversized input on a slow link stays host-bound."""
+    from ..ops import backend
+
+    avail = _mesh_available()
+    if avail is not None:
+        return avail
+    if n_nodes < backend._graph_threshold():
+        return False
+    return not backend._slow_link() or n_nodes >= (
+        backend._graph_threshold() * backend._GRAPH_SLOW_FACTOR
     )
 
 
@@ -113,7 +146,11 @@ def mesh_count(
         valid = window_validity(offsets, total, k)
         W, Lh = _shard_layout(n_windows, n_dev, k)
 
-        codes_sh = np.zeros((n_dev, Lh), dtype=np.int32)
+        # Stage in the input's own dtype (uint8 from the FASTA parser):
+        # the kernel widens on-device, and an int32 host copy would 4x
+        # the staging memory of exactly the over-one-chip inputs this
+        # path exists for.
+        codes_sh = np.zeros((n_dev, Lh), dtype=codes.dtype)
         valid_sh = np.zeros((n_dev, Lh), dtype=bool)
         for d in range(n_dev):
             lo = d * W
@@ -305,8 +342,6 @@ def mesh_pointer_double(succ: np.ndarray, labels: np.ndarray | None = None, mesh
     doubling rounds, and trims.  Returns (end, dist, is_chain, min_label)
     or None when unavailable."""
     try:
-        import math
-
         from .mesh import make_mesh, sharded_pointer_double_fn
     except Exception:  # noqa: BLE001
         return None
@@ -426,20 +461,13 @@ def mesh_chain_group(succ: np.ndarray, starts: np.ndarray, mesh=None, pd=None):
         groups = np.concatenate(
             ([0], bnd, [nodes.shape[0]])
         ).astype(np.int64)
-        # Chains are node-disjoint (in-degree <= 1), so each group's
-        # first record is its chain's origin — a member of `starts` for
-        # exactly the groups the caller asked for.
-        firsts = nodes[groups[:-1]]
-        pos = np.full(n, -1, dtype=np.int64)
-        pos[starts] = np.arange(starts.size, dtype=np.int64)
-        led = pos[firsts] >= 0
-        from ..core.spss import _filter_groups, _permute_groups
+        from ..core.graph import led_group_selection, permute_groups
 
-        nodes, groups = _filter_groups(nodes, groups, led)
-        if groups.shape[0] - 1 != starts.size:
+        sel2 = led_group_selection(nodes, groups, starts, n)
+        if sel2 is None:
             return None  # unexpected topology; use the host walk
-        order = np.argsort(pos[nodes[groups[:-1]]], kind="stable")
-        return _permute_groups(nodes, groups, order)
+        _led, nodes, groups, order = sel2
+        return permute_groups(nodes, groups, order)
     except Exception as e:  # noqa: BLE001
         _log.debug("mesh chain grouping unavailable, falling back: %r", e)
         return None
@@ -636,11 +664,6 @@ def mesh_overlap_edges(P: np.ndarray, S: np.ndarray, k: int, mesh=None):
             # edges_fn); k = 31 keys would reach/pass the sentinel and
             # silently drop edges.  Host join handles k = 31.
             return None
-        if (
-            np.unique(P).shape[0] != n
-            or np.unique(S).shape[0] != n
-        ):
-            return None
         if mesh is None:
             mesh = make_mesh()
         n_dev = int(mesh.devices.size)
@@ -658,7 +681,11 @@ def mesh_overlap_edges(P: np.ndarray, S: np.ndarray, k: int, mesh=None):
         ssg = _stride_global(mesh, ss)
         for _attempt in range(32):
             fn = sharded_overlap_edges_fn(mesh, k, qcap)
-            ans, dropped = fn(ppg, ssg)
+            ans, dropped, dup = fn(ppg, ssg)
+            if int(np.asarray(jax.device_get(dup))[0]) > 0:
+                # Duplicate prefix/suffix keys: the one-partner-per-key
+                # table would silently drop edges — host join handles.
+                return None
             if int(np.asarray(jax.device_get(dropped))[0]) == 0:
                 break
             if qcap >= qcap_max:  # pragma: no cover - defensive ceiling

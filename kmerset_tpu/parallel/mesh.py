@@ -1134,14 +1134,21 @@ def sharded_overlap_edges_fn(mesh: Mesh, k: int, qcap: int):
             _, out = jax.lax.sort((rkey, packed), num_keys=1, is_stable=False)
             return out[tsz:]
 
+        # Duplicate-key detection rides the already-sorted owner table
+        # (free adjacent compare): the probe answers only one partner per
+        # key, so duplicated prefix/suffix values would silently drop
+        # edges — the driver falls back to the host join when dup > 0.
+        # (Unitigs of one SPSS can never trigger this; the flag replaces
+        # two O(n log n) host np.unique guards per call.)
+        dup = jnp.sum((tk_s[1:] == tk_s[:-1]) & (tk_s[1:] != sent2))
         ans, dropped = _route_queries(Q, edges2, qcap, n_dev, sent2, probe)
-        return ans, dropped[None]
+        return ans, dropped[None], jax.lax.psum(dup, AXIS)[None]
 
     sharded = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P()),
+        out_specs=(P(AXIS), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)
