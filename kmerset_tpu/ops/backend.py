@@ -41,16 +41,26 @@ DEFAULT_MIN_DEVICE_GRAPH = 1 << 23
 _GRAPH_SLOW_FACTOR = 64
 
 
+def _env_int(name: str, default: int) -> int:
+    """Env-var integer with a logged fallback (a malformed override must
+    degrade to the default, not crash every gated call — same contract
+    as the KMERSET_TPU_DEVICE_TIMEOUT parser)."""
+    v = os.environ.get(name, "")
+    if not v:
+        return default
+    try:
+        return int(v)
+    except ValueError:
+        _log.warning("ignoring malformed %s=%r (using %d)", name, v, default)
+        return default
+
+
 def _threshold() -> int:
-    return int(
-        os.environ.get("KMERSET_TPU_MIN_DEVICE_WINDOWS", DEFAULT_MIN_DEVICE_WINDOWS)
-    )
+    return _env_int("KMERSET_TPU_MIN_DEVICE_WINDOWS", DEFAULT_MIN_DEVICE_WINDOWS)
 
 
 def _graph_threshold() -> int:
-    return int(
-        os.environ.get("KMERSET_TPU_MIN_DEVICE_GRAPH", DEFAULT_MIN_DEVICE_GRAPH)
-    )
+    return _env_int("KMERSET_TPU_MIN_DEVICE_GRAPH", DEFAULT_MIN_DEVICE_GRAPH)
 
 
 def _force() -> str:
@@ -247,7 +257,10 @@ def should_use_device(n_windows: int) -> bool:
     if force == "host":
         return False
     if force == "device":
-        return True
+        # Even forced, respect the one-shot sort's HBM ceiling (the sort
+        # carries 3-4x its operands) — mirrors should_use_device_graph's
+        # forced cap; oversize inputs go to the chunked/mesh paths.
+        return n_windows <= MAX_DEVICE_WINDOWS
     if n_windows < _threshold() or n_windows > MAX_DEVICE_WINDOWS:
         return False
     if _cpu_backend():
@@ -293,6 +306,27 @@ def enable_compile_cache() -> None:
         pass
 
 
+def _staged_windows(codes: np.ndarray, offsets: np.ndarray, k: int):
+    """Shared prologue of device_count/device_unique: window validity +
+    padding to an XLA-sort-friendly key count (2^p / 3*2^p — see
+    ops.count.good_sort_size; padded positions are invalid and sort to
+    the sentinel tail) + the one int32 conversion.  Returns
+    (codes_int32, valid) or None for inputs shorter than one window."""
+    from .count import good_sort_size, window_validity
+
+    total = codes.shape[0]
+    if total < k:
+        return None
+    valid = window_validity(offsets, total, k)
+    n_keys = total - (k - 1)
+    target = good_sort_size(n_keys)
+    if target != n_keys:
+        pad = target - n_keys
+        codes = np.concatenate([codes, np.zeros(pad, codes.dtype)])
+        valid = np.concatenate([valid, np.zeros(pad, bool)])
+    return codes.astype(np.int32, copy=False), valid
+
+
 def device_unique(
     codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool
 ) -> Optional[np.ndarray]:
@@ -301,22 +335,15 @@ def device_unique(
     lib/core/spss.h:1862-1941) runs the counting pipeline at cutoff 1 and
     skips count materialization entirely."""
     try:
-        from .count import count_to_set, good_sort_size, window_validity
+        from .count import count_to_set  # noqa: F401 - import probe
     except Exception:  # noqa: BLE001
         return None
     try:
-        total = codes.shape[0]
-        if total < k:
+        staged = _staged_windows(codes, offsets, k)
+        if staged is None:
             return None
-        valid = window_validity(offsets, total, k)
-        n_keys = total - (k - 1)
-        target = good_sort_size(n_keys)
-        if target != n_keys:
-            pad = target - n_keys
-            codes = np.concatenate([codes, np.zeros(pad, codes.dtype)])
-            valid = np.concatenate([valid, np.zeros(pad, bool)])
-        codes = codes.astype(np.int32, copy=False)  # one conversion, here
-        uniq, n_kept, _ = count_to_set(codes, valid, k, canonical, 1)
+        codes32, valid = staged
+        uniq, n_kept, _ = count_to_set(codes32, valid, k, canonical, 1)
         return np.asarray(uniq[: int(n_kept)])
     except Exception as e:  # noqa: BLE001
         _note_fallback("device_unique", e)
@@ -446,30 +473,15 @@ def device_count(
     """Counts k-mers on the accelerator; returns (uniq, counts) or None if
     the device path is unavailable (caller falls back to host)."""
     try:
-        import jax
-
-        from .count import SENTINEL, count_kmers, window_validity
+        from .count import count_kmers
     except Exception:  # noqa: BLE001 - any jax failure => host fallback
         return None
     try:
-        total = codes.shape[0]
-        if total < k:
+        staged = _staged_windows(codes, offsets, k)
+        if staged is None:
             return None
-        valid = window_validity(offsets, total, k)
-        # Pad so the key count lands on an XLA-sort-friendly size
-        # (2^p / 3*2^p — see ops.count.good_sort_size); padded window
-        # positions are invalid and sort to the sentinel tail.
-        from .count import good_sort_size
-
-        n_keys = total - (k - 1)
-        target = good_sort_size(n_keys)
-        if target != n_keys:
-            pad = target - n_keys
-            codes = np.concatenate([codes, np.zeros(pad, codes.dtype)])
-            valid = np.concatenate([valid, np.zeros(pad, bool)])
-        uniq, counts, n_unique = count_kmers(
-            codes.astype(np.int32), valid, k, canonical
-        )
+        codes32, valid = staged
+        uniq, counts, n_unique = count_kmers(codes32, valid, k, canonical)
         n = int(n_unique)
         return np.asarray(uniq[:n]), np.asarray(counts[:n], dtype=np.int64)
     except Exception as e:  # noqa: BLE001

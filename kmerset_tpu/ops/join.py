@@ -82,7 +82,8 @@ def lookup_join32(A: jnp.ndarray, Q: jnp.ndarray, n_groups: int = 1):
     # Slot/idx/found pack into bits [0,30) with the tag/found flag at
     # bit 30 — silently wrong beyond that, so fail the trace instead
     # (callers gate via backend.MAX_DEVICE_GRAPH_KMERS well below this).
-    assert max(n, m) < (1 << 30), "lookup_join32: slot packing needs n, m < 2^30"
+    if max(n, m) >= (1 << 30):  # not assert: must survive python -O
+        raise ValueError("lookup_join32: slot packing needs n, m < 2^30")
     one = jnp.int32(1)
     fused = jnp.concatenate([A << 1, (Q << 1) | one])
     slot = jnp.concatenate(
@@ -120,7 +121,8 @@ def lookup_join_pair(Ahi, Alo, Qhi, Qlo, n_groups: int = 1):
     with padding rows no query can equal (all-T keys are non-canonical).
     """
     n, m = Ahi.shape[0], Qhi.shape[0]
-    assert max(n, m) < (1 << 30), "lookup_join_pair: slot packing needs n, m < 2^30"
+    if max(n, m) >= (1 << 30):  # not assert: must survive python -O
+        raise ValueError("lookup_join_pair: slot packing needs n, m < 2^30")
     one = jnp.int32(1)
     hi = jnp.concatenate([Ahi, Qhi])
     lof = jnp.concatenate([Alo << 1, (Qlo << 1) | one])
@@ -158,8 +160,3 @@ def intersection_count(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     (s,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
     return jnp.sum(s[1:] == s[:-1])
 
-
-def pad_sorted(a: np.ndarray, size: int, fill) -> np.ndarray:
-    if a.shape[0] >= size:
-        return a[:size]
-    return np.concatenate([a, np.full(size - a.shape[0], fill, dtype=a.dtype)])

@@ -19,7 +19,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-SENTINEL = np.int64(1 << 62)  # > any 2k-bit k-mer key (k <= 31: max 2^62 - 1)
+from .count import SENTINEL  # canonical definition (one source of truth)
 
 
 def pad_pow2(a: np.ndarray, fill) -> np.ndarray:

@@ -21,7 +21,7 @@ from typing import List, Sequence
 
 import numpy as np
 
-SENTINEL = np.int64(1 << 62)  # > any 2k-bit k-mer key (k <= 31: max 2^62 - 1)
+from .count import SENTINEL  # canonical definition (one source of truth)
 
 # Cap on elements per device sort call; larger pair batches are chunked.
 _MAX_ELEMENTS = 1 << 26
@@ -72,11 +72,14 @@ class DeviceSketchTable:
         self._jax = jax
         self.S = _pow2(max(1, max((s.shape[0] for s in sketches), default=1)))
         self.rows_cap = _pow2(max(1, len(sketches)))
-        self.n = 0
+        self.n = len(sketches)
+        # Fill host-side and upload ONCE: per-row jitted set_row calls
+        # would each materialize a fresh full (rows_cap, S) device buffer
+        # (quadratic HBM traffic in the number of sketches).
         mat = np.full((self.rows_cap, self.S), SENTINEL, dtype=np.int64)
+        for i, s in enumerate(sketches):
+            mat[i] = self._pad_row(s)
         self._sk = jax.device_put(mat)
-        for s in sketches:
-            self.append_row(s)
 
     def _pad_row(self, sketch: np.ndarray) -> np.ndarray:
         if sketch.shape[0] > self.S:
@@ -202,10 +205,21 @@ class MeshSketchTable:
     def pair_weights(self, pairs: List[tuple]) -> np.ndarray:
         if not pairs:
             return np.empty(0, dtype=np.int64)
-        # Pad batches to powers of two so jit caches stay small.
-        n_pad = _pow2(len(pairs))
-        ia = np.zeros(n_pad, dtype=np.int32)
-        ib = np.zeros(n_pad, dtype=np.int32)
-        ia[: len(pairs)] = [p[0] for p in pairs]
-        ib[: len(pairs)] = [p[1] for p in pairs]
-        return np.asarray(self._fn(self._sk, ia, ib))[: len(pairs)]
+        ia_all = np.array([p[0] for p in pairs], dtype=np.int32)
+        ib_all = np.array([p[1] for p in pairs], dtype=np.int32)
+        # Chunk like DeviceSketchTable: the initial all-pairs batch is
+        # n(n-1)/2 pairs (~500K at 1000 sets), and each pair sorts a
+        # (2*per_dev,) row per device — unbatched that is a
+        # (n_pairs, 2*per_dev) sort buffer far past HBM.  Pad chunks to
+        # powers of two so jit caches stay small.
+        batch = max(1, _MAX_ELEMENTS // (2 * self.per_dev))
+        out = np.empty(len(pairs), dtype=np.int64)
+        for s in range(0, len(pairs), batch):
+            e = min(s + batch, len(pairs))
+            n_pad = _pow2(e - s)
+            ia = np.zeros(n_pad, dtype=np.int32)
+            ib = np.zeros(n_pad, dtype=np.int32)
+            ia[: e - s] = ia_all[s:e]
+            ib[: e - s] = ib_all[s:e]
+            out[s:e] = np.asarray(self._fn(self._sk, ia, ib))[: e - s]
+        return out
