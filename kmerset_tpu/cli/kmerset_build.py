@@ -74,7 +74,14 @@ def main(argv=None) -> None:
         logger.info("kmer_set_compact.Size() = %d", compact.size())
 
     if args.check:
-        decompressed = compact.to_kmer_set(args.canonical)
+        # Decode from the SPSS strings through a FRESH compact set:
+        # from_kmer_set seeds the decode cache with the source kmers, so
+        # compact.to_kmer_set would compare the array with itself and the
+        # check could never fail (the reference's check is a real decode,
+        # src/kmerset-build.cc:91-101).
+        decompressed = KmerSetCompact(compact.k, compact.spss).to_kmer_set(
+            args.canonical
+        )
         if kmer_set.equals(decompressed):
             logger.info("kmer_set_compact -> KmerSet: ok")
         else:

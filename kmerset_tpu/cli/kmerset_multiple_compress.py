@@ -76,7 +76,8 @@ def main(argv=None) -> None:
     logger.info("total_size = %d", total_size)
 
     logger.info("constructing kmer_set_set")
-    kss = KmerSetSet(compacts, args.canonical, cfg, seed=args.seed)
+    with flag_util.trace_context(args):  # --trace captures the hot phase
+        kss = KmerSetSet(compacts, args.canonical, cfg, seed=args.seed)
     logger.info("constructed kmer_set_set")
 
     if args.out_graph:

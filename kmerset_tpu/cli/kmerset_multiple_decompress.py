@@ -48,16 +48,17 @@ def main(argv=None) -> None:
     logger.info("loaded kmer_set_set_reader")
     logger.info("kmer_set_set_reader.Size() = %d", reader.size())
 
-    for i in range(reader.size()):
-        logger.info("constructing kmer_set: i = %d", i)
-        try:
-            kmer_set = reader.get(i, workers=args.workers)
-        except Exception as e:  # noqa: BLE001
-            logger.error("failed to construct kmer_set: %s", e)
-            sys.exit(1)
-        logger.info("constructed kmer_set: i = %d", i)
-        logger.info("kmer_set.Hash() = %d", kmer_set.hash())
-        logger.info("kmer_set.Size() = %d", kmer_set.size())
+    with flag_util.trace_context(args):  # --trace captures the hot phase
+        for i in range(reader.size()):
+            logger.info("constructing kmer_set: i = %d", i)
+            try:
+                kmer_set = reader.get(i, workers=args.workers)
+            except Exception as e:  # noqa: BLE001
+                logger.error("failed to construct kmer_set: %s", e)
+                sys.exit(1)
+            logger.info("constructed kmer_set: i = %d", i)
+            logger.info("kmer_set.Hash() = %d", kmer_set.hash())
+            logger.info("kmer_set.Size() = %d", kmer_set.size())
 
 
 if __name__ == "__main__":

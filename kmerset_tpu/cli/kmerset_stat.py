@@ -30,20 +30,23 @@ def main(argv=None) -> None:
     flag_util.apply_workers(args)
     cfg = get_config(args.k)
 
-    for i, file_name in enumerate(args.files):
-        logger.info("processing: i = %d, file_name = %s", i, file_name)
-        try:
-            compact = KmerSetCompact.load(cfg.k, file_name, args.decompressor)
-        except Exception as e:  # noqa: BLE001
-            logger.error("failed to load kmer_set_compact: %s", e)
-            sys.exit(1)
-        kmer_set = compact.to_kmer_set(args.canonical)
-        size = kmer_set.size()
-        hash_ = kmer_set.hash()
-        logger.info("size = %d", size)
-        logger.info("hash = %d", hash_)
-        # Same TSV as the reference (kmerset-stat.cc:68-69).
-        print(f"{i}\t{file_name}\t{size}\t{hash_}")
+    with flag_util.trace_context(args):  # --trace captures the hot phase
+        for i, file_name in enumerate(args.files):
+            logger.info("processing: i = %d, file_name = %s", i, file_name)
+            try:
+                compact = KmerSetCompact.load(
+                    cfg.k, file_name, args.decompressor
+                )
+            except Exception as e:  # noqa: BLE001
+                logger.error("failed to load kmer_set_compact: %s", e)
+                sys.exit(1)
+            kmer_set = compact.to_kmer_set(args.canonical)
+            size = kmer_set.size()
+            hash_ = kmer_set.hash()
+            logger.info("size = %d", size)
+            logger.info("hash = %d", hash_)
+            # Same TSV as the reference (kmerset-stat.cc:68-69).
+            print(f"{i}\t{file_name}\t{size}\t{hash_}")
 
 
 if __name__ == "__main__":

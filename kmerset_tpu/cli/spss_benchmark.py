@@ -71,10 +71,6 @@ def main(argv=None) -> None:
 
 
 def _run_repeats(args, cfg, logger, kmer_set, unitigs):
-    import time
-
-    from ..core import spss as spss_mod
-
     for _ in range(args.repeats):
         out = []
         for fast in (False, True):

@@ -31,8 +31,13 @@ def read_lines(file_name: str, decompressor: str = "") -> List[str]:
         except OSError as e:
             raise IOError_(f"failed to open file: {file_name}") from e
     else:
+        # The command string stays user-controlled (reference parity:
+        # popen(cmd), lib/core/io.h:39), but the PATH is quoted so file
+        # names with spaces/metacharacters are data, not shell syntax.
+        import shlex
+
         proc = subprocess.run(
-            f"{decompressor} < {file_name}",
+            f"{decompressor} < {shlex.quote(file_name)}",
             shell=True,
             capture_output=True,
         )
@@ -59,8 +64,10 @@ def write_lines(file_name: str, compressor: str, lines) -> None:
         except OSError as e:
             raise IOError_(f"failed to open file: {file_name}") from e
         return
+    import shlex
+
     proc = subprocess.run(
-        f"{compressor} > {file_name}",
+        f"{compressor} > {shlex.quote(file_name)}",
         shell=True,
         input=data.encode(),
     )

@@ -88,10 +88,15 @@ class KmerCounter:
         if native.get_lib() is not None:
             try:
                 if decompressor:
+                    import shlex
                     import subprocess
 
+                    # Quote the path (data, not shell syntax) like
+                    # core/io.read_lines; the command stays user-owned.
                     proc = subprocess.run(
-                        f"{decompressor} < {file_name}", shell=True, capture_output=True
+                        f"{decompressor} < {shlex.quote(file_name)}",
+                        shell=True,
+                        capture_output=True,
                     )
                     if proc.returncode != 0:
                         raise core_io.IOError_(

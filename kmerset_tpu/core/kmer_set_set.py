@@ -21,6 +21,7 @@ adjacency list and the set count; <i>.<ext> holds each compact set
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Dict, List, Tuple
 
@@ -31,6 +32,27 @@ from . import native
 from .config import KConfig
 from .kmer_set import KmerSet, intersection_size
 from .kmer_set_compact import KmerSetCompact
+
+logger = logging.getLogger("kmerset")
+
+
+def reachable_ids(children: Dict[int, List[int]], i: int) -> List[int]:
+    """BFS over the children DAG from i, in first-seen order — the
+    reconstruction set walk shared by KmerSetSet.get and the Reader
+    (reference: lib/core/kmer_set_set.h:433-454, 672-694)."""
+    from collections import deque
+
+    ids: List[int] = []
+    seen = set()
+    queue = deque([i])
+    while queue:
+        cur = queue.popleft()
+        if cur in seen:
+            continue
+        seen.add(cur)
+        ids.append(cur)
+        queue.extend(children.get(cur, []))
+    return ids
 
 AdjacencyList = Dict[int, List[int]]
 
@@ -135,14 +157,18 @@ def _make_weight_oracle(sketches: List[np.ndarray], n_inputs: int, k: int):
         try:
             backend.enable_compile_cache()
             return _MeshWeightOracle(sketches, k)
-        except Exception:  # noqa: BLE001 - fall back
-            pass
+        except Exception as e:  # noqa: BLE001 - fall back
+            # Visible, especially under an explicit force: a silently
+            # degraded oracle looks like a mesh perf regression.
+            logger.warning("mesh weight oracle unavailable (%r); host path", e)
     if backend.should_use_device(work):
         try:
             backend.enable_compile_cache()
             return _DeviceWeightOracle(sketches)
-        except Exception:  # noqa: BLE001 - fall back to host
-            pass
+        except Exception as e:  # noqa: BLE001 - fall back to host
+            logger.warning(
+                "device weight oracle unavailable (%r); host path", e
+            )
     return _HostWeightOracle(sketches)
 
 
@@ -307,17 +333,7 @@ class KmerSetSet:
         return len(self.kmer_sets_compact_)
 
     def _reachable(self, i: int) -> List[int]:
-        ids: List[int] = []
-        seen = set()
-        queue = [i]
-        while queue:
-            cur = queue.pop(0)
-            if cur in seen:
-                continue
-            seen.add(cur)
-            ids.append(cur)
-            queue.extend(self.children_.get(cur, []))
-        return ids
+        return reachable_ids(self.children_, i)
 
     def get(self, i: int, canonical: bool) -> KmerSet:
         """Original set = residual union all reachable shared children."""
@@ -416,16 +432,7 @@ class KmerSetSetReader:
         return self._size
 
     def get(self, i: int, workers: int = 1) -> KmerSet:
-        ids: List[int] = []
-        seen = set()
-        queue = [i]
-        while queue:
-            cur = queue.pop(0)
-            if cur in seen:
-                continue
-            seen.add(cur)
-            ids.append(cur)
-            queue.extend(self.children_.get(cur, []))
+        ids = reachable_ids(self.children_, i)
 
         def _load(idx: int) -> np.ndarray:
             s = KmerSetCompact.load(

@@ -733,7 +733,20 @@ def sorted_algebra(a: np.ndarray, b: np.ndarray):
         b_only.ctypes.data_as(i64p),
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
     )
-    return inter[: counts[0]], a_only[: counts[1]], b_only[: counts[2]]
+
+    def _trim(buf: np.ndarray, n: int) -> np.ndarray:
+        # A slice is a view pinning the whole scratch buffer; long-lived
+        # callers (the greedy factor loop caches these arrays per set)
+        # would otherwise hold pre-split-sized allocations for tiny
+        # results.  Copy when most of the buffer is dead.
+        out = buf[:n]
+        return out.copy() if 2 * n < buf.shape[0] else out
+
+    return (
+        _trim(inter, int(counts[0])),
+        _trim(a_only, int(counts[1])),
+        _trim(b_only, int(counts[2])),
+    )
 
 
 def intersect_size(a: np.ndarray, b: np.ndarray):

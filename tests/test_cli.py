@@ -259,3 +259,62 @@ def test_build_trace_flag_produces_profile(tmp_path, genome_reads):
     for root, _dirs, files in os.walk(trace_dir):
         found += [f for f in files if f.endswith((".pb", ".json.gz", ".trace.json.gz", ".xplane.pb"))]
     assert found, f"no trace artifacts under {trace_dir}"
+
+
+def test_build_check_is_a_real_decode(tmp_path, genome_reads, monkeypatch):
+    """--check must decode from the SPSS strings, not the seeded cache:
+    a corrupted encoder (here: the last SPSS string dropped after
+    encoding, cache left intact) must fail the check with exit 1.
+    Regression: the cache-hit check compared the source array with
+    itself and could never fail."""
+    from kmerset_tpu.cli import kmerset_build as kb
+    from kmerset_tpu.core.kmer_set_compact import KmerSetCompact
+    from kmerset_tpu.core.strings import PackedStrings
+
+    _, reads = genome_reads
+    fa = tmp_path / "r.fasta"
+    _write_fasta(fa, reads)
+
+    real = KmerSetCompact.from_kmer_set.__func__
+
+    def corrupt(cls, kmer_set, canonical, fast=True):
+        obj = real(cls, kmer_set, canonical, fast)
+        obj.spss = PackedStrings.from_strings(obj.spss.to_strings()[:-1])
+        return obj
+
+    monkeypatch.setattr(
+        KmerSetCompact, "from_kmer_set", classmethod(corrupt)
+    )
+    monkeypatch.setattr(
+        sys, "argv",
+        ["x", "--k", "15", "--cutoff", "1", "--check",
+         "--out", str(tmp_path / "o.txt"), str(fa)],
+    )
+    with pytest.raises(SystemExit) as e:
+        kb.main()
+    assert e.value.code == 1
+
+
+def test_paths_with_spaces_through_compressor_pipes(tmp_path, genome_reads):
+    """File paths are shell-quoted in every popen pipe (FASTA fast path,
+    read_lines, write_lines): a directory with spaces round-trips through
+    gzip build -> stat."""
+    _, reads = genome_reads
+    d = tmp_path / "space dir"
+    d.mkdir()
+    fa = d / "r 0.fasta"
+    _write_fasta(fa, reads)
+    subprocess.run(["gzip", "-kf", str(fa)], check=True)
+    out = d / "out set.txt.gz"
+    r = _run([
+        "kmerset_tpu.cli.kmerset_build", "--k", "15", "--cutoff", "1",
+        "--check", "--decompressor", "gzip -d", "--compressor", "gzip",
+        "--out", str(out), str(fa) + ".gz",
+    ])
+    assert r.returncode == 0, r.stderr
+    r2 = _run([
+        "kmerset_tpu.cli.kmerset_stat", "--k", "15",
+        "--decompressor", "gzip -d", str(out),
+    ])
+    assert r2.returncode == 0, r2.stderr
+    assert "\t544\t" in r2.stdout or re.search(r"\t\d+\t\d+$", r2.stdout.strip())
