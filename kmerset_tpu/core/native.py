@@ -48,7 +48,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         # status return), so any ABI mismatch disables the lib entirely —
         # rebuild with `make -C native`.
         lib.kmerio_abi_version.restype = ctypes.c_long
-        if lib.kmerio_abi_version() != 2:
+        if lib.kmerio_abi_version() != 3:
             return None
         lib.kmerio_parse_fasta.restype = ctypes.c_long
         lib.kmerio_parse_fasta.argtypes = [
@@ -206,9 +206,9 @@ def chain_walk_kept(
             lib.kmerio_chain_lens_ends.argtypes = [
                 i64p, ctypes.c_long, i64p, ctypes.c_long, i64p, i64p,
             ]
-            lib.kmerio_chain_emit.restype = None
+            lib.kmerio_chain_emit.restype = ctypes.c_long
             lib.kmerio_chain_emit.argtypes = [
-                i64p, ctypes.c_long, i64p, ctypes.c_long, i64p, i64p,
+                i64p, ctypes.c_long, i64p, ctypes.c_long, i64p, i64p, i64p,
             ]
         except AttributeError:  # stale lib without the new symbols
             return None
@@ -242,6 +242,10 @@ def chain_walk_kept(
             s_arr.ctypes.data_as(i64p), e_arr.ctypes.data_as(i64p),
             l_arr.ctypes.data_as(i64p),
         )
+        if nc < 0:
+            # A start led into a cycle (chain-contract violation):
+            # dropping it would silently lose k-mers — fall back.
+            return None
         s_arr, e_arr, l_arr = s_arr[:nc], e_arr[:nc], l_arr[:nc]
         keep = keep_fn(s_arr, e_arr)
         kept = np.ascontiguousarray(np.where(keep, s_arr, e_arr ^ 1))
@@ -260,11 +264,20 @@ def chain_walk_kept(
     groups = np.zeros(kept.shape[0] + 1, dtype=np.int64)
     np.cumsum(kept_lens, out=groups[1:])
     nodes = np.empty(int(groups[-1]), dtype=np.int64)
-    lib.kmerio_chain_emit(
+    # group_starts = groups[:-1], group_ends = groups[1:] (views into the
+    # same contiguous prefix array; the C side bounds every write).
+    rc = lib.kmerio_chain_emit(
         succ.ctypes.data_as(i64p), n,
         kept.ctypes.data_as(i64p), kept.shape[0],
-        groups.ctypes.data_as(i64p), nodes.ctypes.data_as(i64p),
+        groups.ctypes.data_as(i64p),
+        groups[1:].ctypes.data_as(i64p),
+        nodes.ctypes.data_as(i64p),
     )
+    if rc < 0:
+        # A kept walk violated its measured length (e.g. a succ array
+        # that is not mirror-symmetric): refuse rather than emit a
+        # corrupt buffer; the caller's fallback walk handles it.
+        return None
     return nodes, groups
 
 
@@ -388,7 +401,11 @@ def emit_kmer_chains(
         offsets.ctypes.data_as(i64p),
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
-    return codes[:total], offsets
+    # Slice to the C function's own final offset: `total` above is an
+    # allocation upper bound that over-counts (k-1) per EMPTY group
+    # (offsets[g+1] == offsets[g]); returning the inflated slice would
+    # carry uninitialized tail bytes into PackedStrings concatenation.
+    return codes[: int(offsets[-1])], offsets
 
 
 def side_tables(A: np.ndarray, k: int, canonical: bool):
@@ -435,13 +452,23 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
         lib._st_ready = True
     A = np.ascontiguousarray(A, dtype=np.int64)
     n = A.shape[0]
+    if n > np.iinfo(np.int32).max:
+        # The probe tables and nbr arrays carry int32 indices; past 2^31
+        # they would wrap silently (same CSR limitation kmerio_seq_match
+        # refuses explicitly) — fall back to the numpy paths.
+        return None
     logcap = max(4, int(n * 2 - 1).bit_length())
+    # The fp/merge editions only probe for canonical candidates; the
+    # directed case never touches the table, so skip the >= 16n-byte
+    # allocation + memset entirely (a dummy slot keeps the ABI happy).
+    fast = lib._st_fp or lib._st_merge
+    table_slots = (1 << logcap) if (canonical or not fast) else 1
     if lib._st_fp:
-        table = np.zeros(1 << logcap, dtype=np.uint64)
+        table = np.zeros(table_slots, dtype=np.uint64)
         tptr = table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
         fn = lib.kmerio_side_tables_fp
     else:
-        table = np.full(1 << logcap, -1, dtype=np.int32)
+        table = np.full(table_slots, -1, dtype=np.int32)
         tptr = table.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         fn = (
             lib.kmerio_side_tables_merge
@@ -704,12 +731,7 @@ def overlap_edges(P: np.ndarray, S: np.ndarray, k: int):
     return pairs[:, 0], pairs[:, 1]
 
 
-def sorted_algebra(a: np.ndarray, b: np.ndarray):
-    """One-pass (intersection, a_only, b_only) of sorted-unique int64
-    arrays (reference set algebra, lib/core/kmer_set.h:164-219), or None."""
-    lib = get_lib()
-    if lib is None:
-        return None
+def _bind_sorted_algebra(lib) -> None:
     if not hasattr(lib, "_sa_ready"):
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.kmerio_sorted_algebra.restype = None
@@ -718,6 +740,15 @@ def sorted_algebra(a: np.ndarray, b: np.ndarray):
             i64p, i64p, i64p, ctypes.POINTER(ctypes.c_long),
         ]
         lib._sa_ready = True
+
+
+def sorted_algebra(a: np.ndarray, b: np.ndarray):
+    """One-pass (intersection, a_only, b_only) of sorted-unique int64
+    arrays (reference set algebra, lib/core/kmer_set.h:164-219), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_sorted_algebra(lib)
     a = np.ascontiguousarray(a, dtype=np.int64)
     b = np.ascontiguousarray(b, dtype=np.int64)
     inter = np.empty(min(a.size, b.size) or 1, dtype=np.int64)
@@ -757,14 +788,7 @@ def intersect_size(a: np.ndarray, b: np.ndarray):
     lib = get_lib()
     if lib is None:
         return None
-    if not hasattr(lib, "_sa_ready"):
-        i64p = ctypes.POINTER(ctypes.c_int64)
-        lib.kmerio_sorted_algebra.restype = None
-        lib.kmerio_sorted_algebra.argtypes = [
-            i64p, ctypes.c_long, i64p, ctypes.c_long,
-            i64p, i64p, i64p, ctypes.POINTER(ctypes.c_long),
-        ]
-        lib._sa_ready = True
+    _bind_sorted_algebra(lib)
     a = np.ascontiguousarray(a, dtype=np.int64)
     b = np.ascontiguousarray(b, dtype=np.int64)
     counts = np.zeros(3, dtype=np.int64)

@@ -99,7 +99,7 @@ long kmerio_parse_fasta(const char *buf, long n,
  * The Python binding refuses a mismatched lib outright: its per-symbol
  * presence checks can spot missing functions in a stale build, but not
  * a changed return type or argument list. */
-long kmerio_abi_version(void) { return 2; }
+long kmerio_abi_version(void) { return 3; }
 
 /* 2-bit pack: 4 codes per byte, first code in the low bits
  * (density parity with the reference's vector<bool> form,
@@ -290,31 +290,42 @@ long kmerio_chain_pairs(const int64_t *succ, long n,
                 }
             }
         }
+        /* Chain contract (same as kmerio_chain_walk): a start leading
+         * into a cycle never terminates; dropping it silently would
+         * lose its k-mers from the SPSS.  Refuse so callers fall back. */
+        if (live > 0) return -1;
     }
     return cnt;
 }
 
 /* Chain-walk pass 2: emits node sequences at caller-precomputed offsets
- * (group_starts = exclusive prefix sum of kept lengths). */
-void kmerio_chain_emit(const int64_t *succ, long n,
+ * (group_starts = exclusive prefix sum of kept lengths; group_ends its
+ * next entries — group g owns out_nodes[group_starts[g], group_ends[g])).
+ * Returns 0, or -1 when a walk violates its measured length (a cycle or
+ * a succ array that changed between passes) BEFORE overrunning its
+ * slot, so callers can fall back instead of corrupting the buffer. */
+long kmerio_chain_emit(const int64_t *succ, long n,
                        const int64_t *starts, long n_starts,
-                       const int64_t *group_starts, int64_t *out_nodes) {
+                       const int64_t *group_starts,
+                       const int64_t *group_ends, int64_t *out_nodes) {
     enum { W = 64 };
     for (long base = 0; base < n_starts; base += W) {
         long m = n_starts - base < W ? n_starts - base : W;
         int64_t cur[W];
-        long pos[W];
+        long pos[W], end[W];
         int live = (int)m;
         long steps = 0;
         for (long w = 0; w < m; w++) {
             cur[w] = starts[base + w];
             pos[w] = group_starts[base + w];
+            end[w] = group_ends[base + w];
         }
         while (live > 0 && steps++ <= n) {
             live = 0;
             for (long w = 0; w < m; w++) {
                 int64_t u = cur[w];
                 if (u < 0) continue;
+                if (pos[w] >= end[w]) return -1; /* longer than measured */
                 out_nodes[pos[w]++] = u;
                 int64_t nx = succ[u];
                 if (nx >= 0) __builtin_prefetch(&succ[nx]);
@@ -322,7 +333,12 @@ void kmerio_chain_emit(const int64_t *succ, long n,
                 if (nx >= 0) live++;
             }
         }
+        for (long w = 0; w < m; w++) {
+            /* every walk must terminate and fill its slot exactly */
+            if (cur[w] >= 0 || pos[w] != end[w]) return -1;
+        }
     }
+    return 0;
 }
 
 static inline uint64_t rc_one(uint64_t v, int k);

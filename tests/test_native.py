@@ -271,7 +271,7 @@ def test_native_abi_version_matches_binding():
 
     lib = native.get_lib()
     lib.kmerio_abi_version.restype = ctypes.c_long
-    assert lib.kmerio_abi_version() == 2
+    assert lib.kmerio_abi_version() == 3
 
 
 def test_native_chain_walk_refuses_cycles():
@@ -359,3 +359,40 @@ def test_ensure_built_builds_missing_and_stale(tmp_path, monkeypatch):
     monkeypatch.setenv("KMERSET_TPU_NO_AUTOBUILD", "1")
     nb.ensure_built("out.txt", ["src.c"])
     assert (ndir / "out.txt").read_text() == "v2"
+
+
+def test_chain_walk_kept_refuses_cycle_reachable_start():
+    """Pass 1 of the mirror-dedup walk must refuse (not silently drop) a
+    start that leads into a cycle — dropping it would lose its k-mers
+    from the SPSS with no error."""
+    succ = np.array([1, 2, 1, -1], dtype=np.int64)  # 0 -> 1 <-> 2 cycle
+    res = native.chain_walk_kept(
+        succ, np.array([0], np.int64), lambda s, e: np.ones(s.shape, bool)
+    )
+    assert res is None
+
+
+def test_chain_walk_kept_refuses_asymmetric_mirror():
+    """Pass 2 is bounded by the measured lengths: when the keep rule
+    selects the mirror start but the graph is not mirror-symmetric (the
+    mirror chain is LONGER than measured), the emit must refuse before
+    overrunning its group slot."""
+    # chain 0 -> 2 (len 2); 'mirror' start 3 walks 3 -> 1 -> 5 (len 3).
+    succ = np.array([2, 5, -1, 1, -1, -1], dtype=np.int64)
+    res = native.chain_walk_kept(
+        succ, np.array([0], np.int64), lambda s, e: np.zeros(s.shape, bool)
+    )
+    assert res is None
+
+
+def test_emit_kmer_chains_empty_group_exact_length():
+    """The returned codes end exactly at offsets[-1]: an empty group must
+    not inflate the slice with (k-1) uninitialized tail bytes."""
+    A = np.array([5, 9, 12], dtype=np.int64)
+    nodes = np.array([0, 1], dtype=np.int64)
+    groups = np.array([0, 2, 2], dtype=np.int64)  # second group empty
+    res = native.emit_kmer_chains(A, 3, nodes, groups, False)
+    assert res is not None
+    codes, offsets = res
+    assert offsets[-1] == codes.shape[0]
+    assert codes.shape[0] == 3 + 1  # k codes for the head + 1 per step
