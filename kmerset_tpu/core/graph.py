@@ -79,7 +79,11 @@ def pointer_double(succ: np.ndarray, labels: np.ndarray | None = None
         t_done = (t >> 62) != 0
         new_d = ((pa >> 31) & MASK) + np.where(t_done, 0, (t >> 31) & MASK)
         new_p = np.where(t_done, tgt, t & MASK)
-        packed[active] = (new_d << 31) | new_p
+        # Mask the dist write: cycle dists double every round and would
+        # overflow into the done bit past n > 2^30 (the mesh twin's
+        # DIST_MASK hazard, parallel/mesh.py).  Cycle dists are unused;
+        # chain dists are true distances < n and unmasked.
+        packed[active] = ((new_d & MASK) << 31) | new_p
         # Nodes whose pointer landed on an end are final.
         active = active[~t_done]
     p = packed & MASK
@@ -221,10 +225,16 @@ def led_group_selection(
     Returns (led_mask, nodes_kept, groups_kept, order), or None when the
     grouping does not cover every start exactly once (callers fall back
     to the host walk rather than emit from a foreign origin)."""
-    firsts = nodes[groups[:-1]]
+    counts = np.diff(groups)
+    # A trailing empty group's start index equals len(nodes): clamp the
+    # gather and mask empties out of `led` (they cannot be led by a
+    # start) instead of tripping an IndexError — the None contract below
+    # must cover anomalous groupings.
+    lo = np.where(counts > 0, groups[:-1], 0)
+    firsts = nodes[lo] if nodes.size else np.zeros(counts.shape, np.int64)
     pos = np.full(n_nodes, -1, dtype=np.int64)
     pos[starts] = np.arange(starts.size, dtype=np.int64)
-    led = pos[firsts] >= 0
+    led = (pos[firsts] >= 0) & (counts > 0)
     nodes_k, groups_k = filter_groups(nodes, groups, led)
     if groups_k.shape[0] - 1 != starts.size:
         return None

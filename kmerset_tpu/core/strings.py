@@ -67,9 +67,11 @@ class PackedStrings:
         return int(self.offsets[-1])
 
     def size_kmers(self, k: int) -> int:
-        """Sum of (len - k + 1) (reference Size,
-        lib/core/kmer_set_compact.h:90-112)."""
-        return int(np.sum(self.lengths() - k + 1))
+        """Sum of (len - k + 1), clamped at 0 per string (reference Size,
+        lib/core/kmer_set_compact.h:90-112 — which underflows its uint32
+        lengths on strings shorter than k; such strings hold no k-mers,
+        so the clamp agrees with all_kmers instead)."""
+        return int(np.sum(np.maximum(self.lengths() - k + 1, 0)))
 
     def get_codes(self, i: int) -> np.ndarray:
         return self.codes[self.offsets[i] : self.offsets[i + 1]]
@@ -81,10 +83,21 @@ class PackedStrings:
 
     # -- whole-set transforms ---------------------------------------------
 
+    def _require_min_len(self, k: int) -> None:
+        lens = self.lengths()
+        if lens.size and int(lens.min()) < k:
+            # Without this, the suffix gather would wrap Python-negative
+            # indices into the tail of the codes array and return
+            # well-formed-looking garbage k-mers.
+            raise ValueError(
+                f"every string must be >= k={k} bases (min is {int(lens.min())})"
+            )
+
     def first_kmers(self, k: int) -> np.ndarray:
         """Packed k-prefix of every string (all lengths must be >= k)."""
         from . import native
 
+        self._require_min_len(k)
         out = native.pack_rows(self.codes, self.offsets, k, from_end=False)
         if out is not None:
             return out
@@ -92,9 +105,10 @@ class PackedStrings:
         return _pack(self.codes, idx, k)
 
     def last_kmers(self, k: int) -> np.ndarray:
-        """Packed k-suffix of every string."""
+        """Packed k-suffix of every string (all lengths must be >= k)."""
         from . import native
 
+        self._require_min_len(k)
         out = native.pack_rows(self.codes, self.offsets, k, from_end=True)
         if out is not None:
             return out

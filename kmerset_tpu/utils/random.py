@@ -51,12 +51,17 @@ def get_random_read(k: int, rng: np.random.Generator) -> str:
 
 
 def get_random_kmers(k: int, n: int, rng: np.random.Generator) -> np.ndarray:
-    out: set[int] = set()
+    """n distinct uniform k-mers (reference GetRandomKmers inserts into a
+    set until it reaches n, lib/random.h:25-34).  Insertion-ordered
+    truncation keeps the sample uniform — sorting first and truncating
+    would bias the tail toward low-valued k-mers (= low buckets)."""
+    out: dict[int, None] = {}
     while len(out) < n:
-        out.update(
-            int(x) for x in rng.integers(0, 1 << (2 * k), size=n, dtype=np.int64)
-        )
-    return np.array(sorted(out)[:n], dtype=np.int64)
+        for x in rng.integers(0, 1 << (2 * k), size=n, dtype=np.int64):
+            out.setdefault(int(x), None)
+            if len(out) == n:
+                break
+    return np.sort(np.fromiter(out.keys(), dtype=np.int64, count=n))
 
 
 def get_random_kmer_counter(
