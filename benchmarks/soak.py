@@ -244,6 +244,13 @@ def main() -> None:
         except AssertionError as e:
             print(f"{hdr} FAILED: {e}", flush=True)
             sys.exit(1)
+        if it % 200 == 0:
+            # Fresh shapes every iteration grow the jit/executable caches
+            # without bound; hours-long soaks eventually exhaust the
+            # process's mappings ("LLVM compilation error: Cannot
+            # allocate memory" with plenty of free RAM).  Periodic cache
+            # clearing keeps the harness immortal.
+            jax.clear_caches()
         if args.seed:
             break
     print(f"soak ok: {it} iterations", flush=True)
