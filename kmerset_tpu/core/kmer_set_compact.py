@@ -27,25 +27,57 @@ from .strings import PackedStrings
 
 
 class KmerSetCompact:
-    __slots__ = ("k", "spss", "_kmers_cache", "_cache_canonical")
+    __slots__ = ("k", "_spss", "_pending", "_kmers_cache", "_cache_canonical")
 
-    def __init__(self, k: int, spss: PackedStrings):
+    def __init__(self, k: int, spss: Optional[PackedStrings]):
         self.k = k
-        self.spss = spss
+        self._spss = spss
+        self._pending = None
         self._kmers_cache: Optional[np.ndarray] = None
         self._cache_canonical: Optional[bool] = None
+
+    @property
+    def spss(self) -> PackedStrings:
+        """The SPSS strings; built on first consumption for lazily
+        constructed sets (see from_kmer_set).  Construction is a pure
+        function of the k-mer array, so deferring it changes nothing
+        observable — only when the work happens."""
+        if self._spss is None:
+            kmers, canonical, fast = self._pending
+            ks = KmerSet(self.k, kmers, _sorted=True)
+            if canonical:
+                self._spss = spss_mod.get_spss_canonical(ks, fast)
+            else:
+                self._spss = spss_mod.get_spss(ks)
+            self._pending = None
+        return self._spss
+
+    @spss.setter
+    def spss(self, value: PackedStrings) -> None:
+        self._spss = value
+        self._pending = None
 
     # -- conversions (reference: kmer_set_compact.h:36-55) -----------------
 
     @classmethod
     def from_kmer_set(
-        cls, kmer_set: KmerSet, canonical: bool, fast: bool = True
+        cls,
+        kmer_set: KmerSet,
+        canonical: bool,
+        fast: bool = True,
+        lazy: bool = False,
     ) -> "KmerSetCompact":
-        if canonical:
-            spss = spss_mod.get_spss_canonical(kmer_set, fast)
-        else:
-            spss = spss_mod.get_spss(kmer_set)
-        obj = cls(kmer_set.k, spss)
+        """With lazy=True the SPSS build (the expensive unitig + path-cover
+        phases) is deferred until something consumes the strings (weight,
+        dump, spss).  The multi-set greedy loop rebuilds sets that are
+        often re-factored before any string is read; deferring skips the
+        superseded builds while producing byte-identical output
+        (reference eagerly rebuilds each round: lib/core/kmer_set_set.h:
+        332-367)."""
+        obj = cls(kmer_set.k, None)
+        obj._pending = (kmer_set.kmers, canonical, fast)
+        if not lazy:
+            obj.spss  # noqa: B018 - force the build now
         obj._kmers_cache = kmer_set.kmers
         obj._cache_canonical = canonical
         return obj
@@ -78,7 +110,13 @@ class KmerSetCompact:
     # -- metrics (reference: kmer_set_compact.h:89-115) --------------------
 
     def size(self) -> int:
-        """Number of stored k-mers: sum of (len - k + 1)."""
+        """Number of stored k-mers: sum of (len - k + 1).
+
+        Equal to the distinct-k-mer count by the SPSS freshness invariant
+        (every k-mer appears exactly once), so the cached decoded array
+        answers without forcing a deferred build."""
+        if self._spss is None and self._kmers_cache is not None:
+            return int(self._kmers_cache.shape[0])
         return self.spss.size_kmers(self.k)
 
     def weight(self) -> int:

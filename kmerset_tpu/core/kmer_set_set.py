@@ -296,16 +296,25 @@ class KmerSetSet:
                 kj2 = np.setdiff1d(kj, inter, assume_unique=True)
                 kk2 = np.setdiff1d(kk, inter, assume_unique=True)
 
+            # Lazy: the SPSS build is deferred until the set's strings are
+            # consumed (the stopping rule's weight sweep, or the final
+            # dump).  Sets re-factored before then never pay the build —
+            # in the mutated-strain configs the shared child of round t is
+            # re-factored at round t+1, so eager construction (what the
+            # reference does each round, lib/core/kmer_set_set.h:332-367)
+            # spends most of its time on strings nobody reads.  Output is
+            # byte-identical: construction is deterministic in the k-mer
+            # array, and weight values are unchanged whenever queried.
             sets.append(
                 KmerSetCompact.from_kmer_set(
-                    KmerSet(cfg.k, inter, _sorted=True), canonical
+                    KmerSet(cfg.k, inter, _sorted=True), canonical, lazy=True
                 )
             )
             sets[j] = KmerSetCompact.from_kmer_set(
-                KmerSet(cfg.k, kj2, _sorted=True), canonical
+                KmerSet(cfg.k, kj2, _sorted=True), canonical, lazy=True
             )
             sets[k] = KmerSetCompact.from_kmer_set(
-                KmerSet(cfg.k, kk2, _sorted=True), canonical
+                KmerSet(cfg.k, kk2, _sorted=True), canonical, lazy=True
             )
             oracle.append(sets[n].sampled_kmers(cfg, bucket_ids, canonical))
             oracle.replace(j, sets[j].sampled_kmers(cfg, bucket_ids, canonical))

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -408,9 +409,22 @@ def emit_kmer_chains(
     return codes[: int(offsets[-1])], offsets
 
 
-def side_tables(A: np.ndarray, k: int, canonical: bool):
+# Grow-only scratch for the partitioned side tables (see side_tables);
+# the lock also serializes the C call that uses it (ctypes releases the
+# GIL, so two threads could otherwise share the buffer mid-flight).
+_part_lock = threading.Lock()
+_part_scratch: Optional[np.ndarray] = None
+_part_seen = False
+
+
+def side_tables(A: np.ndarray, k: int, canonical: bool, impl: str = "auto"):
     """Native hash-probe side tables (reference: lib/core/spss.h:238-313);
-    returns ((rdeg, rnbr, rsame), (ldeg, lnbr, lsame)) or None."""
+    returns ((rdeg, rnbr, rsame), (ldeg, lnbr, lsame)) or None.
+
+    impl: "auto" picks the cache-blocked partitioned edition for large
+    canonical inputs (probes stream through L2-resident table regions
+    instead of random DRAM reads) and the fp edition otherwise; "part" /
+    "fp" force a specific edition (parity tests)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -449,6 +463,26 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
             lib._st_fp = True
         except AttributeError:
             lib._st_fp = False
+        # Partitioned edition (cache-blocked probes; bit-identical to fp).
+        try:
+            lib.kmerio_side_part_scratch.restype = ctypes.c_long
+            lib.kmerio_side_part_scratch.argtypes = [
+                ctypes.c_long, ctypes.c_int
+            ]
+            lib.kmerio_side_tables_part.restype = ctypes.c_long
+            lib.kmerio_side_tables_part.argtypes = (
+                lib.kmerio_side_tables.argtypes[:4]
+                + [
+                    ctypes.POINTER(ctypes.c_uint64),
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int64,
+                ]
+                + lib.kmerio_side_tables.argtypes[6:]
+            )
+            lib._st_part = True
+        except AttributeError:
+            lib._st_part = False
         lib._st_ready = True
     A = np.ascontiguousarray(A, dtype=np.int64)
     n = A.shape[0]
@@ -480,14 +514,65 @@ def side_tables(A: np.ndarray, k: int, canonical: bool):
     rsame = np.empty(n, np.uint8); lsame = np.empty(n, np.uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    rc = fn(
-        A.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n, k,
-        1 if canonical else 0,
-        tptr, logcap,
+    out_ptrs = (
         rdeg.ctypes.data_as(i32p), rnbr.ctypes.data_as(i32p),
         rsame.ctypes.data_as(u8p),
         ldeg.ctypes.data_as(i32p), lnbr.ctypes.data_as(i32p),
         lsame.ctypes.data_as(u8p),
+    )
+    a_ptr = A.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    # Cache-blocked partitioned probes: pays once the probe table exceeds
+    # cache (~1M k-mers); below that the fp edition's table is resident
+    # anyway and the partition passes are pure overhead.  The scratch is
+    # a process-level grow-only buffer: on this class of virtualized
+    # hosts OS first-touch page provisioning costs seconds per GB, so
+    # the buffer is provisioned once and reused by every later call
+    # (sets shrinking through the multi-set greedy loop would otherwise
+    # re-provision per size class).  Auto mode engages from the second
+    # qualifying call of the process — a one-shot build's probe savings
+    # do not repay the provisioning, repeated builds do.
+    use_part = (
+        canonical
+        and lib._st_part
+        and lib._st_fp
+        and impl != "fp"
+        and (
+            impl == "part"
+            or (n >= (1 << 20) and not os.environ.get("KMERSET_TPU_NO_PART"))
+        )
+    )
+    if use_part:
+        sbytes = int(lib.kmerio_side_part_scratch(n, logcap))
+        with _part_lock:
+            global _part_scratch, _part_seen
+            warm = _part_scratch is not None and _part_scratch.nbytes >= sbytes
+            first = not _part_seen
+            _part_seen = True
+            if impl != "part" and first and not warm:
+                use_part = False
+            else:
+                if not warm:
+                    _part_scratch = np.empty(sbytes, dtype=np.uint8)
+                scratch = _part_scratch
+                rc = lib.kmerio_side_tables_part(
+                    a_ptr, n, k, 1, tptr, logcap,
+                    scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    scratch.nbytes, *out_ptrs,
+                )
+                if rc == 0:
+                    return (
+                        (rdeg, rnbr, rsame.view(bool)),
+                        (ldeg, lnbr, lsame.view(bool)),
+                    )
+                # The failed attempt may have part-filled the probe
+                # table; the fp edition below builds into the same
+                # buffer, so reset it.
+                table[:] = 0
+    rc = fn(
+        a_ptr, n, k,
+        1 if canonical else 0,
+        tptr, logcap,
+        *out_ptrs,
     )
     if rc != 0:
         # Allocation failure inside the C pass: the zeroed tables would

@@ -40,39 +40,56 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BLOCK = 16384  # elements per row/program (best of {4K..32K} on v5e)
 _ALIGN = 1024  # int32 HBM DMA alignment quantum: (8, 128) tile
 _FLAG = np.int32(1 << 30)  # partition bit; keys are 2k <= 30 bits
 
 
-def _flat_shift_left(x2d: jnp.ndarray, m: jnp.ndarray, nbits: int) -> jnp.ndarray:
-    """Shifts a (S, 128) int32 buffer left by m positions in row-major
-    element order, via one static roll + select per bit of m.
+def _block_size() -> int:
+    """Elements per row/program.  32K measured best on v5e with the
+    dynamic-rotate kernel (fewer grid steps amortize the per-program DMA
+    issue + semaphore cost; the row sort and the rotates are
+    per-element).  Env-tunable for other chip generations."""
+    import os
 
-    Lane-dim rolls (stride < 128) need a carry from the next sublane row;
-    sublane-dim rolls handle strides that are multiples of 128.  All
-    scalar ops are explicitly int32: mixing tracers with Python ints hits
-    an infinite weak-type promotion recursion under jax_enable_x64.
+    v = int(os.environ.get("KMERSET_TPU_COMPACT_BLOCK", "32768"))
+    if v < 2048 or v % _ALIGN:
+        raise ValueError(f"KMERSET_TPU_COMPACT_BLOCK must be a multiple of {_ALIGN} >= 2048")
+    return v
+
+
+BLOCK = _block_size()
+
+
+def _flat_shift_left(x2d: jnp.ndarray, m: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """Rotates a (S, 128) int32 buffer left by m positions in row-major
+    element order, via Mosaic dynamic rotates (tpu.dynamic_rotate).
+
+    m decomposes as sub_m rows + lane_m lanes.  The lane part needs a
+    carry from the next sublane row (one static roll + select); the
+    sublane part is one dynamic roll.  Three rotate passes total —
+    round 2's log-shift network (one static roll + select per bit of m,
+    ~26 passes for the kernel's two shifts) measured at ~0.75 ms of the
+    4M-window step; this form cuts the kernel to DMA cost.  `nbits` is
+    kept for signature stability (the rotate is exact for any m).
+
+    All scalar ops are explicitly int32: mixing tracers with Python ints
+    hits an infinite weak-type promotion recursion under jax_enable_x64.
     """
     from jax.experimental.pallas import tpu as pltpu
 
     S = x2d.shape[0]
-    out = x2d
-    one = jnp.int32(1)
-    for j in range(nbits):
-        s = 1 << j
-        if s < 128:
-            a = pltpu.roll(out, jnp.int32(128 - s), axis=1)
-            down1 = pltpu.roll(out, jnp.int32(S - 1), axis=0)
-            b = pltpu.roll(down1, jnp.int32(128 - s), axis=1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
-            shifted = jnp.where(lane < jnp.int32(128 - s), a, b)
-        else:
-            shifted = pltpu.roll(out, jnp.int32((S - (s // 128)) % S), axis=0)
-        out = jnp.where(
-            jax.lax.shift_right_logical(m, jnp.int32(j)) & one == one, shifted, out
-        )
-    return out
+    del nbits
+    lane_m = jax.lax.rem(m, jnp.int32(128))
+    sub_m = jax.lax.div(m, jnp.int32(128))
+    amt = jax.lax.rem(jnp.int32(128) - lane_m, jnp.int32(128))
+    a = pltpu.roll(x2d, amt, axis=1)
+    down1 = pltpu.roll(x2d, jnp.int32(S - 1), axis=0)
+    b = pltpu.roll(down1, amt, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x2d.shape, 1)
+    part = jnp.where(lane < jnp.int32(128) - lane_m, a, b)
+    return pltpu.roll(
+        part, jax.lax.rem(jnp.int32(S) - sub_m, jnp.int32(S)), axis=0
+    )
 
 
 def _make_kernel(nbuf: int):

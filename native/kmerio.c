@@ -491,7 +491,7 @@ static inline uint64_t mix64(uint64_t x) {
 #include <time.h>
 static int timing_on(void) {
     static int v = -1;
-    if (v < 0) { const char *e = getenv("KMERIO_TIMING"); v = (e && *e) ? 1 : 0; }
+    if (v < 0) { const char *e = getenv("KMERIO_TIMING"); v = (e && *e && *e != '0') ? 1 : 0; }
     return v;
 }
 static double now_s(void) {
@@ -880,6 +880,265 @@ long kmerio_side_tables_fp(const int64_t *A, long n, int k, int canonical,
         }
     }
     TLOG("side_tables_fp: probes: %.2fs  merges: %.2fs\n", t_probe, t_merge);
+    return 0;
+}
+
+
+/* --- cache-blocked (radix-partitioned) probe edition ---------------------
+ *
+ * The fp edition above is latency-bound: every probe is one random read
+ * into a table far larger than cache, and the prefetch distance only
+ * buys a few overlapping misses.  This edition makes the probe stream
+ * CACHE-RESIDENT instead (the classic partitioned hash join): all
+ * rc-probe candidates are radix-partitioned by the high bits of their
+ * SLOT index into per-region blocks (one streaming pass into strided
+ * per-bucket areas — no separate counting pass), then each table region
+ * is probed by its whole block while it sits in L2.  Hits carry their
+ * origin and are re-partitioned by origin block before application, so
+ * the write-back is cache-resident too.  The table build is partitioned
+ * the same way.
+ *
+ * Candidate generation is algebraic, not per-candidate bit-reversal:
+ * with r = rc(a),  rc(next(a, c)) = ((3-c) << (2k-2)) | (r >> 2)  and
+ * rc(prev(a, c)) = ((r << 2) & kmask) | (3-c), so one rc per k-mer
+ * (precomputed once) replaces the 8 per-candidate reversals, and the
+ * right-side direct merges of all four extensions collapse into one
+ * scan (the four candidates are consecutive integers).
+ *
+ * Outputs are bit-identical to kmerio_side_tables_fp: within one (i, c)
+ * at most one of {rc-probe, direct-merge} can find a neighbor, so
+ * "first found in c order" is reproduced exactly by a per-(i, side)
+ * best-c register, which is application-order-independent.
+ * (Reference semantics being reproduced: lib/core/spss.h:238-313.)
+ */
+
+#define PART_ALIGN8(x) (((x) + 7) & ~(long)7)
+
+/* Sizing shared by the wrapper and the function: per-side probe
+ * capacity with slack (expected rc-canonical fraction is ~1/2 of the 4n
+ * per-side candidates; overflow returns -4 and the caller falls back),
+ * bucket stride, and build stride. */
+static void part_layout(long n, int logcap, long *nb_out, long *pcb_out,
+                        long *bcb_out) {
+    int nb_bits = logcap - 16;  /* 512 KB table regions */
+    if (nb_bits < 0) nb_bits = 0;
+    if (nb_bits > 12) nb_bits = 12;
+    long NB = 1L << nb_bits;
+    *nb_out = NB;
+    *pcb_out = (2 * n + n / 4) / NB + 1024;  /* probe cap per bucket */
+    *bcb_out = n / NB + n / (8 * NB) + 1024; /* build cap per bucket */
+}
+
+long kmerio_side_part_scratch(long n, int logcap) {
+    long NB, pcb, bcb;
+    part_layout(n, logcap, &NB, &pcb, &bcb);
+    long pcap = NB * pcb, bcap = NB * bcb;
+    /* rca + (qr,org,sc,hidx) + (happ org/idx/sc) + build (key,idx)
+     * + bestc + counters */
+    return 8 * n + (8 + 4 + 1 + 4) * pcap
+           + (8 + 4) * bcap + 2 * n + (4096 + 257 + 8) * 8 + 128;
+}
+
+long kmerio_side_tables_part(const int64_t *A, long n, int k, int canonical,
+                             uint64_t *tab, int logcap,
+                             uint8_t *scratch, int64_t scratch_bytes,
+                             int32_t *rdeg, int32_t *rnbr, uint8_t *rsame,
+                             int32_t *ldeg, int32_t *lnbr, uint8_t *lsame) {
+    if (n <= 0) return 0;
+    if (!canonical) return -2;  /* directed case never probes: use _fp */
+    if (scratch_bytes < kmerio_side_part_scratch(n, logcap)) return -3;
+    const uint64_t kmask = (1ULL << (2 * k)) - 1;
+    const uint64_t tmask = (1ULL << logcap) - 1;
+    const int wide = (2 * k) > 32;
+    long NB, pcb, bcb;
+    part_layout(n, logcap, &NB, &pcb, &bcb);
+    const int bshift = (logcap - __builtin_ctzl(NB) > 0)
+                           ? (logcap - __builtin_ctzl(NB)) : 0;
+    const long pcap = NB * pcb, bcap = NB * bcb;
+
+    long off = 0;
+    int64_t *rca = (int64_t *)(scratch + off); off += 8 * n;
+    int64_t *qr = (int64_t *)(scratch + off); off += 8 * pcap;
+    int32_t *org = (int32_t *)(scratch + off); off += 4 * pcap;
+    int32_t *hidx = (int32_t *)(scratch + off); off += 4 * pcap;
+    uint8_t *sc = scratch + off; off = PART_ALIGN8(off + pcap);
+    /* The origin-block re-partition reuses qr (free after the probes):
+     * one packed (org << 33 | c << 31 | idx) entry per hit. */
+    int64_t *happ = qr;
+    int64_t *bkey = (int64_t *)(scratch + off); off += 8 * bcap;
+    int32_t *bidx = (int32_t *)(scratch + off); off = PART_ALIGN8(off + 4 * bcap);
+    uint8_t *bestc = scratch + off; off = PART_ALIGN8(off + 2 * n);
+    int64_t *cur = (int64_t *)(scratch + off); off += 4096 * 8;
+    int64_t *hcnt = (int64_t *)(scratch + off); off += 4096 * 8;
+    int64_t *blkoff = (int64_t *)(scratch + off); off += 257 * 8;
+
+    double t0 = now_s();
+    /* rc of every k-mer, once. */
+    #pragma omp parallel for schedule(static)
+    for (long i = 0; i < n; i++) rca[i] = (int64_t)rc_one((uint64_t)A[i], k);
+
+    /* --- partitioned table build (strided, single pass) --- */
+    for (long b = 0; b < NB; b++) cur[b] = b * bcb;
+    for (long i = 0; i < n; i++) {
+        long b = (long)((mix64((uint64_t)A[i]) & tmask) >> bshift);
+        long w = cur[b]++;
+        if (w >= (b + 1) * bcb) return -4;
+        bkey[w] = A[i]; bidx[w] = (int32_t)i;
+    }
+    for (long b = 0; b < NB; b++) {
+        for (long e = b * bcb; e < cur[b]; e++) {
+            uint64_t key = (uint64_t)bkey[e];
+            uint64_t h = mix64(key) & tmask;
+            while (tab[h]) h = (h + 1) & tmask;
+            tab[h] = (((uint64_t)(bidx[e] + 1)) << 32) | (uint32_t)key;
+        }
+    }
+    TLOG("side_tables_part: rc+build: %.2fs\n", now_s() - t0);
+
+    memset(rdeg, 0, (size_t)n * 4); memset(ldeg, 0, (size_t)n * 4);
+    memset(rnbr, 0, (size_t)n * 4); memset(lnbr, 0, (size_t)n * 4);
+    memset(rsame, 0, (size_t)n);    memset(lsame, 0, (size_t)n);
+    memset(bestc, 0xFF, (size_t)n * 2);
+
+    long class_lo[5];
+    for (int b = 0; b < 4; b++)
+        class_lo[b] = lower_bound64(A, n, (int64_t)((uint64_t)b << (2 * k - 2)));
+    class_lo[4] = n;
+
+    for (int side = 0; side < 2; side++) {
+        int32_t *deg = side ? ldeg : rdeg;
+        int32_t *nbr = side ? lnbr : rnbr;
+        uint8_t *same = side ? lsame : rsame;
+        uint8_t *bc = bestc + (size_t)side * n;
+
+        /* --- rc-candidate partition: one strided streaming pass --- */
+        t0 = now_s();
+        for (long b = 0; b < NB; b++) cur[b] = b * pcb;
+        for (long i = 0; i < n; i++) {
+            uint64_t a = (uint64_t)A[i], r = (uint64_t)rca[i];
+            for (int c = 0; c < 4; c++) {
+                uint64_t cand, v;
+                if (side) {
+                    cand = (a >> 2) | ((uint64_t)c << (2 * (k - 1)));
+                    v = ((r << 2) & kmask) | (uint64_t)(3 - c);
+                } else {
+                    cand = ((a << 2) | (uint64_t)c) & kmask;
+                    v = ((uint64_t)(3 - c) << (2 * (k - 1))) | (r >> 2);
+                }
+                if (v < cand && v != a) {
+                    long b = (long)((mix64(v) & tmask) >> bshift);
+                    long w = cur[b]++;
+                    if (w >= (b + 1) * pcb) return -4;
+                    qr[w] = (int64_t)v; org[w] = (int32_t)i;
+                    sc[w] = (uint8_t)c;
+                }
+            }
+        }
+        TLOG("side_tables_part: partition[%d]: %.2fs\n", side, now_s() - t0);
+
+        /* --- cache-resident probes; hits compact in place per bucket --- */
+        t0 = now_s();
+        #pragma omp parallel for schedule(dynamic, 1)
+        for (long b = 0; b < NB; b++) {
+            long w = b * pcb;
+            for (long e = b * pcb; e < cur[b]; e++) {
+                int32_t idx = fp_find(A, tab, tmask, wide, (uint64_t)qr[e]);
+                if (idx >= 0) {
+                    org[w] = org[e]; sc[w] = sc[e]; hidx[w] = idx; w++;
+                }
+            }
+            hcnt[b] = w - b * pcb;
+        }
+        TLOG("side_tables_part: probes[%d]: %.2fs\n", side, now_s() - t0);
+
+        /* --- re-partition hits by origin block, then apply --- */
+        t0 = now_s();
+        int blk_shift = 0;
+        while ((((n - 1) >> blk_shift) + 1) > 256) blk_shift++;
+        const long NBLK = ((n - 1) >> blk_shift) + 1;  /* <= 256 */
+        memset(blkoff, 0, (NBLK + 1) * 8);
+        for (long b = 0; b < NB; b++)
+            for (long e = b * pcb; e < b * pcb + hcnt[b]; e++)
+                blkoff[1 + (org[e] >> blk_shift)]++;
+        for (long t = 0; t < NBLK; t++) blkoff[t + 1] += blkoff[t];
+        for (long b = 0; b < NB; b++)
+            for (long e = b * pcb; e < b * pcb + hcnt[b]; e++) {
+                long w = blkoff[org[e] >> blk_shift]++;
+                happ[w] = (int64_t)(((uint64_t)(uint32_t)org[e] << 33)
+                          | ((uint64_t)sc[e] << 31)
+                          | (uint64_t)(uint32_t)hidx[e]);
+            }
+        for (long t = NBLK; t > 0; t--) blkoff[t] = blkoff[t - 1];
+        blkoff[0] = 0;
+        #pragma omp parallel for schedule(dynamic, 1)
+        for (long t = 0; t < NBLK; t++) {
+            for (long e = blkoff[t]; e < blkoff[t + 1]; e++) {
+                uint64_t h = (uint64_t)happ[e];
+                long i = (long)(h >> 33);
+                int c = (int)((h >> 31) & 3);
+                deg[i]++;
+                if ((uint8_t)c < bc[i]) {
+                    bc[i] = (uint8_t)c;
+                    nbr[i] = (int32_t)(h & 0x7FFFFFFF); same[i] = 1;
+                }
+            }
+        }
+        TLOG("side_tables_part: apply[%d]: %.2fs\n", side, now_s() - t0);
+
+        /* --- direct candidates: two-pointer merges --- */
+        t0 = now_s();
+        if (side == 0) {
+            /* The four right extensions of A[i] are the consecutive
+             * values 4*A[i]..4*A[i]+3 (mod class), so one scan covers
+             * all c at once. */
+            #pragma omp parallel for schedule(static)
+            for (int b = 0; b < 4; b++) {
+                long j = 0;
+                for (long i = class_lo[b]; i < class_lo[b + 1]; i++) {
+                    uint64_t a = (uint64_t)A[i], r = (uint64_t)rca[i];
+                    uint64_t base = (a << 2) & kmask;
+                    while (j < n && A[j] < (int64_t)base) j++;
+                    if (j >= n && base + 3 < base) break;
+                    for (long jj = j; jj < n && (uint64_t)A[jj] <= base + 3;
+                         jj++) {
+                        int c = (int)((uint64_t)A[jj] - base);
+                        uint64_t v = ((uint64_t)(3 - c) << (2 * (k - 1)))
+                                     | (r >> 2);
+                        uint64_t cand = base | (uint64_t)c;
+                        if (v < cand) continue;   /* probe side handled it */
+                        if (cand == a) continue;  /* self loop */
+                        if ((uint8_t)c < bc[i]) {
+                            bc[i] = (uint8_t)c;
+                            nbr[i] = (int32_t)jj; same[i] = 0;
+                        }
+                        deg[i]++;
+                    }
+                }
+            }
+        } else {
+            for (int c = 0; c < 4; c++) {
+                long j = 0;
+                for (long i = 0; i < n; i++) {
+                    uint64_t a = (uint64_t)A[i], r = (uint64_t)rca[i];
+                    uint64_t cand = (a >> 2)
+                                    | ((uint64_t)c << (2 * (k - 1)));
+                    uint64_t v = ((r << 2) & kmask) | (uint64_t)(3 - c);
+                    if (v < cand) continue;
+                    int64_t vv = (int64_t)cand;
+                    while (j < n && A[j] < vv) j++;
+                    if (j >= n) break;
+                    if (A[j] == vv && vv != (int64_t)a) {
+                        if ((uint8_t)c < bc[i]) {
+                            bc[i] = (uint8_t)c;
+                            nbr[i] = (int32_t)j; same[i] = 0;
+                        }
+                        deg[i]++;
+                    }
+                }
+            }
+        }
+        TLOG("side_tables_part: merges[%d]: %.2fs\n", side, now_s() - t0);
+    }
     return 0;
 }
 

@@ -65,3 +65,22 @@ def test_empty_set(tmp_path):
     compact.dump(path, "")
     loaded = KmerSetCompact.load(K, path, "")
     assert loaded.size() == 0
+
+
+def test_from_kmer_set_lazy_defers_and_matches_eager():
+    """lazy=True must defer the SPSS build (no strings materialized until
+    consumed) and produce byte-identical strings to the eager path;
+    size() answers from the cached k-mer array without forcing it."""
+    rng = np.random.default_rng(3)
+    ks = get_random_kmer_set(K, 3000, True, rng)
+    eager = KmerSetCompact.from_kmer_set(ks, True)
+    lazy = KmerSetCompact.from_kmer_set(ks, True, lazy=True)
+    assert lazy._spss is None  # still pending
+    assert lazy.size() == eager.size()  # answered from the k-mer cache
+    assert lazy._spss is None
+    assert lazy.to_kmer_set(True).equals(eager.to_kmer_set(True))
+    assert lazy._spss is None
+    # first consumption builds; result identical to the eager build
+    assert lazy.spss.to_strings() == eager.spss.to_strings()
+    assert lazy._pending is None
+    assert lazy.weight() == eager.weight()

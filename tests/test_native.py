@@ -396,3 +396,52 @@ def test_emit_kmer_chains_empty_group_exact_length():
     codes, offsets = res
     assert offsets[-1] == codes.shape[0]
     assert codes.shape[0] == 3 + 1  # k codes for the head + 1 per step
+
+
+@pytest.mark.parametrize("k", [9, 15, 19, 23, 31])
+def test_native_side_tables_part_matches_fp(k):
+    """The cache-blocked partitioned edition must be bit-identical to the
+    fp edition on every key layout (narrow fp32-exact keys at k <= 16,
+    verified wide keys above), including deg counts, first-neighbor
+    choice across the c order, and same-side flags."""
+    from kmerset_tpu.core import kmer as kc
+
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    native.side_tables(np.array([5], dtype=np.int64), k, True)  # bind syms
+    if not getattr(lib, "_st_part", False):
+        pytest.skip("partitioned edition not in this lib build")
+    rng = np.random.default_rng(k)
+    codes = rng.integers(0, 4, 60_000).astype(np.int64)
+    A = np.unique(kc.canonical(kc.kmers_from_codes(codes, k), k))
+    fp = native.side_tables(A, k, True, impl="fp")
+    pt = native.side_tables(A, k, True, impl="part")
+    assert fp is not None and pt is not None
+    for s_fp, s_pt in zip(fp, pt):
+        for a, b in zip(s_fp, s_pt):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_native_side_tables_part_grow_only_scratch():
+    """Repeated partitioned calls with shrinking inputs reuse one
+    process-level scratch buffer (no reallocation churn)."""
+    from kmerset_tpu.core import kmer as kc
+    from kmerset_tpu.core import native as nat
+
+    lib = nat.get_lib()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    nat.side_tables(np.array([5], dtype=np.int64), 15, True)  # bind syms
+    if not getattr(lib, "_st_part", False):
+        pytest.skip("partitioned edition not in this lib build")
+    rng = np.random.default_rng(0)
+    big = np.unique(kc.canonical(
+        kc.kmers_from_codes(rng.integers(0, 4, 80_000).astype(np.int64), 15), 15))
+    small = big[: big.size // 4]
+    r1 = nat.side_tables(big, 15, True, impl="part")
+    buf = nat._part_scratch
+    assert buf is not None
+    r2 = nat.side_tables(small, 15, True, impl="part")
+    assert nat._part_scratch is buf  # reused, not reallocated
+    assert r1 is not None and r2 is not None
