@@ -935,8 +935,9 @@ long kmerio_side_part_scratch(long n, int logcap) {
     long pcap = NB * pcb, bcap = NB * bcb;
     /* rca + (qr,org,sc,hidx) + (happ org/idx/sc) + build (key,idx)
      * + bestc + counters */
+    /* trailing counters: cur[4096] + hcnt[4096] + blkoff[257] */
     return 8 * n + (8 + 4 + 1 + 4) * pcap
-           + (8 + 4) * bcap + 2 * n + (4096 + 257 + 8) * 8 + 128;
+           + (8 + 4) * bcap + 2 * n + (4096 + 4096 + 257) * 8 + 128;
 }
 
 long kmerio_side_tables_part(const int64_t *A, long n, int k, int canonical,
