@@ -45,13 +45,14 @@ _FLAG = np.int32(1 << 30)  # partition bit; keys are 2k <= 30 bits
 
 
 def _block_size() -> int:
-    """Elements per row/program.  32K measured best on v5e with the
-    dynamic-rotate kernel (fewer grid steps amortize the per-program DMA
-    issue + semaphore cost; the row sort and the rotates are
-    per-element).  Env-tunable for other chip generations."""
+    """Elements per row/program.  8K measured best on v5e with the
+    dynamic-rotate kernel (full 4M-window step: 2.90 ms at 4K/8K,
+    2.95 at 16K, 3.00 at 32K, 3.77 at 64K — the partition row-sort's
+    per-element cost grows with row length faster than the per-program
+    overhead shrinks).  Env-tunable for other chip generations."""
     import os
 
-    v = int(os.environ.get("KMERSET_TPU_COMPACT_BLOCK", "32768"))
+    v = int(os.environ.get("KMERSET_TPU_COMPACT_BLOCK", "8192"))
     if v < 2048 or v % _ALIGN:
         raise ValueError(f"KMERSET_TPU_COMPACT_BLOCK must be a multiple of {_ALIGN} >= 2048")
     return v
