@@ -23,7 +23,6 @@ def main() -> None:
     from kmerset_tpu.ops import backend
     from kmerset_tpu.ops import count as C
     from kmerset_tpu.ops.pallas_compact import (
-        BLOCK,
         _partition_rows,
         compact_select_multi,
     )

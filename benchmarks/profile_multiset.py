@@ -95,7 +95,6 @@ def main() -> None:
     acc = sum(v for k2, v in ACC.items() if k2 != "spss_core")
     print(f"  (unattributed)  {total-acc:8.2f}s")
 
-    w0 = sum(c.weight() for c in compacts[:0]) or None
     final_w = sum(s.weight() for s in kss.kmer_sets_compact_)
     print(f"final total weight: {final_w}")
 

@@ -56,6 +56,9 @@ class KmerSetCompact:
     def spss(self, value: PackedStrings) -> None:
         self._spss = value
         self._pending = None
+        # The cached decode belonged to the previous strings.
+        self._kmers_cache = None
+        self._cache_canonical = None
 
     # -- conversions (reference: kmer_set_compact.h:36-55) -----------------
 

@@ -1099,7 +1099,10 @@ long kmerio_side_tables_part(const int64_t *A, long n, int k, int canonical,
                     uint64_t a = (uint64_t)A[i], r = (uint64_t)rca[i];
                     uint64_t base = (a << 2) & kmask;
                     while (j < n && A[j] < (int64_t)base) j++;
-                    if (j >= n && base + 3 < base) break;
+                    /* base is non-decreasing within a class (fixed top
+                     * bits), so once the merge pointer exhausts A no
+                     * later i in the class can match either. */
+                    if (j >= n) break;
                     for (long jj = j; jj < n && (uint64_t)A[jj] <= base + 3;
                          jj++) {
                         int c = (int)((uint64_t)A[jj] - base);

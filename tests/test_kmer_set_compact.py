@@ -84,3 +84,18 @@ def test_from_kmer_set_lazy_defers_and_matches_eager():
     assert lazy.spss.to_strings() == eager.spss.to_strings()
     assert lazy._pending is None
     assert lazy.weight() == eager.weight()
+
+
+def test_spss_setter_invalidates_kmer_cache():
+    """Assigning .spss must drop the cached decode — the cache belonged to
+    the previous strings (reference has no setter; ours exists so callers
+    can splice in externally built SPSS)."""
+    rng = np.random.default_rng(4)
+    a = get_random_kmer_set(K, 800, True, rng)
+    b = get_random_kmer_set(K, 800, True, rng)
+    ca = KmerSetCompact.from_kmer_set(a, True)
+    cb = KmerSetCompact.from_kmer_set(b, True)
+    assert ca.kmers(True) is not None  # populate the cache
+    ca.spss = cb.spss
+    assert ca.to_kmer_set(True).equals(b)
+    assert ca.size() == b.size()
