@@ -288,6 +288,29 @@ def should_use_device_graph(n_kmers: int) -> bool:
     return not _slow_link() or n_kmers >= _graph_threshold() * _GRAPH_SLOW_FACTOR
 
 
+def _host_cpu_fingerprint() -> str:
+    """Short digest of this host's CPU feature flags.  XLA's cache hash
+    does not cover the *loading* host's ISA: a CPU AOT artifact compiled
+    on a VM exposing e.g. AMX/prefer-no-scatter loads on a lesser host
+    with an 'could lead to SIGILL' error (seen in practice — hypervisors
+    here migrate the feature set day to day).  Keying the cache directory
+    by the flag set makes stale cross-machine artifacts invisible."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{platform.machine()}|{flags}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:10]
+
+
 def enable_compile_cache() -> None:
     """Persistent XLA compilation cache so repeated CLI invocations skip
     recompiles (jit programs here are large; cold compiles can take
@@ -297,7 +320,11 @@ def enable_compile_cache() -> None:
 
         cache_dir = os.environ.get(
             "KMERSET_TPU_COMPILE_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "kmerset_tpu_jax"),
+            os.path.join(
+                os.path.expanduser("~"),
+                ".cache",
+                f"kmerset_tpu_jax_{_host_cpu_fingerprint()}",
+            ),
         )
         if cache_dir:
             jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -332,3 +332,50 @@ def test_paths_with_spaces_through_compressor_pipes(tmp_path, genome_reads):
     ])
     assert r2.returncode == 0, r2.stderr
     assert "\t544\t" in r2.stdout or re.search(r"\t\d+\t\d+$", r2.stdout.strip())
+
+
+def test_multiple_compress_mesh_backend_matches_host(tmp_path, genome_reads):
+    """kmerset-multiple-compress forced through the 8-virtual-device mesh
+    (weight oracle + any device-gated SPSS phases) produces a compressed
+    directory whose decompression yields the same per-set Size/Hash as the
+    host run — the multi-set analogue of the mesh build e2e test."""
+    import os
+
+    genome, reads = genome_reads
+    rng = np.random.default_rng(7)
+    set_files = []
+    for s in range(3):
+        extra = kc.codes_to_string(rng.integers(0, 4, size=300).astype(np.uint8))
+        fasta = str(tmp_path / f"r{s}.fasta")
+        _write_fasta(fasta, reads + [extra])
+        out = str(tmp_path / f"s{s}.txt")
+        r = _run(["kmerset_tpu.cli.kmerset_build", "--k", "15", "--out", out, fasta])
+        assert r.returncode == 0, r.stderr
+        set_files.append(out)
+
+    results = {}
+    for mode in ("host", "mesh"):
+        env = dict(os.environ)
+        env["KMERSET_TPU_FORCE_BACKEND"] = mode
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        outdir = str(tmp_path / f"compressed_{mode}")
+        r = _run(
+            ["kmerset_tpu.cli.kmerset_multiple_compress", "--k", "15",
+             "--out", outdir, *set_files],
+            env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        r = _run(
+            ["kmerset_tpu.cli.kmerset_multiple_decompress", "--k", "15", outdir],
+            env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        results[mode] = (
+            re.findall(r"kmer_set\.Hash\(\) = (\d+)", r.stderr),
+            re.findall(r"kmer_set\.Size\(\) = (\d+)", r.stderr),
+        )
+    # The originals (first 3 reconstructions) must agree exactly; the
+    # children split may differ only if the oracle's weights differed,
+    # which byte-identical sketches forbid — assert full equality.
+    assert results["mesh"] == results["host"]
