@@ -47,6 +47,16 @@ import jax  # noqa: E402  (sitecustomize imports it anyway)
 honor_platform_env()
 
 
+def _n_mappings() -> int:
+    """Current process VMA count (the resource LLVM's in-process JIT
+    exhausts first; limit = vm.max_map_count, typically 65530)."""
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
 def _fresh_kmers(strings, k: int, canonical: bool) -> np.ndarray:
     """SPSS freshness invariant (reference: test/spss.cc:33-37)."""
     from kmerset_tpu.core import kmer as kc
@@ -244,13 +254,15 @@ def main() -> None:
         except AssertionError as e:
             print(f"{hdr} FAILED: {e}", flush=True)
             sys.exit(1)
-        if it % 200 == 0:
-            # Fresh shapes every iteration grow the jit/executable caches
-            # without bound; hours-long soaks eventually exhaust the
-            # process's mappings ("LLVM compilation error: Cannot
-            # allocate memory" with plenty of free RAM).  Periodic cache
-            # clearing keeps the harness immortal.
+        # Fresh shapes every iteration grow the jit/executable caches
+        # without bound; long soaks exhaust the process's mappings
+        # ("LLVM compilation error: Cannot allocate memory" with plenty
+        # of free RAM — vm.max_map_count is 65530 here and a 20-minute
+        # soak died at ~140 iterations under the old fixed every-200
+        # cadence).  Clear on measured mapping pressure instead.
+        if it % 10 == 0 and _n_mappings() > 40_000:
             jax.clear_caches()
+            log(f"cleared jax caches at {_n_mappings()} mappings")
         if args.seed:
             break
     print(f"soak ok: {it} iterations", flush=True)

@@ -16,3 +16,19 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Optional line-coverage collection (stdlib-only; see tests/_covplugin.py).
+# KMERSET_TPU_COV=<dump.json> activates it; benchmarks/cov_report.py reports.
+if os.environ.get("KMERSET_TPU_COV"):
+    try:
+        import importlib.util as _ilu
+
+        _spec = _ilu.spec_from_file_location(
+            "_covplugin",
+            os.path.join(os.path.dirname(__file__), "_covplugin.py"),
+        )
+        _cov = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_cov)
+        _cov.install(os.environ["KMERSET_TPU_COV"])
+    except Exception:  # noqa: BLE001 - never fail tests over coverage
+        pass
