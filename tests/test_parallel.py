@@ -1271,3 +1271,50 @@ def test_count_to_set_tiny_input_large_cutoff():
         assert int(n_cut) == np.unique(
             kc.canonical(kc.kmers_from_codes(codes.astype(np.int64), k), k)
         ).shape[0]
+
+
+@pytest.mark.parametrize("k", [11, 19])
+def test_count_kernel_branch_interpret_parity(k, monkeypatch):
+    """The Pallas-kernel branches of count_kmers/count_to_set (position-
+    diff counts; flag-free compaction) run only on a real TPU; pin their
+    algebra on CPU by forcing the branch through interpret mode.  Found
+    uncovered by the coverage report — the real chip exercised them, the
+    suite never did."""
+    from kmerset_tpu.ops import count as C
+    from kmerset_tpu.ops import pallas_compact as PC
+
+    monkeypatch.setattr(PC, "use_compact_kernel", lambda n, kk: n % PC.BLOCK == 0)
+    calls = []
+    orig = PC.compact_select_multi
+
+    def spy(lanes, keep, num_keys=1, interpret=False):
+        calls.append(1)
+        return orig(lanes, keep, num_keys, interpret=True)
+
+    monkeypatch.setattr(PC, "compact_select_multi", spy)
+
+    rng = np.random.default_rng(500 + k)
+    nw = C.good_sort_size(PC.BLOCK + 100)
+    codes = rng.integers(0, 4, size=nw + k - 1, dtype=np.int32)
+    valid = np.ones(codes.size, dtype=bool)
+    valid[-(k - 1):] = False
+
+    # jit caches would otherwise serve the unmonkeypatched trace.
+    C.count_kmers.clear_cache()
+    C.count_to_set.clear_cache()
+    try:
+        uniq, counts, n_unique = C.count_kmers(codes, valid, k, True)
+        n = int(n_unique)
+        w = kc.canonical(kc.kmers_from_codes(codes.astype(np.int64), k), k)
+        hu, hc = np.unique(w, return_counts=True)
+        np.testing.assert_array_equal(np.asarray(uniq)[:n], hu)
+        np.testing.assert_array_equal(np.asarray(counts)[:n], hc)
+
+        uniq2, n_kept, n_cut = C.count_to_set(codes, valid, k, True, 2)
+        expected = hu[hc >= 2]
+        np.testing.assert_array_equal(np.asarray(uniq2)[: int(n_kept)], expected)
+        assert int(n_cut) == hu.shape[0] - expected.shape[0]
+        assert len(calls) == 2  # both entry points took the kernel branch
+    finally:
+        C.count_kmers.clear_cache()
+        C.count_to_set.clear_cache()

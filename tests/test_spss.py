@@ -312,3 +312,31 @@ def test_seq_match_native_byte_parity():
         finally:
             native._LIB = lib
         np.testing.assert_array_equal(nm, pm)
+
+
+def test_emit_string_chains_numpy_fallback_parity(monkeypatch):
+    """The pure-numpy emission in _emit_string_chains must be
+    byte-identical to the native path (the fallback runs wherever the C
+    library is absent; found untested by the coverage report)."""
+    import kmerset_tpu.core.native as nat
+    from kmerset_tpu.core import spss as spss_mod
+    from kmerset_tpu.utils.random import get_random_kmer_set
+
+    if nat.get_lib() is None:
+        pytest.skip("native lib not built (nothing to compare against)")
+    rng = np.random.default_rng(321)
+    for canonical in (True, False):
+        ks = get_random_kmer_set(9, 4000, canonical, rng)
+        want = (
+            spss_mod.get_spss_canonical(ks, True)
+            if canonical
+            else spss_mod.get_spss(ks)
+        ).to_strings()
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(nat, "emit_string_chains", lambda *a, **kw: None)
+            got = (
+                spss_mod.get_spss_canonical(ks, True)
+                if canonical
+                else spss_mod.get_spss(ks)
+            ).to_strings()
+        assert got == want
