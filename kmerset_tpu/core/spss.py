@@ -267,7 +267,11 @@ def _emit_kmer_chains(
     if res is not None:
         return PackedStrings(res[0], res[1])
     counts = np.diff(group_starts)
-    str_lens = counts + k - 1
+    nonempty = counts > 0
+    # Empty groups emit length-0 strings, matching the native binding's
+    # documented contract (core/native.py emit_kmer_chains); the old
+    # unconditional counts + k - 1 gave an empty group k-1 garbage bytes.
+    str_lens = np.where(nonempty, counts + k - 1, 0)
     offsets = np.zeros(n_chains + 1, dtype=np.int64)
     np.cumsum(str_lens, out=offsets[1:])
     codes = np.zeros(int(offsets[-1]), dtype=np.uint8)
@@ -277,9 +281,9 @@ def _emit_kmer_chains(
     group_of = np.repeat(np.arange(n_chains, dtype=np.int64), counts)
     t = np.arange(nodes_sorted.shape[0], dtype=np.int64) - group_starts[group_of]
 
-    first_vals = ov[group_starts[:-1]]
-    codes_first = kmer_ops.codes_from_kmer(first_vals, k)  # (n_chains, k)
-    first_pos = offsets[:-1, None] + np.arange(k)
+    first_vals = ov[group_starts[:-1][nonempty]]
+    codes_first = kmer_ops.codes_from_kmer(first_vals, k)  # (n_nonempty, k)
+    first_pos = offsets[:-1][nonempty, None] + np.arange(k)
     codes[first_pos.ravel()] = codes_first.ravel().astype(np.uint8)
 
     rest = t > 0
@@ -340,9 +344,14 @@ def _mesh_chain_walk_kept_emit(
     # the host walk instead of silently emitting from a foreign origin.
     in_starts = np.zeros(succ.shape[0], dtype=bool)
     in_starts[starts] = True
-    if groups.shape[0] - 1 != starts.size or not in_starts[
-        nodes[groups[:-1]]
-    ].all():
+    # Empty groups are checked FIRST (short-circuit): a trailing empty
+    # group would make nodes[groups[:-1]] index past the end — fall back
+    # instead of crashing (same clamp contract as led_group_selection).
+    if (
+        groups.shape[0] - 1 != starts.size
+        or (np.diff(groups) <= 0).any()
+        or not in_starts[nodes[groups[:-1]]].all()
+    ):
         return None  # unexpected topology; use the host walk
     ps = PackedStrings(codes, str_offsets)
     keep, nodes_k, _groups_k, order = _kept_native_order(
@@ -429,7 +438,16 @@ def _walk_cycles(
     per-k-mer loop below is the byte-identical fallback."""
     from ..parallel import driver as mesh_driver
 
-    if mesh_driver.should_use_mesh_graph(succ.shape[0]):
+    if visited.all():
+        # Chains + isolated k-mers covered every entity, so no orbit
+        # exists and every backend would emit nothing — skip the scan
+        # (on the mesh path this avoids a full distributed pointer
+        # doubling whose only job was to discover there are no cycles).
+        return PackedStrings.empty()
+    # Gate on entity count like every other phase of the pipeline (the
+    # oriented successor has 2 nodes per entity).
+    n_ents = succ.shape[0] >> 1 if oriented else succ.shape[0]
+    if mesh_driver.should_use_mesh_graph(n_ents):
         res = _mesh_walk_cycles(A, k, succ, visited, oriented)
         if res is not None:
             return res
@@ -532,131 +550,126 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
 
     from ..ops import backend
 
-    t_start = time.perf_counter()
-    dev = None
-    from ..parallel import driver as mesh_driver
+    with _phase("unitigs: side tables + successor"):
+        dev = None
+        from ..parallel import driver as mesh_driver
 
-    if mesh_driver.should_use_mesh_graph(n):
-        # Multi-device front-end: sharded side tables + mate exchange +
-        # successor assembly (parallel/mesh.sharded_unitig_succ_fn).
-        backend.enable_compile_cache()
-        dev = mesh_driver.mesh_unitig_succ(A, k)
-    if dev is None and backend.should_use_device_graph(n):
-        from ..ops import unitigs as dev_unitigs
+        if mesh_driver.should_use_mesh_graph(n):
+            # Multi-device front-end: sharded side tables + mate exchange +
+            # successor assembly (parallel/mesh.sharded_unitig_succ_fn).
+            backend.enable_compile_cache()
+            dev = mesh_driver.mesh_unitig_succ(A, k)
+        if dev is None and backend.should_use_device_graph(n):
+            from ..ops import unitigs as dev_unitigs
 
-        backend.enable_compile_cache()
-        dev = dev_unitigs.device_unitig_succ(A, k)
-    if dev is not None:
-        # Fused device front-end: side tables + terminal tests + oriented
-        # successor in one jit (ops/unitigs.py).
-        succ, term_l, term_r, both = dev
-    else:
-        tables = _side_tables(A, k, canonical=True)
-        fused = native.unitig_succ_from_tables(tables)
-        if fused is not None:
-            succ, term_l, term_r, both = fused
+            backend.enable_compile_cache()
+            dev = dev_unitigs.device_unitig_succ(A, k)
+        if dev is not None:
+            # Fused device front-end: side tables + terminal tests + oriented
+            # successor in one jit (ops/unitigs.py).
+            succ, term_l, term_r, both = dev
         else:
-            (rdeg, rnbr, rsame), (ldeg, lnbr, lsame) = tables
-
-            # Terminal tests (reference: lib/core/spss.h:276-313): a side
-            # is terminal unless it has exactly one mate whose
-            # corresponding side also has exactly one mate.
-            mate_r = np.where(rsame, rdeg[rnbr], ldeg[rnbr])
-            term_r = (rdeg != 1) | (mate_r != 1)
-            mate_l = np.where(lsame, ldeg[lnbr], rdeg[lnbr])
-            term_l = (ldeg != 1) | (mate_l != 1)
-
-            # Oriented successor: u = 2i+0 exits right, u = 2i+1 exits
-            # left.  After a same-side step the orientation flips
-            # (reference FindPath, lib/core/spss.h:394-423).
-            succ = np.empty(2 * n, dtype=np.int64)
-            succ[0::2] = np.where(term_r, -1, 2 * rnbr + rsame)
-            succ[1::2] = np.where(
-                term_l, -1, 2 * lnbr + (~lsame).astype(np.int64)
-            )
-
-            both = term_l & term_r
-    logger.debug(
-        "unitigs: side tables + successor: %.2fs", time.perf_counter() - t_start
-    )
-    t_start = time.perf_counter()
-    starts_r_exit = np.flatnonzero(term_l & ~term_r) * 2
-    starts_l_exit = np.flatnonzero(term_r & ~term_l) * 2 + 1
-    starts = np.concatenate([starts_r_exit, starts_l_exit])
-
-    # Each chain exists once per orientation; keep the one whose start
-    # k-mer is >= its end k-mer (reference skip rule,
-    # lib/core/spss.h:511,555).  Mesh path first (distributed pointer
-    # doubling + owner-routed grouping — no sequential walk anywhere);
-    # then the native fast path: measure all chains, apply the rule,
-    # emit only winners (3n visits); fallback: walk everything and
-    # filter.
-    kept = None
-    chains = None
-    if mesh_driver.should_use_mesh_graph(n):
-        # Fully distributed walk: grouping + base-code rendering both
-        # happen on the mesh (one owner-routed exchange carrying values).
-        # Pointer doubling runs once; the grouping-only fallback reuses
-        # its (end, dist, is_chain) result instead of re-walking.  The
-        # guards mirror the drivers' own early-outs, which used to skip
-        # the doubling entirely.
-        pd = (
-            mesh_driver.mesh_pointer_double(succ)
-            if 0 < starts.size and 0 < succ.shape[0] < (1 << 30)
-            else None
-        )
-        if pd is not None:
-            em = _mesh_chain_walk_kept_emit(A, k, succ, starts, pd=pd)
-            if em is not None:
-                chains, nodes = em
+            tables = _side_tables(A, k, canonical=True)
+            fused = native.unitig_succ_from_tables(tables)
+            if fused is not None:
+                succ, term_l, term_r, both = fused
             else:
-                kept = _mesh_chain_walk_kept(A, succ, starts, pd=pd)
-    if chains is None:
-        if kept is None:
-            kept = native.chain_walk_kept(
-                succ, starts, lambda s, e: A[s >> 1] >= A[e >> 1]
+                (rdeg, rnbr, rsame), (ldeg, lnbr, lsame) = tables
+
+                # Terminal tests (reference: lib/core/spss.h:276-313): a side
+                # is terminal unless it has exactly one mate whose
+                # corresponding side also has exactly one mate.
+                mate_r = np.where(rsame, rdeg[rnbr], ldeg[rnbr])
+                term_r = (rdeg != 1) | (mate_r != 1)
+                mate_l = np.where(lsame, ldeg[lnbr], rdeg[lnbr])
+                term_l = (ldeg != 1) | (mate_l != 1)
+
+                # Oriented successor: u = 2i+0 exits right, u = 2i+1 exits
+                # left.  After a same-side step the orientation flips
+                # (reference FindPath, lib/core/spss.h:394-423).
+                succ = np.empty(2 * n, dtype=np.int64)
+                succ[0::2] = np.where(term_r, -1, 2 * rnbr + rsame)
+                succ[1::2] = np.where(
+                    term_l, -1, 2 * lnbr + (~lsame).astype(np.int64)
+                )
+
+                both = term_l & term_r
+    with _phase("unitigs: chain walk"):
+        starts_r_exit = np.flatnonzero(term_l & ~term_r) * 2
+        starts_l_exit = np.flatnonzero(term_r & ~term_l) * 2 + 1
+        starts = np.concatenate([starts_r_exit, starts_l_exit])
+
+        # Each chain exists once per orientation; keep the one whose start
+        # k-mer is >= its end k-mer (reference skip rule,
+        # lib/core/spss.h:511,555).  Mesh path first (distributed pointer
+        # doubling + owner-routed grouping — no sequential walk anywhere);
+        # then the native fast path: measure all chains, apply the rule,
+        # emit only winners (3n visits); fallback: walk everything and
+        # filter.
+        kept = None
+        chains = None
+        if mesh_driver.should_use_mesh_graph(n):
+            # Fully distributed walk: grouping + base-code rendering both
+            # happen on the mesh (one owner-routed exchange carrying values).
+            # Pointer doubling runs once; the grouping-only fallback reuses
+            # its (end, dist, is_chain) result instead of re-walking.  The
+            # guards mirror the drivers' own early-outs, which used to skip
+            # the doubling entirely.
+            pd = (
+                mesh_driver.mesh_pointer_double(succ)
+                if 0 < starts.size and 0 < succ.shape[0] < (1 << 30)
+                else None
             )
-        if kept is not None:
-            nodes_kept, groups_kept = kept
-            nodes = nodes_kept  # kept chains cover the same entities
-        else:
-            nodes, groups = _chains_grouped(succ, starts)
-            firsts, lasts, nonempty = _group_endpoints(nodes, groups)
-            keep = nonempty & (A[firsts >> 1] >= A[lasts >> 1])
-            nodes_kept, groups_kept = _filter_groups(nodes, groups, keep)
-    logger.debug("unitigs: chain walk: %.2fs", time.perf_counter() - t_start)
-    t_start = time.perf_counter()
-    if chains is None:
-        chains = _emit_kmer_chains(A, k, nodes_kept, groups_kept, oriented=True)
+            if pd is not None:
+                em = _mesh_chain_walk_kept_emit(A, k, succ, starts, pd=pd)
+                if em is not None:
+                    chains, nodes = em
+                else:
+                    kept = _mesh_chain_walk_kept(A, succ, starts, pd=pd)
+        if chains is None:
+            if kept is None:
+                kept = native.chain_walk_kept(
+                    succ, starts, lambda s, e: A[s >> 1] >= A[e >> 1]
+                )
+            if kept is not None:
+                nodes_kept, groups_kept = kept
+                nodes = nodes_kept  # kept chains cover the same entities
+            else:
+                nodes, groups = _chains_grouped(succ, starts)
+                firsts, lasts, nonempty = _group_endpoints(nodes, groups)
+                keep = nonempty & (A[firsts >> 1] >= A[lasts >> 1])
+                nodes_kept, groups_kept = _filter_groups(nodes, groups, keep)
+    with _phase("unitigs: emission + cycles"):
+        if chains is None:
+            chains = _emit_kmer_chains(A, k, nodes_kept, groups_kept, oriented=True)
 
-    parts: List[PackedStrings] = [chains]
+        parts: List[PackedStrings] = [chains]
 
-    # Isolated k-mers (terminals on both sides), one string each
-    # (reference: lib/core/spss.h:459-493).
-    both_idx = np.flatnonzero(both)
-    if both_idx.size:
-        res = native.emit_kmer_chains(
-            A,
-            k,
-            2 * both_idx,
-            np.arange(both_idx.size + 1, dtype=np.int64),
-            oriented=True,
-        )
-        if res is not None:
-            parts.append(PackedStrings(res[0], res[1]))
-        else:
-            codes = kmer_ops.codes_from_kmer(A[both_idx], k).astype(np.uint8)
-            offsets = np.arange(both_idx.size + 1, dtype=np.int64) * k
-            parts.append(PackedStrings(codes.ravel(), offsets))
+        # Isolated k-mers (terminals on both sides), one string each
+        # (reference: lib/core/spss.h:459-493).
+        both_idx = np.flatnonzero(both)
+        if both_idx.size:
+            res = native.emit_kmer_chains(
+                A,
+                k,
+                2 * both_idx,
+                np.arange(both_idx.size + 1, dtype=np.int64),
+                oriented=True,
+            )
+            if res is not None:
+                parts.append(PackedStrings(res[0], res[1]))
+            else:
+                codes = kmer_ops.codes_from_kmer(A[both_idx], k).astype(np.uint8)
+                offsets = np.arange(both_idx.size + 1, dtype=np.int64) * k
+                parts.append(PackedStrings(codes.ravel(), offsets))
 
-    # Non-branching loops (reference: lib/core/spss.h:583-612).  Every
-    # entity on any walked chain is covered by a kept chain (kept chains
-    # and their dropped mirrors visit the same k-mers).
-    visited = np.zeros(n, dtype=bool)
-    visited[nodes >> 1] = True
-    visited[both_idx] = True
-    parts.append(_walk_cycles(A, k, succ, visited, oriented=True))
-    logger.debug("unitigs: emission + cycles: %.2fs", time.perf_counter() - t_start)
+        # Non-branching loops (reference: lib/core/spss.h:583-612).  Every
+        # entity on any walked chain is covered by a kept chain (kept chains
+        # and their dropped mirrors visit the same k-mers).
+        visited = np.zeros(n, dtype=bool)
+        visited[nodes >> 1] = True
+        visited[both_idx] = True
+        parts.append(_walk_cycles(A, k, succ, visited, oriented=True))
 
     return _concat_packed(parts)
 

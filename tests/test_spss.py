@@ -340,3 +340,26 @@ def test_emit_string_chains_numpy_fallback_parity(monkeypatch):
                 else spss_mod.get_spss(ks)
             ).to_strings()
         assert got == want
+
+
+def test_emit_kmer_chains_empty_group_backend_parity(monkeypatch):
+    """Empty chain groups must emit length-0 strings on every backend
+    (the native binding documents this; the numpy fallback used to give
+    an empty group k-1 garbage bytes and read the next group's first
+    node — review finding, round 3)."""
+    import kmerset_tpu.core.native as nat
+    from kmerset_tpu.core.spss import _emit_kmer_chains
+
+    k = 5
+    A = np.sort(
+        np.unique(np.random.default_rng(9).integers(0, 1 << (2 * k), 8))
+    ).astype(np.int64)
+    nodes = np.array([0, 4], dtype=np.int64)
+    groups = np.array([0, 1, 1, 2], dtype=np.int64)  # middle group empty
+
+    native_res = _emit_kmer_chains(A, k, nodes, groups, oriented=False)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(nat, "emit_kmer_chains", lambda *a, **kw: None)
+        fallback_res = _emit_kmer_chains(A, k, nodes, groups, oriented=False)
+    assert fallback_res.to_strings() == native_res.to_strings()
+    assert fallback_res.lengths().tolist() == [k, 0, k]
