@@ -1021,7 +1021,9 @@ def decode_unique_kmers(spss: PackedStrings, k: int, canonical: bool) -> np.ndar
     n_windows = int(spss.codes.shape[0]) - k + 1
     if n_windows > 0 and driver.should_use_mesh(n_windows):
         backend.enable_compile_cache()
-        res = driver.mesh_count(spss.codes, spss.offsets, k, canonical)
+        res = driver.mesh_count(
+            spss.codes, spss.offsets, k, canonical, need_counts=False
+        )
         if res is not None:
             return res[0]
     if n_windows > 0 and backend.should_use_device_chunked(n_windows):

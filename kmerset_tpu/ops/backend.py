@@ -129,7 +129,11 @@ def _slow_link() -> bool:
             bw = 2 * x.nbytes / max(dt, 1e-9)
             _link_slow = bw < (1 << 30)  # < 1 GB/s round trip
         except Exception:  # noqa: BLE001
+            # Transient probe failure (device busy, flaky jit): treat as
+            # slow for THIS process only — persisting it would poison
+            # every process on the machine for 24h.
             _link_slow = True
+            return _link_slow
         try:
             os.makedirs(os.path.dirname(_link_cache_path()), exist_ok=True)
             with open(_link_cache_path(), "w") as f:

@@ -29,8 +29,42 @@ _log = get_logger()
 
 
 def _mesh_env_capacity() -> Optional[int]:
+    """A malformed override degrades to the default with a warning (same
+    contract as ops/backend._env_int) — raising here would be swallowed
+    by the mesh routers' blanket fallbacks and silently disable the
+    whole mesh backend."""
     v = os.environ.get("KMERSET_TPU_MESH_CAPACITY", "")
-    return int(v) if v else None
+    if not v:
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        _log.warning(
+            "ignoring malformed KMERSET_TPU_MESH_CAPACITY=%r (using defaults)", v
+        )
+        return None
+
+
+def _pad_stride(n_dev: int, arr: np.ndarray, fill, dtype) -> np.ndarray:
+    """Pads a length-n array to the device-strided layout (cap * n_dev,
+    cap = ceil(n / n_dev)), fill value in the tail — the staging step
+    every mesh router shares."""
+    n = arr.shape[0]
+    cap = math.ceil(n / n_dev)
+    out = np.full(cap * n_dev, fill, dtype=dtype)
+    out[:n] = arr
+    return out
+
+
+def _led_chain_selection(
+    end: np.ndarray, is_chain: np.ndarray, starts: np.ndarray, n: int
+) -> np.ndarray:
+    """Node mask of the chains led by `starts` (parity-critical: decides
+    which chains the grouped/emit paths produce — one definition, shared
+    by mesh_chain_group and mesh_emit_chains)."""
+    keep_end = np.zeros(n, dtype=bool)
+    keep_end[end[starts]] = True
+    return is_chain & keep_end[end]
 
 
 def _mesh_available() -> Optional[bool]:
@@ -67,13 +101,16 @@ def should_use_mesh(n_windows: int) -> bool:
     avail = _mesh_available()
     if avail is not None:
         return avail
+    if backend._slow_link():
+        # Counting's OUTPUT dominates a tunneled link: codes go up at
+        # 1 byte/window but (uniq, counts) come back at ~16 — at any
+        # size the gather alone exceeds the host's whole count time
+        # (should_use_device_chunked refuses the same class for the
+        # same reason).  Only the forced mode routes here.
+        return False
     if n_windows > backend.MAX_DEVICE_WINDOWS:
         return True  # too big for the one-shot single-chip sort
-    if n_windows < backend._threshold():
-        return False
-    return not backend._slow_link() or n_windows >= (
-        backend._threshold() * backend._SLOW_LINK_FACTOR
-    )
+    return n_windows >= backend._threshold()
 
 
 def should_use_mesh_graph(n_nodes: int) -> bool:
@@ -123,9 +160,13 @@ def mesh_count(
     k: int,
     canonical: bool,
     mesh=None,
-) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    need_counts: bool = True,
+) -> Optional[Tuple[np.ndarray, Optional[np.ndarray]]]:
     """Counts k-mers across the device mesh; returns (uniq, counts) or
-    None when unavailable (caller falls back to single-device/host)."""
+    None when unavailable (caller falls back to single-device/host).
+    need_counts=False skips the counts gather — the decode direction
+    only wants the distinct keys, and counts are ~8 bytes/window of
+    host<->device (and in multi-process mode cross-host) traffic."""
     try:
         import jax
 
@@ -189,16 +230,20 @@ def mesh_count(
 
         m = n_dev * capacity  # per-device output width
         uniq = _gather_global(uniq, np.int64).reshape(n_dev, m)
-        counts = _gather_global(counts, np.int64).reshape(n_dev, m)
         n_unique = _gather_global(n_unique, np.int64).reshape(n_dev)
         parts_k = [uniq[d, : n_unique[d]] for d in range(n_dev)]
-        parts_c = [counts[d, : n_unique[d]] for d in range(n_dev)]
         # Device d owns key range d: concatenation is globally sorted.
         out_k = np.concatenate(parts_k).astype(np.int64)
+        if not need_counts:
+            return out_k, None
+        counts = _gather_global(counts, np.int64).reshape(n_dev, m)
+        parts_c = [counts[d, : n_unique[d]] for d in range(n_dev)]
         out_c = np.concatenate(parts_c).astype(np.int64)
         return out_k, out_c
     except Exception as e:  # noqa: BLE001 - mesh path is best-effort
-        _log.debug("mesh count unavailable, falling back: %r", e)
+        from ..ops.backend import _note_fallback
+
+        _note_fallback("mesh_count", e)
         return None
 
 
@@ -280,7 +325,9 @@ def mesh_unitig_succ(A: np.ndarray, k: int, mesh=None):
             collect(both, bool),
         )
     except Exception as e:  # noqa: BLE001
-        _log.debug("mesh unitig front-end unavailable, falling back: %r", e)
+        from ..ops.backend import _note_fallback
+
+        _note_fallback("mesh_unitig_succ", e)
         return None
 
 
@@ -352,13 +399,14 @@ def mesh_pointer_double(succ: np.ndarray, labels: np.ndarray | None = None, mesh
         if mesh is None:
             mesh = make_mesh()
         n_dev = int(mesh.devices.size)
-        cap = math.ceil(n / n_dev)
-        N = cap * n_dev
-        sp = np.full(N, -1, dtype=np.int32)
-        sp[:n] = succ
-        lp = np.zeros(N, dtype=np.int32)
-        if labels is not None:
-            lp[:n] = labels
+        N = math.ceil(n / n_dev) * n_dev
+        sp = _pad_stride(n_dev, succ.astype(np.int32), -1, np.int32)
+        lp = _pad_stride(
+            n_dev,
+            (labels if labels is not None else np.zeros(n)).astype(np.int32),
+            0,
+            np.int32,
+        )
         rounds = max(1, int(np.ceil(np.log2(max(N, 2)))) + 1)
         fn = sharded_pointer_double_fn(mesh, rounds, labels is not None)
         end, dist, is_chain, mlab = fn(
@@ -371,7 +419,9 @@ def mesh_pointer_double(succ: np.ndarray, labels: np.ndarray | None = None, mesh
             _gather_global(mlab)[:n] if labels is not None else None,
         )
     except Exception as e:  # noqa: BLE001
-        _log.debug("mesh pointer doubling unavailable, falling back: %r", e)
+        from ..ops.backend import _note_fallback
+
+        _note_fallback("mesh_pointer_double", e)
         return None
 
 
@@ -391,8 +441,15 @@ def maybe_init_distributed() -> None:
     if spec in ("1", "auto"):
         jax.distributed.initialize()
     else:
-        addr, n, pid = spec.split(",")
-        jax.distributed.initialize(addr, int(n), int(pid))
+        try:
+            addr, n, pid = spec.split(",")
+            n_i, pid_i = int(n), int(pid)
+        except ValueError as e:
+            raise ValueError(
+                "malformed KMERSET_TPU_DISTRIBUTED=%r: expected "
+                "'auto' or 'addr:port,num_processes,process_id'" % spec
+            ) from e
+        jax.distributed.initialize(addr, n_i, pid_i)
     _log.info(
         "jax.distributed: process %d / %d", jax.process_index(), jax.process_count()
     )
@@ -431,19 +488,12 @@ def mesh_chain_group(succ: np.ndarray, starts: np.ndarray, mesh=None, pd=None):
         if pd is None:
             return None
         end, dist, is_chain, _ = pd
-        keep_end = np.zeros(n, dtype=bool)
-        keep_end[end[starts]] = True
-        sel = is_chain & keep_end[end]
+        sel = _led_chain_selection(end, is_chain, starts, n)
 
         n_dev = int(mesh.devices.size)
-        cap = math.ceil(n / n_dev)
-        N = cap * n_dev
-        ep = np.zeros(N, dtype=np.int32)
-        ep[:n] = end
-        dp = np.zeros(N, dtype=np.int32)
-        dp[:n] = dist
-        sp = np.zeros(N, dtype=bool)
-        sp[:n] = sel
+        ep = _pad_stride(n_dev, end.astype(np.int32), 0, np.int32)
+        dp = _pad_stride(n_dev, dist.astype(np.int32), 0, np.int32)
+        sp = _pad_stride(n_dev, sel, False, bool)
         fn = sharded_chain_group_fn(mesh)
         es, ns = fn(
             _stride_global(mesh, ep),
@@ -469,7 +519,9 @@ def mesh_chain_group(succ: np.ndarray, starts: np.ndarray, mesh=None, pd=None):
         _led, nodes, groups, order = sel2
         return permute_groups(nodes, groups, order)
     except Exception as e:  # noqa: BLE001
-        _log.debug("mesh chain grouping unavailable, falling back: %r", e)
+        from ..ops.backend import _note_fallback
+
+        _note_fallback("mesh_chain_group", e)
         return None
 
 
@@ -512,9 +564,7 @@ def mesh_emit_chains(
         if pd is None:
             return None
         end, dist, is_chain, _ = pd
-        keep_end = np.zeros(n, dtype=bool)
-        keep_end[end[starts]] = True
-        sel = is_chain & keep_end[end]
+        sel = _led_chain_selection(end, is_chain, starts, n)
 
         ids = np.arange(n, dtype=np.int64)
         if oriented:
@@ -527,19 +577,12 @@ def mesh_emit_chains(
         vlo = (vals & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
 
         n_dev = int(mesh.devices.size)
-        cap = math.ceil(n / n_dev)
-        N = cap * n_dev
-
-        def pad(x, fill, dtype):
-            out = np.full(N, fill, dtype=dtype)
-            out[:n] = x
-            return out
-
-        ep = pad(end, 0, np.int32)
-        dp = pad(dist, 0, np.int32)
-        sp = pad(sel, False, bool)
-        vhp = pad(vhi, 0, np.int32)
-        vlp = pad(vlo, 0, np.int32)
+        N = math.ceil(n / n_dev) * n_dev
+        ep = _pad_stride(n_dev, end.astype(np.int32), 0, np.int32)
+        dp = _pad_stride(n_dev, dist.astype(np.int32), 0, np.int32)
+        sp = _pad_stride(n_dev, sel, False, bool)
+        vhp = _pad_stride(n_dev, vhi, 0, np.int32)
+        vlp = _pad_stride(n_dev, vlo, 0, np.int32)
         args = tuple(
             _stride_global(mesh, x) for x in (ep, dp, sp, vhp, vlp)
         )
@@ -597,7 +640,9 @@ def mesh_emit_chains(
             return None  # device/host accounting mismatch; fall back
         return nodes, groups, codes, str_offsets
     except Exception as e:  # noqa: BLE001
-        _log.debug("mesh emission unavailable, falling back: %r", e)
+        from ..ops.backend import _note_fallback
+
+        _note_fallback("mesh_emit_chains", e)
         return None
 
 
@@ -621,11 +666,14 @@ def mesh_matching(pa: np.ndarray, pb: np.ndarray, n_ports: int, mesh=None):
             mesh = make_mesh()
         n_dev = int(mesh.devices.size)
         ecap = math.ceil(n_e / n_dev)
+        if ecap * n_dev >= (1 << 31):
+            # Global edge priorities are int32 (prio = iota + my * ecap,
+            # mesh.sharded_matching_fn); past 2^31 padded edges they wrap
+            # and the greedy order silently diverges from the host path.
+            return None
         pcap = math.ceil(n_ports / n_dev)
-        pa_p = np.full(ecap * n_dev, -1, dtype=np.int32)
-        pa_p[:n_e] = pa
-        pb_p = np.full(ecap * n_dev, -1, dtype=np.int32)
-        pb_p[:n_e] = pb
+        pa_p = _pad_stride(n_dev, pa.astype(np.int32), -1, np.int32)
+        pb_p = _pad_stride(n_dev, pb.astype(np.int32), -1, np.int32)
         m0 = np.zeros(pcap * n_dev, dtype=np.int32)
         fn = sharded_matching_fn(mesh)
         match = fn(
@@ -635,7 +683,9 @@ def mesh_matching(pa: np.ndarray, pb: np.ndarray, n_ports: int, mesh=None):
         )
         return _gather_global(match)[:n_ports]
     except Exception as e:  # noqa: BLE001
-        _log.debug("mesh matching unavailable, falling back: %r", e)
+        from ..ops.backend import _note_fallback
+
+        _note_fallback("mesh_matching", e)
         return None
 
 
@@ -668,11 +718,8 @@ def mesh_overlap_edges(P: np.ndarray, S: np.ndarray, k: int, mesh=None):
             mesh = make_mesh()
         n_dev = int(mesh.devices.size)
         ucap = math.ceil(n / n_dev)
-        N = ucap * n_dev
-        pp = np.full(N, -1, dtype=np.int64)
-        pp[:n] = P
-        ss = np.full(N, -1, dtype=np.int64)
-        ss[:n] = S
+        pp = _pad_stride(n_dev, P.astype(np.int64), -1, np.int64)
+        ss = _pad_stride(n_dev, S.astype(np.int64), -1, np.int64)
         qcap = _mesh_env_capacity() or (
             1 << (max(1024, 2 * 16 * ucap // n_dev) - 1).bit_length()
         )
@@ -718,5 +765,7 @@ def mesh_overlap_edges(P: np.ndarray, S: np.ndarray, k: int, mesh=None):
             b_out.append(dst[ok])
         return np.concatenate(a_out), np.concatenate(b_out)
     except Exception as e:  # noqa: BLE001
-        _log.debug("mesh overlap edges unavailable, falling back: %r", e)
+        from ..ops.backend import _note_fallback
+
+        _note_fallback("mesh_overlap_edges", e)
         return None

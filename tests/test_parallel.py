@@ -1318,3 +1318,94 @@ def test_count_kernel_branch_interpret_parity(k, monkeypatch):
     finally:
         C.count_kmers.clear_cache()
         C.count_to_set.clear_cache()
+
+
+def test_mesh_count_keys_only_skips_counts(monkeypatch):
+    """need_counts=False returns (uniq, None) with identical keys — the
+    decode direction's gather saver (review finding, round 3)."""
+    from kmerset_tpu.parallel import driver
+
+    rng = np.random.default_rng(33)
+    codes = rng.integers(0, 4, 6000).astype(np.int32)
+    offsets = np.array([0, 6000], dtype=np.int64)
+    full = driver.mesh_count(codes, offsets, 11, True)
+    keys = driver.mesh_count(codes, offsets, 11, True, need_counts=False)
+    assert full is not None and keys is not None
+    assert keys[1] is None
+    np.testing.assert_array_equal(keys[0], full[0])
+
+
+def test_mesh_env_capacity_malformed_warns(monkeypatch, caplog):
+    """A malformed KMERSET_TPU_MESH_CAPACITY must degrade to defaults
+    with a warning, not silently disable the mesh backend."""
+    from kmerset_tpu.parallel import driver
+
+    monkeypatch.setenv("KMERSET_TPU_MESH_CAPACITY", "8,192")
+    with caplog.at_level("WARNING", logger="kmerset"):
+        assert driver._mesh_env_capacity() is None
+    assert any("KMERSET_TPU_MESH_CAPACITY" in r.message for r in caplog.records)
+    rng = np.random.default_rng(34)
+    codes = rng.integers(0, 4, 3000).astype(np.int32)
+    offsets = np.array([0, 3000], dtype=np.int64)
+    got = driver.mesh_count(codes, offsets, 9, True)  # still works
+    assert got is not None
+
+
+def test_mesh_fallback_counts(monkeypatch):
+    """Mesh router failures must increment backend.FALLBACK_COUNT —
+    a dead multi-device path cannot masquerade as a host-speed
+    regression (review finding, round 3)."""
+    from kmerset_tpu.ops import backend
+    from kmerset_tpu.parallel import driver
+
+    def boom(*a, **kw):
+        raise RuntimeError("dead ICI link")
+
+    monkeypatch.setattr(driver, "_stride_global", boom)
+    before = backend.FALLBACK_COUNT
+    codes = np.zeros(3000, dtype=np.int32)
+    offsets = np.array([0, 3000], dtype=np.int64)
+    assert driver.mesh_count(codes, offsets, 9, True) is None
+    assert backend.FALLBACK_COUNT == before + 1
+
+
+def test_should_use_mesh_refuses_slow_link(monkeypatch):
+    """On a slow link the counting output gather dominates at any size;
+    only the forced mode routes to the mesh."""
+    from kmerset_tpu.ops import backend
+    from kmerset_tpu.parallel import driver
+
+    monkeypatch.setattr(driver, "_mesh_available", lambda: None)
+    monkeypatch.setattr(backend, "_slow_link", lambda: True)
+    assert not driver.should_use_mesh(backend.MAX_DEVICE_WINDOWS * 2)
+    monkeypatch.setattr(backend, "_slow_link", lambda: False)
+    assert driver.should_use_mesh(backend.MAX_DEVICE_WINDOWS * 2)
+
+
+def test_maybe_init_distributed_malformed_spec(monkeypatch):
+    from kmerset_tpu.parallel import driver
+
+    monkeypatch.setenv("KMERSET_TPU_DISTRIBUTED", "host:1234,4")
+    with pytest.raises(ValueError, match="KMERSET_TPU_DISTRIBUTED"):
+        driver.maybe_init_distributed()
+
+
+def test_slow_link_probe_failure_not_persisted(monkeypatch, tmp_path):
+    """A transient probe failure is a process-local 'slow' verdict; it
+    must NOT be written to the on-disk cache (24h poisoning)."""
+    from kmerset_tpu.ops import backend
+
+    cache = tmp_path / "link"
+    monkeypatch.setattr(backend, "_link_cache_path", lambda: str(cache))
+    monkeypatch.setattr(backend, "_link_slow", None)
+    monkeypatch.delenv("KMERSET_TPU_LINK", raising=False)
+    monkeypatch.setattr(backend, "_backend_alive", lambda: True)
+
+    import jax as _jax
+
+    def bad_jit(*a, **kw):
+        raise RuntimeError("device busy")
+
+    monkeypatch.setattr(_jax, "jit", bad_jit)
+    assert backend._slow_link() is True
+    assert not cache.exists()
