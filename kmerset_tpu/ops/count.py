@@ -73,19 +73,16 @@ def _pack_contig(codes: jnp.ndarray, start: int, m: int, dtype) -> jnp.ndarray:
 def _pack_span(codes: jnp.ndarray, positions: range, dtype) -> jnp.ndarray:
     """Packs codes[p + q] for q in `positions` (first listed = most
     significant lane) for every window start p."""
-    if positions.step == 1:
-        return _pack_contig(codes, positions.start, len(positions), dtype)
-    out = jnp.zeros(codes.shape[0], dtype=dtype)
-    c = codes.astype(dtype)
-    for q in positions:
-        shifted = jnp.roll(c, -q) if q else c
-        out = (out << 2) | shifted
-    return out
+    # Every caller builds step-1 ranges; the doubling path IS the
+    # implementation (a naive per-base fallback was dead code).
+    assert positions.step == 1, positions
+    return _pack_contig(codes, positions.start, len(positions), dtype)
 
 
 def _pack_span_rc(codes: jnp.ndarray, positions: range, dtype) -> jnp.ndarray:
     """Same but for the reverse complement: base t of the rc-window is
-    3 - codes[p + k - 1 - t], so `positions` are given already reflected."""
+    3 - codes[p + k - 1 - t], so `positions` are given already reflected
+    (step -1 — the only shape callers build)."""
     if positions.step == -1:
         # Descending positions hi..lo of 3-codes == ascending pack of the
         # mirrored pairing: build with doubling on the reflected sequence.
@@ -112,12 +109,8 @@ def _pack_span_rc(codes: jnp.ndarray, positions: range, dtype) -> jnp.ndarray:
             out = piece if out is None else ((out << (2 * size)) | piece)
             pos += size
         return out
-    out = jnp.zeros(codes.shape[0], dtype=dtype)
-    c = (3 - codes).astype(dtype)
-    for q in positions:
-        shifted = jnp.roll(c, -q) if q else c
-        out = (out << 2) | shifted
-    return out
+    # Callers always reflect to step -1; see _pack_span.
+    raise AssertionError(positions)
 
 
 def _use_pallas() -> bool:

@@ -18,13 +18,15 @@ This kernel replaces it with an O(n) pass built around three TPU facts:
     at/below its true destination and reproduces the previous program's
     real tail in the overlap from a VMEM `spill` scratch that persists
     across grid steps.
-  * Arbitrary dynamic shifts are unsupported, but a shift by m
-    decomposes into log2(max_shift) STATIC lane/sublane rolls selected
-    by the bits of m (`_flat_shift_left`).
+  * Mosaic supports DYNAMIC rotate amounts (tpu.dynamic_rotate), so a
+    flat shift by m is three rotate passes — a lane rotate with a
+    carry row plus one sublane rotate (`_flat_shift_left`; round 2's
+    per-bit static roll+select network cost ~26 passes).
 
 Pipeline: blockwise partition (one cheap row-sort bringing each row's
-kept elements to its prefix — XLA sorts (R, 16K) rows ~4x faster than
-one flat array) -> per-row counts + exclusive scan -> this kernel.
+kept elements to its prefix — XLA sorts (R, BLOCK) rows ~4x faster than
+one flat array; BLOCK defaults to 8192) -> per-row counts + exclusive
+scan -> this kernel.
 The pair variant carries one payload lane (e.g. run-head positions, from
 which run lengths are recovered as position diffs) through the same
 shifts.
@@ -49,19 +51,40 @@ def _block_size() -> int:
     dynamic-rotate kernel (full 4M-window step: 2.90 ms at 4K/8K,
     2.95 at 16K, 3.00 at 32K, 3.77 at 64K — the partition row-sort's
     per-element cost grows with row length faster than the per-program
-    overhead shrinks).  Env-tunable for other chip generations."""
+    overhead shrinks).  Env-tunable for other chip generations.
+
+    Must be a power of two >= 2048: good_sort_size only emits 2^p and
+    3*2^p sizes, so a non-power-of-two block would NEVER divide any
+    sort size and silently disable the kernel the knob exists to tune.
+    A malformed value degrades to the default with a warning (raising
+    here would be swallowed into a debug-level host fallback by every
+    consumer — the whole accelerator backend would vanish over a typo)."""
+    import logging
     import os
 
-    v = int(os.environ.get("KMERSET_TPU_COMPACT_BLOCK", "8192"))
-    if v < 2048 or v % _ALIGN:
-        raise ValueError(f"KMERSET_TPU_COMPACT_BLOCK must be a multiple of {_ALIGN} >= 2048")
-    return v
+    default = 8192
+    raw = os.environ.get("KMERSET_TPU_COMPACT_BLOCK", "")
+    if not raw:
+        return default
+    try:
+        v = int(raw)
+        if v < 2048 or v & (v - 1):
+            raise ValueError
+        return v
+    except ValueError:
+        logging.getLogger("kmerset").warning(
+            "ignoring KMERSET_TPU_COMPACT_BLOCK=%r "
+            "(need a power of two >= 2048; using %d)",
+            raw,
+            default,
+        )
+        return default
 
 
 BLOCK = _block_size()
 
 
-def _flat_shift_left(x2d: jnp.ndarray, m: jnp.ndarray, nbits: int) -> jnp.ndarray:
+def _flat_shift_left(x2d: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     """Rotates a (S, 128) int32 buffer left by m positions in row-major
     element order, via Mosaic dynamic rotates (tpu.dynamic_rotate).
 
@@ -70,8 +93,8 @@ def _flat_shift_left(x2d: jnp.ndarray, m: jnp.ndarray, nbits: int) -> jnp.ndarra
     sublane part is one dynamic roll.  Three rotate passes total —
     round 2's log-shift network (one static roll + select per bit of m,
     ~26 passes for the kernel's two shifts) measured at ~0.75 ms of the
-    4M-window step; this form cuts the kernel to DMA cost.  `nbits` is
-    kept for signature stability (the rotate is exact for any m).
+    4M-window step; this form cuts the kernel to DMA cost.  Exact for
+    any m in [0, S*128).
 
     All scalar ops are explicitly int32: mixing tracers with Python ints
     hits an infinite weak-type promotion recursion under jax_enable_x64.
@@ -79,7 +102,6 @@ def _flat_shift_left(x2d: jnp.ndarray, m: jnp.ndarray, nbits: int) -> jnp.ndarra
     from jax.experimental.pallas import tpu as pltpu
 
     S = x2d.shape[0]
-    del nbits
     lane_m = jax.lax.rem(m, jnp.int32(128))
     sub_m = jax.lax.div(m, jnp.int32(128))
     amt = jax.lax.rem(jnp.int32(128) - lane_m, jnp.int32(128))
@@ -114,9 +136,9 @@ def _make_kernel(nbuf: int):
             # F = [spill (last 1024 reals emitted) | this row's prefix]
             F = jnp.concatenate([spill[bi], rows_ref[np.int32(0), bi]], axis=0)
             # out[a0 + i] = F[(1024 - g) + i]
-            bufs.append(_flat_shift_left(F, align - g, 11))
+            bufs.append(_flat_shift_left(F, align - g))
             # next spill: last 1024 of the real stream = F[c : c + 1024]
-            spill[bi] = _flat_shift_left(F, c, BLOCK.bit_length())[: _ALIGN // 128]
+            spill[bi] = _flat_shift_left(F, c)[: _ALIGN // 128]
 
         def write(vb):
             for b in range(nbuf):

@@ -237,3 +237,22 @@ def test_lookup_join32_matches_int64():
     np.testing.assert_array_equal(
         np.asarray(i64)[np.asarray(f64)], np.asarray(i32)[np.asarray(f32)]
     )
+
+
+def test_compact_block_env_malformed_and_nondivisible(monkeypatch, caplog):
+    """KMERSET_TPU_COMPACT_BLOCK must warn-and-default on malformed or
+    non-power-of-two values — a raise here would be swallowed into a
+    silent host fallback by every consumer, and a non-power-of-two
+    block never divides any good_sort_size output (review finding)."""
+    from kmerset_tpu.ops.pallas_compact import _block_size
+
+    for bad in ("8k", "5120", "1024", "12288"):
+        monkeypatch.setenv("KMERSET_TPU_COMPACT_BLOCK", bad)
+        with caplog.at_level("WARNING", logger="kmerset"):
+            caplog.clear()
+            assert _block_size() == 8192
+        assert any("KMERSET_TPU_COMPACT_BLOCK" in r.message for r in caplog.records)
+    monkeypatch.setenv("KMERSET_TPU_COMPACT_BLOCK", "16384")
+    assert _block_size() == 16384
+    monkeypatch.delenv("KMERSET_TPU_COMPACT_BLOCK")
+    assert _block_size() == 8192
