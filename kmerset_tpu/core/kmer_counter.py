@@ -73,6 +73,10 @@ class KmerCounter:
             np.asarray(counts, dtype=np.int64) if counts is not None else np.empty(0, np.int64)
         )
         self._pending: List[Tuple[int, int]] = []
+        # Device-resident mirror of `kmers` (ops/resident.DeviceKmers),
+        # set by the device counting path; carried into the KmerSet by
+        # to_kmer_set so the SPSS graph phase skips its upload.
+        self._device = None
 
     # -- construction (reference: lib/core/kmer_counter.h:62-209) ----------
 
@@ -149,10 +153,18 @@ class KmerCounter:
                     return cls(k, uniq, np.minimum(counts, value_max), value_max)
             if backend.should_use_device(n_windows):
                 backend.enable_compile_cache()
-                result = backend.device_count(codes, offsets, k, canonical)
+                result = backend.device_count(
+                    codes, offsets, k, canonical, resident=True
+                )
                 if result is not None:
-                    uniq, counts = result
-                    return cls(k, uniq, np.minimum(counts, value_max), value_max)
+                    uniq, counts, handle = result
+                    counter = cls(
+                        k, uniq, np.minimum(counts, value_max), value_max
+                    )
+                    # Keep the sorted set on-device so the SPSS graph
+                    # phase skips its re-upload (ops/resident.py).
+                    counter._device = handle
+                    return counter
         # Host int32 fast path for the 30-bit key widths (k <= 15): one
         # native rolling pass emits dense int32 canonical keys — half the
         # sort bytes and none of the int64 window/rc temporaries of the
@@ -204,6 +216,8 @@ class KmerCounter:
     def _flush(self) -> None:
         if not self._pending:
             return
+        # Incremental adds invalidate any device-resident mirror.
+        self._device = None
         pend = np.array(self._pending, dtype=np.int64)
         self._pending.clear()
         all_k = np.concatenate([self.kmers, pend[:, 0]])
@@ -230,12 +244,26 @@ class KmerCounter:
 
     def to_kmer_set(self, cutoff: int) -> Tuple[KmerSet, int]:
         """Filters out k-mers with count < cutoff; returns (set, n_cut)
-        (reference: lib/core/kmer_counter.h:211-243)."""
+        (reference: lib/core/kmer_counter.h:211-243).  A device-resident
+        mirror is filtered on-device in parallel and carried into the
+        KmerSet (count -> graph fusion, ops/resident.py)."""
         self._flush()
         if cutoff <= 1:
             # Nothing to filter: reuse the sorted array (skips a full
             # fancy-index copy — ~233 MB at 29M k-mers).
-            return KmerSet(self.k, self.kmers, _sorted=True), 0
+            ks = KmerSet(self.k, self.kmers, _sorted=True)
+            if self._device is not None and self._device.valid_for(
+                ks.kmers, self.k
+            ):
+                ks.device = self._device
+            return ks, 0
         keep = self.counts >= cutoff
         n_cut = int(np.count_nonzero(~keep))
-        return KmerSet(self.k, self.kmers[keep], _sorted=True), n_cut
+        ks = KmerSet(self.k, self.kmers[keep], _sorted=True)
+        if self._device is not None and self._device.valid_for(
+            self.kmers, self.k
+        ):
+            dh = self._device.filtered(cutoff, self.value_max)
+            if dh is not None and dh.n == ks.size():
+                ks.device = dh.with_endpoints(ks.kmers)
+        return ks, n_cut

@@ -28,7 +28,7 @@ class KmerSet:
     over sorted arrays.
     """
 
-    __slots__ = ("k", "kmers")
+    __slots__ = ("k", "kmers", "device")
 
     def __init__(self, k: int, kmers: np.ndarray | None = None, *, _sorted: bool = False):
         self.k = k
@@ -40,6 +40,12 @@ class KmerSet:
 
             kmers = sorted_unique(kmers)
         self.kmers = kmers
+        # Optional device-resident mirror (ops/resident.DeviceKmers) set by
+        # the counting path; an optimization hint only — consumers validate
+        # with device.valid_for(kmers, k) and the host array stays
+        # authoritative.  Never propagated through set algebra (new sets
+        # start without one).
+        self.device = None
 
     # -- construction ------------------------------------------------------
 

@@ -119,17 +119,21 @@ def _side_table_plain(A: np.ndarray, k: int, right: bool):
     return deg, nbr
 
 
-def _side_tables(A: np.ndarray, k: int, canonical: bool):
+def _side_tables(A: np.ndarray, k: int, canonical: bool, resident=None):
     """Both side tables, on the accelerator for large sets (hot loop #2)
     with host fallback.  Returns ((rdeg, rnbr, rsame), (ldeg, lnbr, lsame));
-    same-side flags are all-False in the directed (non-canonical) case."""
+    same-side flags are all-False in the directed (non-canonical) case.
+    `resident` = validated device-resident mirror of A (count -> graph
+    fusion; see get_unitigs_canonical)."""
     from ..ops import backend
 
-    if backend.should_use_device_graph(A.shape[0]):
+    if backend.should_use_device_graph(
+        A.shape[0], resident=resident is not None
+    ):
         from ..ops import neighbors
 
         backend.enable_compile_cache()
-        res = neighbors.device_side_tables(A, k, canonical)
+        res = neighbors.device_side_tables(A, k, canonical, resident=resident)
         if res is not None:
             return res
     res = native.side_tables(A, k, canonical)
@@ -554,22 +558,31 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
         dev = None
         from ..parallel import driver as mesh_driver
 
+        # Device-resident mirror from the counting phase (count -> graph
+        # fusion): validated against the host array, it feeds the device
+        # front-end with no upload, which opens the offload gate even on
+        # slow links (ops/backend.should_use_device_graph resident arm).
+        res_handle = kmer_set.device
+        if res_handle is not None and not res_handle.valid_for(A, k):
+            res_handle = None
         if mesh_driver.should_use_mesh_graph(n):
             # Multi-device front-end: sharded side tables + mate exchange +
             # successor assembly (parallel/mesh.sharded_unitig_succ_fn).
             backend.enable_compile_cache()
             dev = mesh_driver.mesh_unitig_succ(A, k)
-        if dev is None and backend.should_use_device_graph(n):
+        if dev is None and backend.should_use_device_graph(
+            n, resident=res_handle is not None
+        ):
             from ..ops import unitigs as dev_unitigs
 
             backend.enable_compile_cache()
-            dev = dev_unitigs.device_unitig_succ(A, k)
+            dev = dev_unitigs.device_unitig_succ(A, k, resident=res_handle)
         if dev is not None:
             # Fused device front-end: side tables + terminal tests + oriented
             # successor in one jit (ops/unitigs.py).
             succ, term_l, term_r, both = dev
         else:
-            tables = _side_tables(A, k, canonical=True)
+            tables = _side_tables(A, k, canonical=True, resident=res_handle)
             fused = native.unitig_succ_from_tables(tables)
             if fused is not None:
                 succ, term_l, term_r, both = fused
@@ -683,7 +696,12 @@ def get_unitigs(kmer_set: KmerSet) -> PackedStrings:
     if n == 0:
         return PackedStrings.empty()
 
-    (outdeg, nxt, _), (indeg, prv, _) = _side_tables(A, k, canonical=False)
+    res_handle = kmer_set.device
+    if res_handle is not None and not res_handle.valid_for(A, k):
+        res_handle = None
+    (outdeg, nxt, _), (indeg, prv, _) = _side_tables(
+        A, k, canonical=False, resident=res_handle
+    )
 
     # Start/end tests (reference: lib/core/spss.h:96-146).
     is_start = (indeg != 1) | (outdeg[prv] != 1)

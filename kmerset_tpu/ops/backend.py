@@ -279,7 +279,14 @@ def should_use_device(n_windows: int) -> bool:
 MAX_DEVICE_GRAPH_KMERS = 1 << 26
 
 
-def should_use_device_graph(n_kmers: int) -> bool:
+def should_use_device_graph(n_kmers: int, resident: bool = False) -> bool:
+    """`resident=True` means the sorted set is already ON the device
+    (a DeviceKmers handle from the count phase, ops/resident.py): the
+    upload leg — the reason the slow-link factor existed — is gone, so
+    the gate opens at the base threshold even through a tunneled link.
+    The succ/terminal download (~11 B/k-mer) remains, but so does the
+    host side-table cost it displaces (measured round 3: 21.5 s device
+    vs 34 s host at 29M k-mers WITH the upload still paid)."""
     force = _force()
     if force == "host":
         return False
@@ -289,6 +296,8 @@ def should_use_device_graph(n_kmers: int) -> bool:
         return False
     if _cpu_backend():
         return False
+    if resident:
+        return True
     return not _slow_link() or n_kmers >= _graph_threshold() * _GRAPH_SLOW_FACTOR
 
 
@@ -499,10 +508,14 @@ def device_unique_chunked(
 
 
 def device_count(
-    codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool
-) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-    """Counts k-mers on the accelerator; returns (uniq, counts) or None if
-    the device path is unavailable (caller falls back to host)."""
+    codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool,
+    resident: bool = False,
+) -> Optional[Tuple]:
+    """Counts k-mers on the accelerator; returns (uniq, counts) — plus a
+    DeviceKmers handle (or None) as a third element when `resident` is
+    asked — or None if the device path is unavailable (caller falls back
+    to host).  The handle keeps the sorted unique array ON the device so
+    the graph phase skips its re-upload (ops/resident.py)."""
     try:
         from .count import count_kmers
     except Exception:  # noqa: BLE001 - any jax failure => host fallback
@@ -514,7 +527,16 @@ def device_count(
         codes32, valid = staged
         uniq, counts, n_unique = count_kmers(codes32, valid, k, canonical)
         n = int(n_unique)
-        return np.asarray(uniq[:n]), np.asarray(counts[:n], dtype=np.int64)
+        uniq_h = np.asarray(uniq[:n])
+        counts_h = np.asarray(counts[:n], dtype=np.int64)
+        if not resident:
+            return uniq_h, counts_h
+        from .resident import DeviceKmers
+
+        handle = DeviceKmers.from_count_outputs(
+            uniq, counts, n, k, canonical, uniq_h
+        )
+        return uniq_h, counts_h, handle
     except Exception as e:  # noqa: BLE001
         _note_fallback("device_count", e)
         return None

@@ -203,16 +203,24 @@ _side_tables = None
 
 
 def device_side_tables(
-    A: np.ndarray, k: int, canonical: bool
+    A: np.ndarray, k: int, canonical: bool, resident=None
 ) -> Optional[Tuple]:
     """Computes both side tables on the accelerator; returns
     ((rdeg, rnbr, rsame), (ldeg, lnbr, lsame)) as numpy arrays trimmed to
-    len(A), or None if the device path is unavailable."""
+    len(A), or None if the device path is unavailable.  `resident` (a
+    validated ops/resident.DeviceKmers) supplies the set already
+    on-device, skipping the upload — only usable when its lane layout
+    matches this call's (int32 handles are canonical-only)."""
     global _side_tables
     try:
         if _side_tables is None:
             _side_tables = _build()
-        if canonical and k <= 15:
+        use32 = canonical and k <= 15
+        if resident is not None and (
+            resident.graph_input().dtype == (np.int32 if use32 else np.int64)
+        ):
+            Ap = resident.graph_input()
+        elif use32:
             Ap = pad_pow2(A.astype(np.int32), PAD32)
         else:
             Ap = pad_pow2(A, SENTINEL)

@@ -61,15 +61,20 @@ def _build():
 _unitig_succ = None
 
 
-def device_unitig_succ(A: np.ndarray, k: int) -> Optional[Tuple]:
+def device_unitig_succ(A: np.ndarray, k: int, resident=None) -> Optional[Tuple]:
     """(succ, term_l, term_r, both) as host arrays trimmed to len(A), or
-    None when the device path is unavailable."""
+    None when the device path is unavailable.  `resident` (a validated
+    ops/resident.DeviceKmers) supplies the set already on-device in the
+    exact padded layout, skipping the upload entirely — the count->graph
+    fusion of the build pipeline."""
     global _unitig_succ
     try:
         if _unitig_succ is None:
             _unitig_succ = _build()
         n = A.shape[0]
-        if k <= 15:
+        if resident is not None:
+            Ap = resident.graph_input()
+        elif k <= 15:
             # Canonical int32 fast path (ops/neighbors.py tables_traced):
             # half the join sort bytes, native int32 compares.
             from .neighbors import PAD32

@@ -1,0 +1,152 @@
+"""Count -> graph device-resident fusion (ops/resident.py).
+
+The device counting pipeline keeps its sorted unique array on the
+accelerator (a DeviceKmers handle riding KmerCounter -> KmerSet), and the
+SPSS graph front-end consumes it without re-uploading.  These tests force
+the device backend (XLA-CPU here) and pin: handle integrity checks, the
+on-device cutoff filter against the host filter, byte-identical SPSS
+output with and without the handle, and that the fused path really skips
+the upload staging."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kmerset_tpu.core import spss
+from kmerset_tpu.core.kmer_counter import KmerCounter
+from kmerset_tpu.core.kmer_set import KmerSet
+
+
+def _reads(k: int, seed: int, n_reads: int = 40) -> list:
+    from kmerset_tpu.utils.random import get_random_read
+
+    rng = np.random.default_rng(seed)
+    return [get_random_read(k, rng) for _ in range(n_reads)]
+
+
+@pytest.mark.parametrize("k", [15, 19, 23])
+def test_resident_handle_rides_counter_to_set(monkeypatch, k):
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    reads = _reads(k, seed=k)
+    counter = KmerCounter.from_reads(k, reads, canonical=True)
+    assert counter._device is not None
+    assert counter._device.valid_for(counter.kmers, k)
+    ks, n_cut = counter.to_kmer_set(1)
+    assert n_cut == 0
+    assert ks.device is not None
+    assert ks.device.valid_for(ks.kmers, k)
+    # The handle mirrors the host array exactly (prefix of the padded
+    # device array equals the authoritative host kmers).
+    arr = np.asarray(ks.device.graph_input())[: ks.size()].astype(np.int64)
+    np.testing.assert_array_equal(arr, ks.kmers)
+
+
+@pytest.mark.parametrize("cutoff", [2, 3])
+def test_resident_cutoff_filter_matches_host(monkeypatch, cutoff):
+    k = 15
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    # Duplicate reads so counts spread across the cutoff.
+    reads = _reads(k, seed=7, n_reads=30)
+    reads = reads + reads[::2] + reads[::3]
+    counter = KmerCounter.from_reads(k, reads, canonical=True)
+    assert counter._device is not None
+    ks, n_cut = counter.to_kmer_set(cutoff)
+    assert n_cut > 0, "fixture must actually cut something"
+    assert ks.device is not None, "device-side filter should survive"
+    assert ks.device.n == ks.size()
+    arr = np.asarray(ks.device.graph_input())[: ks.size()].astype(np.int64)
+    np.testing.assert_array_equal(arr, ks.kmers)
+
+
+def test_resident_value_max_saturation(monkeypatch):
+    """The on-device filter saturates counts at value_max exactly like
+    the host AddWithMax semantics (reference: lib/core/kmer_counter.h:28-38):
+    with value_max=2 and cutoff=3 nothing can survive, however often a
+    k-mer occurred."""
+    k = 15
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    reads = _reads(k, seed=11, n_reads=10)
+    counter = KmerCounter.from_reads(k, reads * 5, canonical=True, value_max=2)
+    ks, n_cut = counter.to_kmer_set(3)
+    assert ks.size() == 0
+    assert n_cut == counter.size()
+
+
+def test_resident_stale_handle_is_ignored(monkeypatch):
+    k = 15
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    counter = KmerCounter.from_reads(k, _reads(k, seed=3), canonical=True)
+    ks, _ = counter.to_kmer_set(1)
+    assert ks.device is not None
+    # Attach the handle to a DIFFERENT set: valid_for must refuse it and
+    # the SPSS build must fall back to the upload path, still correct.
+    other = KmerSet(k, ks.kmers[:-1], _sorted=True)
+    other.device = ks.device
+    assert not ks.device.valid_for(other.kmers, k)
+    unitigs = spss.get_unitigs_canonical(other)
+    rt = spss.get_kmer_set_from_spss(unitigs, k, True)
+    np.testing.assert_array_equal(rt.kmers, other.kmers)
+
+
+@pytest.mark.parametrize("k", [15, 19])
+def test_resident_spss_byte_identical_and_skips_upload(monkeypatch, k):
+    """get_unitigs_canonical through the resident handle produces the
+    same bytes as the upload-staged device path AND never stages a host
+    array (pad_pow2 untouched) — the fusion contract."""
+    from kmerset_tpu.ops import neighbors as nb
+    from kmerset_tpu.ops import unitigs as ut
+
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    counter = KmerCounter.from_reads(k, _reads(k, seed=k + 1), canonical=True)
+    ks, _ = counter.to_kmer_set(1)
+    assert ks.device is not None
+
+    staged = {"n": 0}
+
+    def spy(a, fill):
+        staged["n"] += 1
+        return nb.pad_pow2(a, fill)
+
+    monkeypatch.setattr(ut, "pad_pow2", spy)
+    u_res = spss.get_unitigs_canonical(ks)
+    assert staged["n"] == 0, "resident path must not stage/upload the set"
+
+    bare = KmerSet(k, ks.kmers, _sorted=True)  # same set, no handle
+    u_dev = spss.get_unitigs_canonical(bare)
+    np.testing.assert_array_equal(u_res.codes, u_dev.codes)
+    np.testing.assert_array_equal(u_res.offsets, u_dev.offsets)
+
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    u_host = spss.get_unitigs_canonical(bare)
+    np.testing.assert_array_equal(u_res.codes, u_host.codes)
+    np.testing.assert_array_equal(u_res.offsets, u_host.offsets)
+
+
+def test_resident_plain_directed_graph(monkeypatch):
+    """Non-canonical counters carry the handle too; for k <= 15 the
+    int32 canonical lane layout does not match the plain path, which
+    must quietly use the upload path (k=19 int64 layout matches)."""
+    k = 19
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    counter = KmerCounter.from_reads(k, _reads(k, seed=5), canonical=False)
+    ks, _ = counter.to_kmer_set(1)
+    assert ks.device is not None
+    u_res = spss.get_unitigs(ks)
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    bare = KmerSet(k, ks.kmers, _sorted=True)
+    u_host = spss.get_unitigs(bare)
+    np.testing.assert_array_equal(u_res.codes, u_host.codes)
+    np.testing.assert_array_equal(u_res.offsets, u_host.offsets)
+
+
+def test_resident_incremental_add_invalidates(monkeypatch):
+    k = 15
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    counter = KmerCounter.from_reads(k, _reads(k, seed=9), canonical=True)
+    assert counter._device is not None
+    counter.add(5)
+    counter.size()  # flush
+    assert counter._device is None
+    ks, _ = counter.to_kmer_set(1)
+    assert ks.device is None
