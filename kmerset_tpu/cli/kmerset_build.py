@@ -54,7 +54,8 @@ def main(argv=None) -> None:
         logger.info("constructing kmer_counter")
         try:
             counter = KmerCounter.from_fasta(
-                cfg.k, args.file, args.decompressor, args.canonical
+                cfg.k, args.file, args.decompressor, args.canonical,
+                spss_ahead=True,
             )
         except Exception as e:  # noqa: BLE001 - CLI boundary
             logger.error("failed to parse FASTA file: %s", e)

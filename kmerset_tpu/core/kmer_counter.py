@@ -83,7 +83,7 @@ class KmerCounter:
     @classmethod
     def from_fasta(
         cls, k: int, file_name: str, decompressor: str, canonical: bool,
-        value_max: int = DEFAULT_VALUE_MAX,
+        value_max: int = DEFAULT_VALUE_MAX, spss_ahead: bool = False,
     ) -> "KmerCounter":
         # Fast path: one native pass FASTA bytes -> codes + offsets
         # (native/kmerio.c), skipping Python line splitting entirely.
@@ -118,14 +118,16 @@ class KmerCounter:
                 raise core_io.IOError_(str(e)) from e
             if parsed is not None:
                 codes, offsets = parsed
-                return cls._from_codes(k, codes, offsets, canonical, value_max)
+                return cls._from_codes(
+                    k, codes, offsets, canonical, value_max, spss_ahead
+                )
         lines = core_io.read_lines(file_name, decompressor)
-        return cls.from_fasta_lines(k, lines, canonical, value_max)
+        return cls.from_fasta_lines(k, lines, canonical, value_max, spss_ahead)
 
     @classmethod
     def _from_codes(
         cls, k: int, codes: np.ndarray, offsets: np.ndarray, canonical: bool,
-        value_max: int = DEFAULT_VALUE_MAX,
+        value_max: int = DEFAULT_VALUE_MAX, spss_ahead: bool = False,
     ) -> "KmerCounter":
         n_windows = max(0, codes.shape[0] - k + 1)
         if n_windows:
@@ -151,10 +153,11 @@ class KmerCounter:
                 if result is not None:
                     uniq, counts = result
                     return cls(k, uniq, np.minimum(counts, value_max), value_max)
-            if backend.should_use_device(n_windows):
+            if backend.should_use_device(n_windows, spss_ahead):
                 backend.enable_compile_cache()
                 result = backend.device_count(
-                    codes, offsets, k, canonical, resident=True
+                    codes, offsets, k, canonical, resident=True,
+                    value_max=value_max,
                 )
                 if result is not None:
                     uniq, counts, handle = result
@@ -194,18 +197,18 @@ class KmerCounter:
     @classmethod
     def from_fasta_lines(
         cls, k: int, lines: List[str], canonical: bool,
-        value_max: int = DEFAULT_VALUE_MAX,
+        value_max: int = DEFAULT_VALUE_MAX, spss_ahead: bool = False,
     ) -> "KmerCounter":
         reads = core_io.parse_fasta_lines(lines)
-        return cls.from_reads(k, reads, canonical, value_max)
+        return cls.from_reads(k, reads, canonical, value_max, spss_ahead)
 
     @classmethod
     def from_reads(
         cls, k: int, reads: List[str], canonical: bool,
-        value_max: int = DEFAULT_VALUE_MAX,
+        value_max: int = DEFAULT_VALUE_MAX, spss_ahead: bool = False,
     ) -> "KmerCounter":
         codes, offsets = core_io.reads_to_codes(reads)
-        return cls._from_codes(k, codes, offsets, canonical, value_max)
+        return cls._from_codes(k, codes, offsets, canonical, value_max, spss_ahead)
 
     # -- incremental adds (reference Add, lib/core/kmer_counter.h:257-264) --
 

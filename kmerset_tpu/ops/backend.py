@@ -256,7 +256,14 @@ def should_use_device_chunked(n_windows: int) -> bool:
     return not _slow_link()
 
 
-def should_use_device(n_windows: int) -> bool:
+def should_use_device(n_windows: int, spss_ahead: bool = False) -> bool:
+    """`spss_ahead` marks a count whose result feeds an SPSS build in the
+    same process (kmerset-build, KmerSetCompact round trips): the count
+    then leaves a device-resident handle (ops/resident.py) that lets the
+    graph phase skip its upload AND replaces the host side-table cost —
+    so on a slow link the gate opens at the graph threshold (~8M) instead
+    of the counting slow-link factor (~128M), amortizing the link over
+    both phases."""
     force = _force()
     if force == "host":
         return False
@@ -269,7 +276,9 @@ def should_use_device(n_windows: int) -> bool:
         return False
     if _cpu_backend():
         return False
-    return not _slow_link() or n_windows >= _threshold() * _SLOW_LINK_FACTOR
+    if not _slow_link() or n_windows >= _threshold() * _SLOW_LINK_FACTOR:
+        return True
+    return spss_ahead and n_windows >= _graph_threshold()
 
 
 # Upper cap for the graph-side joins: lookup_join32/lookup_join_pair
@@ -509,13 +518,20 @@ def device_unique_chunked(
 
 def device_count(
     codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool,
-    resident: bool = False,
+    resident: bool = False, value_max: int = 0,
 ) -> Optional[Tuple]:
     """Counts k-mers on the accelerator; returns (uniq, counts) — plus a
     DeviceKmers handle (or None) as a third element when `resident` is
     asked — or None if the device path is unavailable (caller falls back
     to host).  The handle keeps the sorted unique array ON the device so
-    the graph phase skips its re-upload (ops/resident.py)."""
+    the graph phase skips its re-upload (ops/resident.py).
+
+    `value_max > 0` saturates counts ON the device before the download
+    (the host stores min(count, value_max) anyway — reference AddWithMax,
+    lib/core/kmer_counter.h:28-38); with the uint8 default that shrinks
+    the counts transfer 8x and the k <= 15 int32 uniq conversion halves
+    the key transfer.  Chunked/merge callers pass value_max=0: partial
+    counts must stay raw or cross-chunk sums would saturate early."""
     try:
         from .count import count_kmers
     except Exception:  # noqa: BLE001 - any jax failure => host fallback
@@ -527,15 +543,32 @@ def device_count(
         codes32, valid = staged
         uniq, counts, n_unique = count_kmers(codes32, valid, k, canonical)
         n = int(n_unique)
-        uniq_h = np.asarray(uniq[:n])
-        counts_h = np.asarray(counts[:n], dtype=np.int64)
+        handle = None
+        if resident:
+            # Dispatch the resident shrink BEFORE the blocking downloads
+            # so the device-to-device copy overlaps the link transfer.
+            from .resident import DeviceKmers
+
+            handle = DeviceKmers.from_count_outputs(
+                uniq, counts, n, k, canonical
+            )
+        uniq_n = uniq[:n]
+        if value_max and k <= 15:
+            # 2k <= 30-bit keys: convert on-device, download 4 B/key.
+            uniq_n = uniq_n.astype(np.int32)
+        uniq_h = np.asarray(uniq_n).astype(np.int64, copy=False)
+        counts_n = counts[:n]
+        if value_max:
+            import jax.numpy as jnp
+
+            counts_n = jnp.minimum(counts_n, value_max)
+            if value_max <= 255:
+                counts_n = counts_n.astype(np.uint8)
+        counts_h = np.asarray(counts_n).astype(np.int64, copy=False)
         if not resident:
             return uniq_h, counts_h
-        from .resident import DeviceKmers
-
-        handle = DeviceKmers.from_count_outputs(
-            uniq, counts, n, k, canonical, uniq_h
-        )
+        if handle is not None:
+            handle = handle.with_endpoints(uniq_h)
         return uniq_h, counts_h, handle
     except Exception as e:  # noqa: BLE001
         _note_fallback("device_count", e)

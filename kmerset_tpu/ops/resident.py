@@ -117,12 +117,13 @@ class DeviceKmers:
     @classmethod
     def from_count_outputs(
         cls, uniq, counts, n: int, k: int, canonical: bool,
-        uniq_host: np.ndarray,
+        uniq_host: np.ndarray | None = None,
     ) -> Optional["DeviceKmers"]:
         """uniq/counts: the still-on-device count pipeline outputs
-        (sentinel-padded); uniq_host: the already-downloaded trimmed host
-        copy (source of the endpoint checksums).  Returns None when the
-        handle cannot be built (never raises into the count path)."""
+        (sentinel-padded).  Endpoint checksums come from `uniq_host` (the
+        trimmed host copy) when given, or later via `with_endpoints` —
+        until stamped, valid_for refuses the handle.  Returns None when
+        the handle cannot be built (never raises into the count path)."""
         global _shrink
         if n <= 0:
             return None
@@ -131,10 +132,9 @@ class DeviceKmers:
                 _shrink = _build_shrink()
             to32 = k <= 15
             arr, cnts = _shrink(uniq, counts, n, _pow2(n), to32)
-            return cls(
-                arr, cnts, n, k, canonical,
-                int(uniq_host[0]), int(uniq_host[-1]),
-            )
+            first = int(uniq_host[0]) if uniq_host is not None else None
+            last = int(uniq_host[-1]) if uniq_host is not None else None
+            return cls(arr, cnts, n, k, canonical, first, last)
         except Exception as e:  # noqa: BLE001 - hint only
             from .backend import _note_fallback
 
@@ -149,6 +149,7 @@ class DeviceKmers:
             self.k == k
             and self.n == n
             and n > 0
+            and self.first is not None
             and self.first == int(kmers[0])
             and self.last == int(kmers[-1])
         )

@@ -140,6 +140,31 @@ def test_resident_plain_directed_graph(monkeypatch):
     np.testing.assert_array_equal(u_res.offsets, u_host.offsets)
 
 
+def test_spss_ahead_opens_slow_link_count_gate(monkeypatch):
+    """A count that feeds an SPSS build in the same process opens the
+    device gate at the graph threshold on slow links (the combined
+    pipeline amortizes the link over both phases); a bare count keeps
+    the counting slow-link factor."""
+    from kmerset_tpu.ops import backend
+
+    monkeypatch.delenv("KMERSET_TPU_FORCE_BACKEND", raising=False)
+    monkeypatch.setattr(backend, "_link_slow", True)
+    monkeypatch.setattr(backend, "_cpu_backend", lambda: False)
+    monkeypatch.setattr(backend, "_backend_alive", lambda: True)
+    n = backend._graph_threshold()
+    assert not backend.should_use_device(n)
+    assert backend.should_use_device(n, spss_ahead=True)
+    assert not backend.should_use_device(n - 1, spss_ahead=True)
+    # Fast link: unchanged behavior either way.
+    monkeypatch.setattr(backend, "_link_slow", False)
+    assert backend.should_use_device(n)
+    assert backend.should_use_device(n, spss_ahead=True)
+    # The ceilings still hold with the hint.
+    assert not backend.should_use_device(
+        backend.MAX_DEVICE_WINDOWS + 1, spss_ahead=True
+    )
+
+
 def test_resident_incremental_add_invalidates(monkeypatch):
     k = 15
     monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
