@@ -707,6 +707,60 @@ def canonical_windows32(
     return out[:m]
 
 
+def succ_from_sides(
+    A: np.ndarray, sides: np.ndarray, k: int
+) -> Optional[np.ndarray]:
+    """Oriented successor array rebuilt from device-shipped per-entity
+    side codes (the 1-byte/k-mer wire format of the count->graph fusion;
+    see ops/unitigs.device_unitig_sides and kmerio_succ_from_sides).
+    One fp probe per non-terminal side.  Returns succ (2n,) int64 with
+    -1 at terminal exits, or None (unbuilt lib / stale build / probe
+    miss on corrupt sides / oversized input)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_sfs_ready"):
+        try:
+            lib.kmerio_succ_from_sides.restype = ctypes.c_long
+            lib.kmerio_succ_from_sides.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_long,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib._sfs = True
+        except AttributeError:  # stale build without the export
+            lib._sfs = False
+        lib._sfs_ready = True
+    if not lib._sfs:
+        return None
+    A = np.ascontiguousarray(A, dtype=np.int64)
+    sides = np.ascontiguousarray(sides, dtype=np.uint8)
+    n = A.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if sides.shape[0] != n or n > (np.iinfo(np.int32).max >> 1):
+        return None  # fp slots carry int32 indices; 2n must fit int32s
+    logcap = max(4, int(n * 2 - 1).bit_length())
+    table = np.zeros(1 << logcap, dtype=np.uint64)
+    succ = np.empty(2 * n, dtype=np.int64)
+    rc = lib.kmerio_succ_from_sides(
+        A.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        k,
+        sides.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        logcap,
+        succ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return succ
+
+
 def count_hash(codes: np.ndarray, k: int) -> Optional[int]:
     """Reference-style single-thread hash counting (baseline only);
     returns the number of distinct canonical k-mers, or None."""

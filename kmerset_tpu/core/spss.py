@@ -576,7 +576,23 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
             from ..ops import unitigs as dev_unitigs
 
             backend.enable_compile_cache()
-            dev = dev_unitigs.device_unitig_succ(A, k, resident=res_handle)
+            if backend._slow_link() and native.get_lib() is not None:
+                # Slow-link wire format: 1 byte/k-mer side codes instead
+                # of the 8-byte succ + 3 mask bytes (a ~6.7 s download at
+                # 16M k-mers through the ~27 MB/s tunnel); the host
+                # rebuilds the identical succ with one fp probe per
+                # non-terminal side (native kmerio_succ_from_sides).
+                sides = dev_unitigs.device_unitig_sides(
+                    A, k, resident=res_handle
+                )
+                if sides is not None:
+                    succ_b = native.succ_from_sides(A, sides, k)
+                    if succ_b is not None:
+                        term_r = (sides & 1).astype(bool)
+                        term_l = (sides & 16).astype(bool)
+                        dev = (succ_b, term_l, term_r, term_l & term_r)
+            if dev is None:
+                dev = dev_unitigs.device_unitig_succ(A, k, resident=res_handle)
         if dev is not None:
             # Fused device front-end: side tables + terminal tests + oriented
             # successor in one jit (ops/unitigs.py).

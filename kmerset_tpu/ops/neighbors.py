@@ -53,14 +53,16 @@ def _rc32(x, k: int):
     )
 
 
-def tables_traced(A, k: int, canonical: bool):
+def tables_traced(A, k: int, canonical: bool, with_base: bool = False):
     """Traced side-table construction (call under jit with jnp arrays).
 
     A: (n,) int64 sorted (sentinel-padded) — or int32 with PAD32 padding
     for the canonical k <= 15 fast path (half the sort bytes, native
     int32 compares).  Returns ((rdeg, rnbr, rsame), (ldeg, lnbr, lsame))
     of int32/int32/bool shape (n,) arrays; padding rows carry junk the
-    caller trims.
+    caller trims.  with_base appends the winning extension base c (int32,
+    valid where deg == 1) to each side tuple — the 1-byte side-code wire
+    format needs it (ops/unitigs.device_unitig_sides).
     """
     import jax
     import jax.numpy as jnp
@@ -136,6 +138,7 @@ def tables_traced(A, k: int, canonical: bool):
             deg = jnp.zeros(n, dtype=jnp.int32)
             nbr = jnp.zeros(n, dtype=jnp.int32)
             same = jnp.zeros(n, dtype=bool)
+            base = jnp.zeros(n, dtype=jnp.int32)
             for c in range(4):
                 g = side * 4 + c
                 nh, nl = ncans[g]
@@ -144,8 +147,10 @@ def tables_traced(A, k: int, canonical: bool):
                 nbr = jnp.where(first, idx[g], nbr)
                 ch, cl = pair_cands[g]
                 same = jnp.where(first, (ch != nh) | (cl != nl), same)
+                if with_base:
+                    base = jnp.where(first, jnp.int32(c), base)
                 deg += ok
-            out.append((deg, nbr, same))
+            out.append((deg, nbr, same, base) if with_base else (deg, nbr, same))
         return out[0], out[1]
     if use32:
         # canonical-only int32 path: PAD32 (all-T) can never equal a
@@ -179,6 +184,7 @@ def tables_traced(A, k: int, canonical: bool):
         deg = jnp.zeros(n, dtype=jnp.int32)
         nbr = jnp.zeros(n, dtype=jnp.int32)
         same = jnp.zeros(n, dtype=bool)
+        base = jnp.zeros(n, dtype=jnp.int32)
         for c in range(4):
             g = side * 4 + c
             ok = found[g] & (ncans[g] != A)
@@ -186,8 +192,10 @@ def tables_traced(A, k: int, canonical: bool):
             nbr = jnp.where(first, idx[g], nbr)
             if canonical:
                 same = jnp.where(first, cands[g] != ncans[g], same)
+            if with_base:
+                base = jnp.where(first, jnp.int32(c), base)
             deg += ok
-        out.append((deg, nbr, same))
+        out.append((deg, nbr, same, base) if with_base else (deg, nbr, same))
     return out[0], out[1]
 
 

@@ -58,6 +58,74 @@ def _build():
     return unitig_succ
 
 
+def _build_sides():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def unitig_sides(A, k: int):
+        """Per-entity 1-byte side codes — the slow-link wire format of
+        the graph front-end (16x smaller than succ + masks).  Byte:
+        bit0 term_r, bits1-2 base_r, bit3 same_r, bit4 term_l,
+        bits5-6 base_l, bit7 same_l; base/same bits are zeroed on
+        terminal sides so the stream is deterministic.  The host
+        rebuilds the identical succ array with one fp probe per
+        non-terminal side (native kmerio_succ_from_sides)."""
+        (
+            (rdeg, rnbr, rsame, rbase),
+            (ldeg, lnbr, lsame, lbase),
+        ) = tables_traced(A, k, True, with_base=True)
+        mate_r = jnp.where(rsame, rdeg[rnbr], ldeg[rnbr])
+        term_r = (rdeg != 1) | (mate_r != 1)
+        mate_l = jnp.where(lsame, ldeg[lnbr], rdeg[lnbr])
+        term_l = (ldeg != 1) | (mate_l != 1)
+        r_part = jnp.where(
+            term_r,
+            jnp.int32(1),
+            (rbase << 1) | (rsame.astype(jnp.int32) << 3),
+        )
+        l_part = jnp.where(
+            term_l,
+            jnp.int32(16),
+            (lbase << 5) | (lsame.astype(jnp.int32) << 7),
+        )
+        return (r_part | l_part).astype(jnp.uint8)
+
+    return unitig_sides
+
+
+_unitig_sides = None
+
+
+def device_unitig_sides(A: np.ndarray, k: int, resident=None):
+    """Side-code bytes (n,) uint8 for the host succ reconstruction, or
+    None when the device path is unavailable.  `resident` = validated
+    DeviceKmers handle (no upload); otherwise A is staged like
+    device_unitig_succ."""
+    global _unitig_sides
+    try:
+        if _unitig_sides is None:
+            _unitig_sides = _build_sides()
+        n = A.shape[0]
+        if resident is not None:
+            Ap = resident.graph_input()
+        elif k <= 15:
+            from .neighbors import PAD32
+
+            Ap = pad_pow2(A.astype(np.int32), PAD32)
+        else:
+            Ap = pad_pow2(A, SENTINEL)
+        sides = _unitig_sides(Ap, k)
+        return np.asarray(sides[:n])
+    except Exception as e:  # noqa: BLE001 - fall back
+        from .backend import _note_fallback
+
+        _note_fallback("device_unitig_sides", e)
+        return None
+
+
 _unitig_succ = None
 
 

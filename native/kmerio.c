@@ -883,6 +883,76 @@ long kmerio_side_tables_fp(const int64_t *A, long n, int k, int canonical,
     return 0;
 }
 
+/* Oriented successor array from device-shipped per-entity side codes —
+ * the slow-link wire format of the count->graph fusion (1 byte/k-mer
+ * instead of the 8-byte succ + 3 mask bytes; ops/unitigs.py
+ * device_unitig_sides).  Byte layout: bit0 term_r, bits1-2 base_r,
+ * bit3 same_r, bit4 term_l, bits5-6 base_l, bit7 same_l.  For each
+ * non-terminal side the canonical neighbor VALUE is recomputed from
+ * (base, same) and resolved to its sorted-array index with one fp
+ * probe (reference successor semantics: lib/core/spss.h:276-313,
+ * 394-423):
+ *   right: cand = ((A[i] << 2) | base_r) & mask(2k)
+ *          succ[2i]   = 2*idx(same_r ? rc(cand) : cand) + same_r
+ *   left:  cand = (A[i] >> 2) | base_l << (2k-2)
+ *          succ[2i+1] = 2*idx(same_l ? rc(cand) : cand) + !same_l
+ * tab: uint64[1 << logcap], ZEROED by the caller.  Returns 0, or -1
+ * when any probe misses (stale/corrupt sides): callers fall back to
+ * the full host side tables instead of walking a wrong graph. */
+long kmerio_succ_from_sides(const int64_t *A, long n, int k,
+                            const uint8_t *sides, uint64_t *tab, int logcap,
+                            int64_t *succ) {
+    if (n <= 0) return 0;
+    fp_build(A, n, tab, logcap);
+    const uint64_t kmask = (1ULL << (2 * k)) - 1;
+    const uint64_t tmask = (1ULL << logcap) - 1;
+    const int wide = (2 * k) > 32;
+    enum { PD = 24 };
+    long bad = 0;
+    #pragma omp parallel for schedule(static) reduction(+:bad)
+    for (long i = 0; i < n; i++) {
+        if (i + PD < n) {
+            uint8_t sp = sides[i + PD];
+            uint64_t ap = (uint64_t)A[i + PD];
+            if (!(sp & 1)) {
+                uint64_t cp = ((ap << 2) | (uint64_t)((sp >> 1) & 3)) & kmask;
+                uint64_t vp = (sp & 8) ? rc_one(cp, k) : cp;
+                __builtin_prefetch(&tab[mix64(vp) & tmask]);
+            }
+            if (!(sp & 16)) {
+                uint64_t cp = (ap >> 2) |
+                              ((uint64_t)((sp >> 5) & 3) << (2 * (k - 1)));
+                uint64_t vp = (sp & 128) ? rc_one(cp, k) : cp;
+                __builtin_prefetch(&tab[mix64(vp) & tmask]);
+            }
+        }
+        uint8_t s = sides[i];
+        uint64_t a = (uint64_t)A[i];
+        if (s & 1) {
+            succ[2 * i] = -1;
+        } else {
+            uint64_t cand = ((a << 2) | (uint64_t)((s >> 1) & 3)) & kmask;
+            int same = (s >> 3) & 1;
+            uint64_t v = same ? rc_one(cand, k) : cand;
+            int32_t idx = fp_find(A, tab, tmask, wide, v);
+            if (idx < 0) { bad++; succ[2 * i] = -1; }
+            else succ[2 * i] = 2 * (int64_t)idx + same;
+        }
+        if (s & 16) {
+            succ[2 * i + 1] = -1;
+        } else {
+            uint64_t cand = (a >> 2) |
+                            ((uint64_t)((s >> 5) & 3) << (2 * (k - 1)));
+            int same = (s >> 7) & 1;
+            uint64_t v = same ? rc_one(cand, k) : cand;
+            int32_t idx = fp_find(A, tab, tmask, wide, v);
+            if (idx < 0) { bad++; succ[2 * i + 1] = -1; }
+            else succ[2 * i + 1] = 2 * (int64_t)idx + (same ^ 1);
+        }
+    }
+    return bad ? -1 : 0;
+}
+
 
 /* --- cache-blocked (radix-partitioned) probe edition ---------------------
  *
