@@ -155,33 +155,59 @@ def spss_and_build_rates(k: int, n_bases: int):
         compact.dump(out, "")
         return ks
 
-    n_windows = 0
-    rates = {}
-    for tag, env in (("host", "host"), ("dev", "")):
-        if env:
-            os.environ["KMERSET_TPU_FORCE_BACKEND"] = env
+    def set_arm(tag: str) -> None:
+        if tag == "host":
+            os.environ["KMERSET_TPU_FORCE_BACKEND"] = "host"
         else:
             os.environ.pop("KMERSET_TPU_FORCE_BACKEND", None)
-        reps = 3 if tag == "host" else 2
-        # Untimed warm-up (page cache, jit compiles, link dial).
-        ks = build(tag)
-        n_kmers = ks.size()
-        n_reads = (n_bases + 9_999) // 10_000
-        n_windows = n_bases - n_reads * (k - 1)
-        t_build = _timed_best(lambda: build(tag), reps)
-        # SPSS phase alone, on the warm set (device arm keeps the
-        # resident handle so the graph front-end skips its upload).
-        get_spss_canonical(ks)  # warm-up
-        t_spss = _timed_best(lambda: get_spss_canonical(ks), reps)
-        del ks
-        rates[f"spss_{tag}"] = n_kmers / t_spss
-        rates[f"build_{tag}"] = n_windows / t_build
+
+    # Untimed warm-ups (page cache, jit compiles, link dial); the warm
+    # sets are kept so the spss arms measure the phase alone (the device
+    # set keeps its resident handle, so the graph front-end skips its
+    # upload — the production build configuration).
+    warm = {}
+    n_kmers = 0
+    for tag in ("host", "dev"):
+        set_arm(tag)
+        warm[tag] = build(tag)
+        n_kmers = warm[tag].size()
+    n_reads = (n_bases + 9_999) // 10_000
+    n_windows = n_bases - n_reads * (k - 1)
+
+    # The 1-vCPU eval host's effective speed swings 2-3x with hypervisor
+    # contention over minutes; interleaving the arms inside each rep
+    # keeps every host/dev pair inside one contention window, and
+    # best-of-N then reads each arm's uncontended rate (the same policy
+    # as reference_style_rate).
+    inf = float("inf")
+    best = {"build_host": inf, "build_dev": inf,
+            "spss_host": inf, "spss_dev": inf}
+    for _ in range(3):
+        for tag in ("host", "dev"):
+            set_arm(tag)
+            t0 = time.perf_counter()
+            build(tag)
+            best[f"build_{tag}"] = min(
+                best[f"build_{tag}"], time.perf_counter() - t0
+            )
+            t0 = time.perf_counter()
+            get_spss_canonical(warm[tag])
+            best[f"spss_{tag}"] = min(
+                best[f"spss_{tag}"], time.perf_counter() - t0
+            )
+    rates = {}
+    for tag in ("host", "dev"):
+        rates[f"spss_{tag}"] = n_kmers / best[f"spss_{tag}"]
+        rates[f"build_{tag}"] = n_windows / best[f"build_{tag}"]
         print(
-            f"{tag}: build {t_build:.2f}s ({n_windows/1e6/t_build:.1f} "
-            f"Mkmers/s), spss {t_spss:.2f}s "
-            f"({n_kmers/1e6/t_spss:.1f} Mkmers/s), n_kmers={n_kmers}",
+            f"{tag}: build {best[f'build_{tag}']:.2f}s "
+            f"({n_windows/1e6/best[f'build_{tag}']:.1f} Mkmers/s), "
+            f"spss {best[f'spss_{tag}']:.2f}s "
+            f"({n_kmers/1e6/best[f'spss_{tag}']:.1f} Mkmers/s), "
+            f"n_kmers={n_kmers}",
             file=sys.stderr,
         )
+    os.environ.pop("KMERSET_TPU_FORCE_BACKEND", None)
     return rates
 
 
