@@ -472,20 +472,70 @@ def _chunk_slices(codes: np.ndarray, offsets: np.ndarray, k: int):
         lo = hi
 
 
-def _device_chunked(codes, offsets, k, canonical, one_shot, merge_pair, tag):
-    """Shared driver of the out-of-core chunked paths: runs one_shot per
-    halo chunk and combines the sorted per-chunk results with a balanced
-    cascade of merge_pair calls.  Replaces the reference's shared-memory
-    bucket merge (lib/core/kmer_counter.h:105-126) at out-of-core scale."""
+def _count_dispatch(codes, offsets, k, canonical):
+    """Stages one chunk and launches the fused count program WITHOUT
+    blocking (jax dispatch is async): returns opaque device handles for
+    _count_fetch, or None for empty inputs."""
+    from .count import count_kmers
+
+    staged = _staged_windows(codes, offsets, k)
+    if staged is None:
+        return None
+    codes32, valid = staged
+    return count_kmers(codes32, valid, k, canonical)
+
+
+def _count_fetch(t) -> Tuple[np.ndarray, np.ndarray]:
+    uniq, counts, n_unique = t
+    n = int(n_unique)
+    return np.asarray(uniq[:n]), np.asarray(counts[:n], dtype=np.int64)
+
+
+def _unique_dispatch(codes, offsets, k, canonical):
+    from .count import count_to_set
+
+    staged = _staged_windows(codes, offsets, k)
+    if staged is None:
+        return None
+    codes32, valid = staged
+    uniq, n_kept, _ = count_to_set(codes32, valid, k, canonical, 1)
+    return uniq, n_kept
+
+
+def _unique_fetch(t) -> np.ndarray:
+    uniq, n_kept = t
+    return np.asarray(uniq[: int(n_kept)])
+
+
+def _device_chunked(codes, offsets, k, canonical, dispatch, fetch,
+                    merge_pair, tag):
+    """Shared driver of the out-of-core chunked paths: runs the fused
+    one-shot program per halo chunk and combines the sorted per-chunk
+    results with a balanced cascade of merge_pair calls.  Replaces the
+    reference's shared-memory bucket merge
+    (lib/core/kmer_counter.h:105-126) at out-of-core scale.
+
+    Double-buffered: chunk i+1 is staged and DISPATCHED (async) before
+    chunk i's results are downloaded, so the chip sorts one chunk while
+    the link carries the previous one's outputs — CHUNK_WINDOWS is half
+    the one-shot ceiling precisely so two chunks' sort working sets fit
+    in HBM together."""
     try:
         if codes.shape[0] - (k - 1) <= 0:
             return None
         parts = []
+        pending = None
         for codes_c, offs_c in _chunk_slices(codes, offsets, k):
-            res = one_shot(codes_c, offs_c, k, canonical)
-            if res is None:
+            cur = dispatch(codes_c, offs_c, k, canonical)
+            if cur is None:
                 return None
-            parts.append(res)
+            if pending is not None:
+                parts.append(fetch(pending))
+            pending = cur
+        if pending is not None:
+            parts.append(fetch(pending))
+        if not parts:
+            return None
         return _merge_cascade(parts, merge_pair)
     except Exception as e:  # noqa: BLE001
         _note_fallback(tag, e)
@@ -501,7 +551,8 @@ def device_count_chunked(
     hold in one sort."""
     return _device_chunked(
         codes, offsets, k, canonical,
-        device_count, _merge_count_pair, "device_count_chunked",
+        _count_dispatch, _count_fetch,
+        _merge_count_pair, "device_count_chunked",
     )
 
 
@@ -512,7 +563,8 @@ def device_unique_chunked(
     unique pipeline, combined by keys-only sorted-union merges."""
     return _device_chunked(
         codes, offsets, k, canonical,
-        device_unique, _merge_key_pair, "device_unique_chunked",
+        _unique_dispatch, _unique_fetch,
+        _merge_key_pair, "device_unique_chunked",
     )
 
 
