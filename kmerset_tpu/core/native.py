@@ -761,6 +761,54 @@ def succ_from_sides(
     return succ
 
 
+def dedup_edges(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
+    """Indices of first occurrences of undirected port edges, ascending
+    (kmerio_dedup_edges: one hash pass in discovery order, replacing the
+    numpy unique-with-index sort of core/spss._dedup_port_edges).
+    Returns int64 indices into a/b, or None (unbuilt/stale lib, ports
+    too wide for the 32|32 key packing)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_de_ready"):
+        try:
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.kmerio_dedup_edges.restype = ctypes.c_long
+            lib.kmerio_dedup_edges.argtypes = [
+                i64p, i64p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_uint64), ctypes.c_int, i64p,
+            ]
+            lib._de = True
+        except AttributeError:
+            lib._de = False
+        lib._de_ready = True
+    if not lib._de:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.int64)
+    b = np.ascontiguousarray(b, dtype=np.int64)
+    m = a.shape[0]
+    if m == 0:
+        return np.empty(0, dtype=np.int64)
+    if b.shape[0] != m:
+        return None
+    # Key packs both port ids into 32-bit halves.
+    if a.min() < 0 or b.min() < 0 or a.max() >= 1 << 32 or b.max() >= 1 << 32:
+        return None
+    logcap = max(4, int(m * 2 - 1).bit_length())
+    table = np.zeros(1 << logcap, dtype=np.uint64)
+    idx = np.empty(m, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    cnt = lib.kmerio_dedup_edges(
+        a.ctypes.data_as(i64p),
+        b.ctypes.data_as(i64p),
+        m,
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        logcap,
+        idx.ctypes.data_as(i64p),
+    )
+    return idx[:cnt]
+
+
 def count_hash(codes: np.ndarray, k: int) -> Optional[int]:
     """Reference-style single-thread hash counting (baseline only);
     returns the number of distinct canonical k-mers, or None."""

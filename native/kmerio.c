@@ -954,6 +954,45 @@ long kmerio_succ_from_sides(const int64_t *A, long n, int k,
 }
 
 
+/* First-occurrence dedup of undirected port edges in discovery order —
+ * the native replacement of core/spss._dedup_port_edges' numpy
+ * unique-with-index (a full sort + stable argsort over ~4 entries per
+ * undirected edge; measured 1.8-3.9 s at 6M edges on the eval host vs
+ * one hash pass here).  Each edge's key is (min << 32) | max of its two
+ * port ids (caller guarantees ports < 2^32 and a != b, so key != 0 and
+ * the zero slot can mark empties).  out_idx receives the indices of
+ * first occurrences, ascending (= the discovery-priority order the
+ * greedy matching consumes).  tab: uint64[1 << logcap] zeroed by the
+ * caller, logcap sized for < 50% load.  Returns the kept count. */
+long kmerio_dedup_edges(const int64_t *a, const int64_t *b, long m,
+                        uint64_t *tab, int logcap, int64_t *out_idx) {
+    const uint64_t tmask = (1ULL << logcap) - 1;
+    enum { PD = 16 };
+    long cnt = 0;
+    for (long i = 0; i < m; i++) {
+        if (i + PD < m) {
+            uint64_t la = (uint64_t)a[i + PD], lb = (uint64_t)b[i + PD];
+            uint64_t kp = la < lb ? (la << 32) | lb : (lb << 32) | la;
+            __builtin_prefetch(&tab[mix64(kp) & tmask]);
+        }
+        uint64_t la = (uint64_t)a[i], lb = (uint64_t)b[i];
+        uint64_t key = la < lb ? (la << 32) | lb : (lb << 32) | la;
+        uint64_t h = mix64(key) & tmask;
+        for (;;) {
+            uint64_t e = tab[h];
+            if (!e) {
+                tab[h] = key;
+                out_idx[cnt++] = i;
+                break;
+            }
+            if (e == key) break; /* seen: keep the first occurrence */
+            h = (h + 1) & tmask;
+        }
+    }
+    return cnt;
+}
+
+
 /* --- cache-blocked (radix-partitioned) probe edition ---------------------
  *
  * The fp edition above is latency-bound: every probe is one random read

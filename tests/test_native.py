@@ -445,3 +445,30 @@ def test_native_side_tables_part_grow_only_scratch():
     r2 = nat.side_tables(small, 15, True, impl="part")
     assert nat._part_scratch is buf  # reused, not reallocated
     assert r1 is not None and r2 is not None
+
+
+def test_dedup_edges_matches_numpy_unique():
+    """kmerio_dedup_edges (one hash pass, discovery order) must equal
+    the numpy unique-with-first-index dedup it replaces
+    (core/spss._dedup_port_edges fallback) on randomized edge lists."""
+    from kmerset_tpu.core import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    for trial in range(30):
+        m = int(rng.integers(0, 2000))
+        n = int(rng.integers(2, 500))
+        a = rng.integers(0, 2 * n, m).astype(np.int64)
+        b = rng.integers(0, 2 * n, m).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        idx = native.dedup_edges(a, b)
+        assert idx is not None
+        key = np.minimum(a, b) * (2 * n) + np.maximum(a, b)
+        _, first_idx = np.unique(key, return_index=True)
+        first_idx.sort()
+        assert np.array_equal(idx, first_idx), trial
+    # Oversized ports refuse the 32|32 key packing (numpy fallback).
+    wide = np.array([1 << 33, 5], dtype=np.int64)
+    assert native.dedup_edges(wide, np.array([5, 7], dtype=np.int64)) is None
