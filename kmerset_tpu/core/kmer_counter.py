@@ -157,7 +157,7 @@ class KmerCounter:
                 backend.enable_compile_cache()
                 result = backend.device_count(
                     codes, offsets, k, canonical, resident=True,
-                    value_max=value_max,
+                    value_max=value_max, spss_ahead=spss_ahead,
                 )
                 if result is not None:
                     uniq, counts, handle = result

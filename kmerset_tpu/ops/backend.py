@@ -67,6 +67,17 @@ def _force() -> str:
     return os.environ.get("KMERSET_TPU_FORCE_BACKEND", "")
 
 
+def _have_native() -> bool:
+    """True when the C helper library is loadable (the slow-link side-code
+    wire format depends on its succ rebuild, native kmerio_succ_from_sides)."""
+    try:
+        from ..core import native
+
+        return native.get_lib() is not None
+    except Exception:  # noqa: BLE001 - availability probe only
+        return False
+
+
 _SLOW_LINK_FACTOR = 64
 _link_slow: Optional[bool] = None
 
@@ -570,7 +581,7 @@ def device_unique_chunked(
 
 def device_count(
     codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool,
-    resident: bool = False, value_max: int = 0,
+    resident: bool = False, value_max: int = 0, spss_ahead: bool = False,
 ) -> Optional[Tuple]:
     """Counts k-mers on the accelerator; returns (uniq, counts) — plus a
     DeviceKmers handle (or None) as a third element when `resident` is
@@ -604,6 +615,18 @@ def device_count(
             handle = DeviceKmers.from_count_outputs(
                 uniq, counts, n, k, canonical
             )
+            if (
+                handle is not None
+                and spss_ahead
+                and n <= MAX_DEVICE_GRAPH_KMERS
+                and _slow_link()
+                and _have_native()
+            ):
+                # A build follows on a slow link: the graph phase will
+                # consume side codes (the 1-byte wire format needs the
+                # native succ rebuild) — dispatch their jit now so its
+                # device compute overlaps the downloads below.
+                handle.prefetch_sides()
         uniq_n = uniq[:n]
         if value_max and k <= 15:
             # 2k <= 30-bit keys: convert on-device, download 4 B/key.

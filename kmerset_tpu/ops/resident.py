@@ -103,7 +103,9 @@ class DeviceKmers:
     first/last: host endpoint values for `valid_for` integrity checks.
     """
 
-    __slots__ = ("arr", "counts", "n", "k", "canonical", "first", "last")
+    __slots__ = (
+        "arr", "counts", "n", "k", "canonical", "first", "last", "sides"
+    )
 
     def __init__(self, arr, counts, n, k, canonical, first, last):
         self.arr = arr
@@ -113,6 +115,25 @@ class DeviceKmers:
         self.canonical = canonical
         self.first = first
         self.last = last
+        # Pre-dispatched side-code array (ops/unitigs.unitig_sides jit
+        # output, still on device) — see prefetch_sides.
+        self.sides = None
+
+    def prefetch_sides(self) -> None:
+        """Dispatches the graph front-end's side-code jit on the resident
+        array NOW (async), so its device compute overlaps the count
+        phase's key/count downloads; the SPSS phase collects the finished
+        array via device_unitig_sides.  Canonical-only (the side-code
+        format is); failures are silent (the graph phase just
+        recomputes)."""
+        if not self.canonical:
+            return
+        try:
+            from . import unitigs
+
+            self.sides = unitigs.dispatch_sides(self.arr, self.k)
+        except Exception:  # noqa: BLE001 - prefetch is best-effort
+            self.sides = None
 
     @classmethod
     def from_count_outputs(

@@ -99,16 +99,30 @@ def _build_sides():
 _unitig_sides = None
 
 
+def dispatch_sides(arr, k: int):
+    """Launches the side-code jit on an already-on-device array and
+    returns the (unfetched) device result — the prefetch hook the
+    counting phase uses to overlap this compute with its own downloads
+    (ops/resident.DeviceKmers.prefetch_sides)."""
+    global _unitig_sides
+    if _unitig_sides is None:
+        _unitig_sides = _build_sides()
+    return _unitig_sides(arr, k)
+
+
 def device_unitig_sides(A: np.ndarray, k: int, resident=None):
     """Side-code bytes (n,) uint8 for the host succ reconstruction, or
     None when the device path is unavailable.  `resident` = validated
-    DeviceKmers handle (no upload); otherwise A is staged like
+    DeviceKmers handle (no upload; a prefetched side-code array from the
+    count phase is collected directly).  Otherwise A is staged like
     device_unitig_succ."""
     global _unitig_sides
     try:
         if _unitig_sides is None:
             _unitig_sides = _build_sides()
         n = A.shape[0]
+        if resident is not None and resident.sides is not None:
+            return np.asarray(resident.sides[:n])
         if resident is not None:
             Ap = resident.graph_input()
         elif k <= 15:

@@ -165,6 +165,81 @@ def test_spss_ahead_opens_slow_link_count_gate(monkeypatch):
     )
 
 
+@pytest.mark.parametrize("k", [15, 19])
+def test_prefetched_sides_match_and_skip_recompute(monkeypatch, k):
+    """prefetch_sides (the count-phase async dispatch) yields the exact
+    bytes the on-demand side-code jit would, and device_unitig_sides
+    collects the prefetched array without re-running the jit."""
+    from kmerset_tpu.ops import unitigs as ut
+
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    counter = KmerCounter.from_reads(k, _reads(k, seed=k + 2), canonical=True)
+    ks, _ = counter.to_kmer_set(1)
+    assert ks.device is not None and ks.device.sides is None
+
+    baseline = ut.device_unitig_sides(ks.kmers, k, resident=ks.device)
+    assert baseline is not None
+
+    ks.device.prefetch_sides()
+    assert ks.device.sides is not None
+
+    def boom(*a, **kw):
+        raise AssertionError("prefetched sides must not be recomputed")
+
+    monkeypatch.setattr(ut, "_unitig_sides", boom)
+    got = ut.device_unitig_sides(ks.kmers, k, resident=ks.device)
+    np.testing.assert_array_equal(got, baseline)
+
+
+def test_prefetch_sides_noncanonical_noop_and_failure_silent(monkeypatch):
+    """Non-canonical handles refuse the prefetch (the side-code format is
+    canonical-only); a failing dispatch leaves sides=None so the graph
+    phase just recomputes."""
+    from kmerset_tpu.ops import unitigs as ut
+
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    k = 19
+    counter = KmerCounter.from_reads(k, _reads(k, seed=8), canonical=False)
+    ks, _ = counter.to_kmer_set(1)
+    assert ks.device is not None
+    ks.device.prefetch_sides()
+    assert ks.device.sides is None
+
+    counter2 = KmerCounter.from_reads(k, _reads(k, seed=8), canonical=True)
+    ks2, _ = counter2.to_kmer_set(1)
+    assert ks2.device is not None
+
+    def boom(*a, **kw):
+        raise RuntimeError("synthetic dispatch failure")
+
+    monkeypatch.setattr(ut, "dispatch_sides", boom)
+    ks2.device.prefetch_sides()
+    assert ks2.device.sides is None
+
+
+def test_slow_link_build_uses_prefetched_sides(monkeypatch):
+    """End-to-end: a slow-link spss_ahead count dispatches the side-code
+    prefetch, and the subsequent canonical SPSS build consumes it — same
+    strings as the host backend."""
+    from kmerset_tpu.ops import backend
+
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    monkeypatch.setattr(backend, "_link_slow", True)
+    k = 15
+    reads = _reads(k, seed=13)
+    counter = KmerCounter.from_reads(k, reads, canonical=True, spss_ahead=True)
+    ks, _ = counter.to_kmer_set(1)
+    assert ks.device is not None
+    assert ks.device.sides is not None, "spss_ahead slow-link count must prefetch"
+    u_res = spss.get_unitigs_canonical(ks)
+
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    bare = KmerSet(k, ks.kmers, _sorted=True)
+    u_host = spss.get_unitigs_canonical(bare)
+    np.testing.assert_array_equal(u_res.codes, u_host.codes)
+    np.testing.assert_array_equal(u_res.offsets, u_host.offsets)
+
+
 def test_resident_incremental_add_invalidates(monkeypatch):
     k = 15
     monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
