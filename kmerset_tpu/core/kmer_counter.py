@@ -69,14 +69,36 @@ class KmerCounter:
         self.kmers = (
             np.asarray(kmers, dtype=np.int64) if kmers is not None else np.empty(0, np.int64)
         )
-        self.counts = (
-            np.asarray(counts, dtype=np.int64) if counts is not None else np.empty(0, np.int64)
-        )
+        # `counts` may be a 0-arg fetch closure (the device backend's
+        # deferred transfer, ops/backend.device_count lazy_counts): the
+        # download happens on first host access, and never if the flow
+        # (e.g. a cutoff<=1 build) does not read counts at all.
+        self._counts_fetch = counts if callable(counts) else None
+        if callable(counts):
+            self._counts = None
+        else:
+            self._counts = (
+                np.asarray(counts, dtype=np.int64)
+                if counts is not None
+                else np.empty(0, np.int64)
+            )
         self._pending: List[Tuple[int, int]] = []
         # Device-resident mirror of `kmers` (ops/resident.DeviceKmers),
         # set by the device counting path; carried into the KmerSet by
         # to_kmer_set so the SPSS graph phase skips its upload.
         self._device = None
+
+    @property
+    def counts(self) -> np.ndarray:
+        if self._counts is None:
+            fetch, self._counts_fetch = self._counts_fetch, None
+            self._counts = np.asarray(fetch(), dtype=np.int64)
+        return self._counts
+
+    @counts.setter
+    def counts(self, value) -> None:
+        self._counts_fetch = None
+        self._counts = np.asarray(value, dtype=np.int64)
 
     # -- construction (reference: lib/core/kmer_counter.h:62-209) ----------
 
@@ -158,12 +180,16 @@ class KmerCounter:
                 result = backend.device_count(
                     codes, offsets, k, canonical, resident=True,
                     value_max=value_max, spss_ahead=spss_ahead,
+                    lazy_counts=spss_ahead,
                 )
                 if result is not None:
                     uniq, counts, handle = result
-                    counter = cls(
-                        k, uniq, np.minimum(counts, value_max), value_max
-                    )
+                    # A callable is the deferred counts transfer (already
+                    # device-saturated at value_max); materialized arrays
+                    # get the host-side clamp like every other path.
+                    if not callable(counts):
+                        counts = np.minimum(counts, value_max)
+                    counter = cls(k, uniq, counts, value_max)
                     # Keep the sorted set on-device so the SPSS graph
                     # phase skips its re-upload (ops/resident.py).
                     counter._device = handle

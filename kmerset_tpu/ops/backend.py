@@ -366,25 +366,31 @@ def enable_compile_cache() -> None:
         pass
 
 
-def _staged_windows(codes: np.ndarray, offsets: np.ndarray, k: int):
-    """Shared prologue of device_count/device_unique: window validity +
-    padding to an XLA-sort-friendly key count (2^p / 3*2^p — see
-    ops.count.good_sort_size; padded positions are invalid and sort to
-    the sentinel tail) + the one int32 conversion.  Returns
-    (codes_int32, valid) or None for inputs shorter than one window."""
-    from .count import good_sort_size, window_validity
+def _staged_windows_u8(codes: np.ndarray, offsets: np.ndarray, k: int):
+    """Slim staging for the frag-validity count entry: uint8 codes padded
+    to the sort size class (1 B/base up the link) + the pow2-padded int32
+    boundary array + the unpadded length (count_kmers_frag computes the
+    window-validity mask on device from these).  Returns
+    (codes_u8, bounds_i32, total) or None for inputs under one window."""
+    from .count import good_sort_size
 
     total = codes.shape[0]
     if total < k:
         return None
-    valid = window_validity(offsets, total, k)
     n_keys = total - (k - 1)
     target = good_sort_size(n_keys)
+    codes = codes.astype(np.uint8, copy=False)
     if target != n_keys:
-        pad = target - n_keys
-        codes = np.concatenate([codes, np.zeros(pad, codes.dtype)])
-        valid = np.concatenate([valid, np.zeros(pad, bool)])
-    return codes.astype(np.int32, copy=False), valid
+        codes = np.concatenate(
+            [codes, np.zeros(target - n_keys, np.uint8)]
+        )
+    bounds = np.asarray(offsets, dtype=np.int64)[1:]
+    bp = 1 << max(4, int(bounds.shape[0] - 1).bit_length())
+    if bp > bounds.shape[0]:
+        bounds = np.concatenate(
+            [bounds, np.full(bp - bounds.shape[0], total, np.int64)]
+        )
+    return codes, bounds.astype(np.int32), total
 
 
 def device_unique(
@@ -395,15 +401,17 @@ def device_unique(
     lib/core/spss.h:1862-1941) runs the counting pipeline at cutoff 1 and
     skips count materialization entirely."""
     try:
-        from .count import count_to_set  # noqa: F401 - import probe
+        from .count import count_to_set_frag  # noqa: F401 - import probe
     except Exception:  # noqa: BLE001
         return None
     try:
-        staged = _staged_windows(codes, offsets, k)
+        staged = _staged_windows_u8(codes, offsets, k)
         if staged is None:
             return None
-        codes32, valid = staged
-        uniq, n_kept, _ = count_to_set(codes32, valid, k, canonical, 1)
+        codes_u8, bounds, total = staged
+        uniq, n_kept, _ = count_to_set_frag(
+            codes_u8, bounds, total, k, canonical, 1
+        )
         return np.asarray(uniq[: int(n_kept)])
     except Exception as e:  # noqa: BLE001
         _note_fallback("device_unique", e)
@@ -487,13 +495,13 @@ def _count_dispatch(codes, offsets, k, canonical):
     """Stages one chunk and launches the fused count program WITHOUT
     blocking (jax dispatch is async): returns opaque device handles for
     _count_fetch, or None for empty inputs."""
-    from .count import count_kmers
+    from .count import count_kmers_frag
 
-    staged = _staged_windows(codes, offsets, k)
+    staged = _staged_windows_u8(codes, offsets, k)
     if staged is None:
         return None
-    codes32, valid = staged
-    return count_kmers(codes32, valid, k, canonical)
+    codes_u8, bounds, total = staged
+    return count_kmers_frag(codes_u8, bounds, total, k, canonical)
 
 
 def _count_fetch(t) -> Tuple[np.ndarray, np.ndarray]:
@@ -503,13 +511,13 @@ def _count_fetch(t) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _unique_dispatch(codes, offsets, k, canonical):
-    from .count import count_to_set
+    from .count import count_to_set_frag
 
-    staged = _staged_windows(codes, offsets, k)
+    staged = _staged_windows_u8(codes, offsets, k)
     if staged is None:
         return None
-    codes32, valid = staged
-    uniq, n_kept, _ = count_to_set(codes32, valid, k, canonical, 1)
+    codes_u8, bounds, total = staged
+    uniq, n_kept, _ = count_to_set_frag(codes_u8, bounds, total, k, canonical, 1)
     return uniq, n_kept
 
 
@@ -579,9 +587,13 @@ def device_unique_chunked(
     )
 
 
+DELTA_MIN_KEYS = 1 << 20
+
+
 def device_count(
     codes: np.ndarray, offsets: np.ndarray, k: int, canonical: bool,
     resident: bool = False, value_max: int = 0, spss_ahead: bool = False,
+    lazy_counts: bool = False,
 ) -> Optional[Tuple]:
     """Counts k-mers on the accelerator; returns (uniq, counts) — plus a
     DeviceKmers handle (or None) as a third element when `resident` is
@@ -596,15 +608,17 @@ def device_count(
     the key transfer.  Chunked/merge callers pass value_max=0: partial
     counts must stay raw or cross-chunk sums would saturate early."""
     try:
-        from .count import count_kmers
+        from .count import count_kmers_frag
     except Exception:  # noqa: BLE001 - any jax failure => host fallback
         return None
     try:
-        staged = _staged_windows(codes, offsets, k)
+        staged = _staged_windows_u8(codes, offsets, k)
         if staged is None:
             return None
-        codes32, valid = staged
-        uniq, counts, n_unique = count_kmers(codes32, valid, k, canonical)
+        codes_u8, bounds, total = staged
+        uniq, counts, n_unique = count_kmers_frag(
+            codes_u8, bounds, total, k, canonical
+        )
         n = int(n_unique)
         handle = None
         if resident:
@@ -627,11 +641,20 @@ def device_count(
                 # native succ rebuild) — dispatch their jit now so its
                 # device compute overlaps the downloads below.
                 handle.prefetch_sides()
-        uniq_n = uniq[:n]
-        if value_max and k <= 15:
-            # 2k <= 30-bit keys: convert on-device, download 4 B/key.
-            uniq_n = uniq_n.astype(np.int32)
-        uniq_h = np.asarray(uniq_n).astype(np.int64, copy=False)
+        uniq_h = None
+        if _slow_link() and n >= DELTA_MIN_KEYS:
+            # Gap-encoded key download: 1-2 B/k-mer instead of 4-8
+            # (ops/deltas.py); falls back to the raw transfer on any
+            # format overflow or integrity mismatch.
+            from .deltas import device_delta_download
+
+            uniq_h = device_delta_download(uniq, n, k, canonical)
+        if uniq_h is None:
+            uniq_n = uniq[:n]
+            if value_max and k <= 15:
+                # 2k <= 30-bit keys: convert on-device, download 4 B/key.
+                uniq_n = uniq_n.astype(np.int32)
+            uniq_h = np.asarray(uniq_n).astype(np.int64, copy=False)
         counts_n = counts[:n]
         if value_max:
             import jax.numpy as jnp
@@ -639,7 +662,15 @@ def device_count(
             counts_n = jnp.minimum(counts_n, value_max)
             if value_max <= 255:
                 counts_n = counts_n.astype(np.uint8)
-        counts_h = np.asarray(counts_n).astype(np.int64, copy=False)
+        if lazy_counts:
+            # The build flow (cutoff <= 1) never reads counts: defer the
+            # transfer behind a closure the counter materializes on first
+            # host access (KmerCounter.counts), keeping the saturated
+            # device array alive until then.
+            def counts_h():
+                return np.asarray(counts_n).astype(np.int64, copy=False)
+        else:
+            counts_h = np.asarray(counts_n).astype(np.int64, copy=False)
         if not resident:
             return uniq_h, counts_h
         if handle is not None:

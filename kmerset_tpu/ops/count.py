@@ -348,18 +348,7 @@ def _compact_runs(to64, keys, select, extras=()):
     return uniq, cextras, n_sel
 
 
-@partial(jax.jit, static_argnames=("k", "canonical"))
-def count_kmers(codes: jnp.ndarray, valid: jnp.ndarray, k: int, canonical: bool):
-    """codes: (L,) uint8/int32 base codes; valid: (L,) bool window validity.
-
-    Returns (uniq, counts, n_unique): uniq[:n_unique] are the sorted
-    distinct (canonical) k-mers as int64, counts aligned; tail is sentinel.
-
-    On TPU, both int32 layouts (single lane for k <= 15, hi/lo pair for
-    k <= 23) compact the run-head keys and their positions through the
-    O(n) Pallas stream compactor and run lengths become position diffs —
-    no reverse-cummin scan and no second full sort.
-    """
+def _count_impl(codes: jnp.ndarray, valid: jnp.ndarray, k: int, canonical: bool):
     to64, keys, live, boundary = _sorted_runs(codes, valid, k, canonical)
 
     from .pallas_compact import compact_select_multi, use_compact_kernel
@@ -381,6 +370,48 @@ def count_kmers(codes: jnp.ndarray, valid: jnp.ndarray, k: int, canonical: bool)
     counts = _run_lengths(boundary, live)
     uniq, (cc,), n_sel = _compact_runs(to64, keys, boundary, (counts,))
     return uniq, cc, n_sel
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def count_kmers(codes: jnp.ndarray, valid: jnp.ndarray, k: int, canonical: bool):
+    """codes: (L,) uint8/int32 base codes; valid: (L,) bool window validity.
+
+    Returns (uniq, counts, n_unique): uniq[:n_unique] are the sorted
+    distinct (canonical) k-mers as int64, counts aligned; tail is sentinel.
+
+    On TPU, both int32 layouts (single lane for k <= 15, hi/lo pair for
+    k <= 23) compact the run-head keys and their positions through the
+    O(n) Pallas stream compactor and run lengths become position diffs —
+    no reverse-cummin scan and no second full sort.
+    """
+    return _count_impl(codes, valid, k, canonical)
+
+
+def _frag_window_validity(bounds, total, L: int, k: int):
+    """Traced window validity from fragment boundaries: a window starting
+    at s is valid iff no boundary lies in (s, s+k-1] and it is fully
+    inside the unpadded input (host reference: `window_validity`).  The
+    next-boundary-after-s lookup is the `_run_lengths` reverse-cummin
+    pattern — no per-position host array crosses the link (the bool mask
+    was 1 B/base of upload; `bounds` is a few KB)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (L + 1,), 0)
+    isb = jnp.zeros((L + 1,), bool).at[bounds].set(True)
+    term = jnp.where(isb, idx, jnp.int32(L + 1))
+    rc = jax.lax.cummin(term, axis=0, reverse=True)
+    nxt = rc[1:]  # min boundary strictly greater than s, length L
+    pos = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+    return (nxt > pos + (k - 1)) & (pos < jnp.asarray(total, jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def count_kmers_frag(codes, bounds, total, k: int, canonical: bool):
+    """count_kmers with on-device validity: codes (L,) uint8 (cast to the
+    lane width in-trace), bounds (B,) int32 sorted fragment boundaries
+    (offsets[1:], padded by repeating the total length), total the traced
+    unpadded length.  Uploads 1 B/base instead of the 4 B/base int32
+    codes + 1 B/base bool mask of the count_kmers staging."""
+    valid = _frag_window_validity(bounds, total, codes.shape[0], k)
+    return _count_impl(codes, valid, k, canonical)
 
 
 # Run-length threshold tests stay shifted-compares up to this cutoff; the
@@ -412,6 +443,14 @@ def count_to_set(codes, valid, k: int, canonical: bool, cutoff: int):
 
     uniq, _, n_kept = _compact_runs(to64, keys, keep)
     return uniq, n_kept, n_unique - n_kept
+
+
+@partial(jax.jit, static_argnames=("k", "canonical", "cutoff"))
+def count_to_set_frag(codes, bounds, total, k: int, canonical: bool, cutoff: int):
+    """count_to_set with the slim upload format of count_kmers_frag
+    (uint8 codes + boundary array; validity computed on device)."""
+    valid = _frag_window_validity(bounds, total, codes.shape[0], k)
+    return count_to_set(codes, valid, k, canonical, cutoff)
 
 
 def window_validity(offsets: np.ndarray, total: int, k: int) -> np.ndarray:

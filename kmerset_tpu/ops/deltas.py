@@ -1,0 +1,142 @@
+"""Delta-compressed key downloads for slow host<->device links.
+
+The count pipeline's dominant link cost is downloading the sorted unique
+key array (4-8 B/k-mer; ~66 MB at 16.5M keys through a ~30 MB/s tunnel).
+Sorted keys are gap-encoded instead: consecutive deltas of a dense
+canonical set are small (mean gap = keyspace / n), so nearly all fit one
+byte (k <= 15) or two (larger k), and the rare overflows ride a
+fixed-capacity exception table.  The wire format is 1-2 B/k-mer — a
+4-8x cut of the big transfer.
+
+Encoding (on device, one jit per size class):
+  d[i] = uniq[i] - uniq[i-1]  (d[0] = uniq[0], so decode is a plain
+  cumsum from 0 — the first key needs no separate channel)
+  dsmall[i] = min(d[i], ESC) as uint8/uint16 (ESC = dtype max)
+  exceptions: positions with d >= ESC, in ascending order, as
+  (position, true delta) int64 rows; capacity CAP, sentinel-padded.
+  The last exception row carries (n_overflow, uniq[n-1]) — the
+  overflow count decides raw fallback and the last key is an
+  end-to-end integrity check on the decode.
+
+Decoding (host): patch the true deltas over the escaped positions and
+cumsum.  Any inconsistency (overflow beyond CAP, integrity mismatch)
+returns None and the caller downloads the raw array instead — the
+device copy is still resident, so the fallback costs only the bytes
+this path tried to save.
+
+This replaces link bytes, not reference behavior: the reference runs
+host-only and never serializes this array (its counterpart is the
+in-memory bucket map, lib/core/kmer_counter.h:40-133).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+CAP = 1 << 16  # exception slots per download (1 MB on the wire)
+_IDX_SENTINEL = (1 << 31) - 1
+
+
+def _build_encode():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+
+    @partial(jax.jit, static_argnames=("esc",))
+    def encode(uniq, n, esc: int):
+        """uniq: (P,) int64 sorted ascending on [0, n), arbitrary tail.
+        Returns (dsmall (P,) uint8|uint16, exc (CAP+1, 2) int64)."""
+        P = uniq.shape[0]
+        prev = jnp.concatenate([jnp.zeros((1,), uniq.dtype), uniq[:-1]])
+        d = uniq - prev  # d[0] = uniq[0]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (P,), 0)
+        live = pos < n
+        d = jnp.where(live, d, 0)
+        over = d >= esc
+        dt = jnp.uint8 if esc == 255 else jnp.uint16
+        dsmall = jnp.minimum(d, esc).astype(dt)
+        # Overflow positions to the front, ascending (they already are by
+        # position; the sort just compacts them past the sentinels).
+        key = jnp.where(over, pos, jnp.int32(_IDX_SENTINEL))
+        (key,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+        exc_idx = key[:CAP]
+        safe = jnp.clip(exc_idx, 0, P - 1)
+        exc_val = jnp.where(exc_idx < P, d[safe], 0)
+        n_over = jnp.sum(over, dtype=jnp.int64)
+        last = uniq[jnp.maximum(n - 1, 0)]
+        exc = jnp.concatenate(
+            [
+                jnp.stack([exc_idx.astype(jnp.int64), exc_val], axis=1),
+                jnp.stack([n_over, last]).reshape(1, 2),
+            ]
+        )
+        return dsmall, exc
+
+    return encode
+
+
+_encode = None
+
+
+def expected_escape(n: int, k: int, canonical: bool) -> Optional[int]:
+    """ESC width whose expected exception count fits CAP with margin, or
+    None when even uint16 deltas would overflow too often.  Gaps of a
+    near-uniform n-subset of the keyspace are ~geometric with mean
+    space/n; expected overflows = n * exp(-esc * n / space).  Real sets
+    are less uniform, so require an 8x margin — the decoder's overflow
+    check keeps correctness either way."""
+    space = float(4**k) / (2.0 if canonical else 1.0)
+    if n <= 0:
+        return None
+    import math
+
+    for esc in (255, 65535):
+        expected = n * math.exp(-esc * n / space)
+        if expected <= CAP / 8:
+            return esc
+    return None
+
+
+def device_delta_download(uniq, n: int, k: int, canonical: bool):
+    """Downloads uniq[:n] (device int64, sorted) via gap encoding;
+    returns the reconstructed int64 host array, or None when the format
+    does not fit (caller downloads raw).  Never raises."""
+    global _encode
+    try:
+        esc = expected_escape(n, k, canonical)
+        if esc is None:
+            return None
+        if _encode is None:
+            _encode = _build_encode()
+        dsmall, exc = _encode(uniq, n, esc)
+        d_h = np.asarray(dsmall[:n])
+        exc_h = np.asarray(exc)
+        # The table has min(P, CAP) exception rows + 1 tail row (the
+        # device slice key[:CAP] shrinks when the padded array is
+        # shorter than CAP).
+        cap_eff = exc_h.shape[0] - 1
+        n_over, last = int(exc_h[-1, 0]), int(exc_h[-1, 1])
+        if n_over > cap_eff:
+            return None
+        d64 = d_h.astype(np.int64)
+        idx = exc_h[:n_over, 0]
+        d64[idx] = exc_h[:n_over, 1]
+        out = np.cumsum(d64)
+        if n and int(out[-1]) != last:
+            from .backend import _note_fallback
+
+            _note_fallback(
+                "delta_download",
+                RuntimeError("delta decode integrity mismatch"),
+            )
+            return None
+        return out
+    except Exception as e:  # noqa: BLE001 - fall back to raw download
+        from .backend import _note_fallback
+
+        _note_fallback("delta_download", e)
+        return None

@@ -370,7 +370,7 @@ def test_device_fallback_is_logged(monkeypatch, caplog):
     def boom(*a, **k):
         raise RuntimeError("injected device failure")
 
-    monkeypatch.setattr(count_mod, "count_kmers", boom)
+    monkeypatch.setattr(count_mod, "count_kmers_frag", boom)
     before = backend.FALLBACK_COUNT
     caplog.set_level(logging.DEBUG, logger="kmerset")
     codes = np.zeros(100, dtype=np.int32)
