@@ -43,8 +43,15 @@ class KmerSetCompact:
         function of the k-mer array, so deferring it changes nothing
         observable — only when the work happens."""
         if self._spss is None:
-            kmers, canonical, fast = self._pending
+            kmers, canonical, fast, dev = self._pending
             ks = KmerSet(self.k, kmers, _sorted=True)
+            # Re-attach the device-resident mirror (count -> graph
+            # fusion): without it the SPSS front-end re-staged the set
+            # and the slow-link gate closed, silently dropping the
+            # fused path for every compact build.  valid_for re-checks
+            # the handle against the array at consumption time, so a
+            # stale mirror on a deferred (lazy) build falls back safely.
+            ks.device = dev
             if canonical:
                 self._spss = spss_mod.get_spss_canonical(ks, fast)
             else:
@@ -78,7 +85,7 @@ class KmerSetCompact:
         (reference eagerly rebuilds each round: lib/core/kmer_set_set.h:
         332-367)."""
         obj = cls(kmer_set.k, None)
-        obj._pending = (kmer_set.kmers, canonical, fast)
+        obj._pending = (kmer_set.kmers, canonical, fast, kmer_set.device)
         if not lazy:
             obj.spss  # noqa: B018 - force the build now
         obj._kmers_cache = kmer_set.kmers

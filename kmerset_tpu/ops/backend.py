@@ -655,26 +655,34 @@ def device_count(
                 # 2k <= 30-bit keys: convert on-device, download 4 B/key.
                 uniq_n = uniq_n.astype(np.int32)
             uniq_h = np.asarray(uniq_n).astype(np.int64, copy=False)
-        counts_n = counts[:n]
-        if value_max:
-            import jax.numpy as jnp
+        def _trim_counts():
+            counts_n = counts[:n]
+            if value_max:
+                import jax.numpy as jnp
 
-            counts_n = jnp.minimum(counts_n, value_max)
-            if value_max <= 255:
-                counts_n = counts_n.astype(np.uint8)
+                counts_n = jnp.minimum(counts_n, value_max)
+                if value_max <= 255:
+                    counts_n = counts_n.astype(np.uint8)
+            return np.asarray(counts_n).astype(np.int64, copy=False)
+
         if lazy_counts:
             # The build flow (cutoff <= 1) never reads counts: defer the
-            # transfer behind a closure the counter materializes on first
-            # host access (KmerCounter.counts), keeping the saturated
-            # device array alive until then.
-            def counts_h():
-                return np.asarray(counts_n).astype(np.int64, copy=False)
+            # trim ops AND the transfer behind a closure the counter
+            # materializes on first host access (KmerCounter.counts),
+            # keeping the raw device array alive until then (and off the
+            # count phase's dispatch critical path entirely).
+            counts_h = _trim_counts
         else:
-            counts_h = np.asarray(counts_n).astype(np.int64, copy=False)
+            counts_h = _trim_counts()
         if not resident:
             return uniq_h, counts_h
         if handle is not None:
             handle = handle.with_endpoints(uniq_h)
+            if handle is not None:
+                # The blocking downloads above are done — let the
+                # prefetched side codes cross the now-idle link while
+                # the host works toward the SPSS phase.
+                handle.start_sides_download()
         return uniq_h, counts_h, handle
     except Exception as e:  # noqa: BLE001
         _note_fallback("device_count", e)

@@ -131,9 +131,24 @@ class DeviceKmers:
         try:
             from . import unitigs
 
-            self.sides = unitigs.dispatch_sides(self.arr, self.k)
+            # Sliced to the live prefix NOW (n is known) so the whole
+            # array can later be copied host-side as-is — an async copy
+            # of the padded array would transfer up to 2x the bytes.
+            self.sides = unitigs.dispatch_sides(self.arr, self.k)[: self.n]
         except Exception:  # noqa: BLE001 - prefetch is best-effort
             self.sides = None
+
+    def start_sides_download(self) -> None:
+        """Begins the device->host copy of the prefetched side codes
+        (async; jax starts it once the dispatch completes).  Called when
+        the count phase's own downloads are done, so the transfer rides
+        the otherwise-idle link while the host runs the delta decode and
+        the SPSS phase prologue."""
+        if self.sides is not None:
+            try:
+                self.sides.copy_to_host_async()
+            except Exception:  # noqa: BLE001 - best-effort
+                pass
 
     @classmethod
     def from_count_outputs(

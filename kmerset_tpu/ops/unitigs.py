@@ -122,7 +122,11 @@ def device_unitig_sides(A: np.ndarray, k: int, resident=None):
             _unitig_sides = _build_sides()
         n = A.shape[0]
         if resident is not None and resident.sides is not None:
-            return np.asarray(resident.sides[:n])
+            s = resident.sides
+            # Prefetched arrays are pre-sliced to n (and possibly already
+            # copied host-side, resident.start_sides_download); slicing
+            # again would spawn a fresh device buffer and a fresh copy.
+            return np.asarray(s if s.shape[0] == n else s[:n])
         if resident is not None:
             Ap = resident.graph_input()
         elif k <= 15:

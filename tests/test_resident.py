@@ -250,3 +250,37 @@ def test_resident_incremental_add_invalidates(monkeypatch):
     assert counter._device is None
     ks, _ = counter.to_kmer_set(1)
     assert ks.device is None
+
+
+@pytest.mark.parametrize("lazy", [False, True])
+def test_compact_build_keeps_resident_fusion(monkeypatch, lazy):
+    """KmerSetCompact.from_kmer_set (the CLI build path) must carry the
+    device handle into its deferred SPSS build: the front-end consumes
+    the resident array without re-staging (regression: _pending dropped
+    the handle and every compact build silently took the upload path)."""
+    from kmerset_tpu.core.kmer_set_compact import KmerSetCompact
+    from kmerset_tpu.ops import neighbors as nb
+    from kmerset_tpu.ops import unitigs as ut
+
+    k = 15
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    counter = KmerCounter.from_reads(k, _reads(k, seed=21), canonical=True)
+    ks, _ = counter.to_kmer_set(1)
+    assert ks.device is not None
+
+    staged = {"n": 0}
+
+    def spy(a, fill):
+        staged["n"] += 1
+        return nb.pad_pow2(a, fill)
+
+    monkeypatch.setattr(ut, "pad_pow2", spy)
+    compact = KmerSetCompact.from_kmer_set(ks, canonical=True, lazy=lazy)
+    strings = compact.spss
+    assert staged["n"] == 0, "compact build must not re-stage a resident set"
+
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    bare = KmerSet(k, ks.kmers, _sorted=True)
+    host = KmerSetCompact.from_kmer_set(bare, canonical=True)
+    np.testing.assert_array_equal(strings.codes, host.spss.codes)
+    np.testing.assert_array_equal(strings.offsets, host.spss.offsets)
