@@ -1223,3 +1223,53 @@ def cycle_leaders(succ: np.ndarray, oriented: bool):
     if cnt < 0:
         return None
     return out[:cnt]
+
+
+def delta_decode(
+    d: np.ndarray, exc: np.ndarray, n_exc: int
+) -> Optional[np.ndarray]:
+    """Patched-cumsum reconstruction of a gap-encoded sorted key array
+    (ops/deltas.py wire format; kmerio_delta_decode).  d: (n,) uint8 or
+    uint16 deltas; exc: (m, 2) int64 ascending (position, true delta)
+    rows, first n_exc rows live.  Returns the int64 keys, or None
+    (unbuilt lib / stale build / positions out of order)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_dd_ready"):
+        try:
+            lib.kmerio_delta_decode.restype = ctypes.c_long
+            lib.kmerio_delta_decode.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int,
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib._dd = True
+        except AttributeError:  # stale build without the export
+            lib._dd = False
+        lib._dd_ready = True
+    if not lib._dd:
+        return None
+    if d.dtype == np.uint8:
+        width = 1
+    elif d.dtype == np.uint16:
+        width = 2
+    else:
+        return None
+    d = np.ascontiguousarray(d)
+    exc = np.ascontiguousarray(exc[:n_exc], dtype=np.int64)
+    out = np.empty(d.shape[0], dtype=np.int64)
+    rc = lib.kmerio_delta_decode(
+        d.ctypes.data_as(ctypes.c_void_p),
+        width,
+        d.shape[0],
+        exc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_exc,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return out

@@ -122,10 +122,16 @@ def device_delta_download(uniq, n: int, k: int, canonical: bool):
         n_over, last = int(exc_h[-1, 0]), int(exc_h[-1, 1])
         if n_over > cap_eff:
             return None
-        d64 = d_h.astype(np.int64)
-        idx = exc_h[:n_over, 0]
-        d64[idx] = exc_h[:n_over, 1]
-        out = np.cumsum(d64)
+        from ..core import native
+
+        out = native.delta_decode(d_h, exc_h, n_over)
+        if out is None:
+            # NumPy fallback: widen, patch, cumsum (2 full int64 passes
+            # vs the C routine's single streaming pass).
+            d64 = d_h.astype(np.int64)
+            idx = exc_h[:n_over, 0]
+            d64[idx] = exc_h[:n_over, 1]
+            out = np.cumsum(d64)
         if n and int(out[-1]) != last:
             from .backend import _note_fallback
 

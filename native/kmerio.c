@@ -1799,3 +1799,34 @@ long kmerio_cycle_leaders(const int64_t *succ, long n, int oriented,
     free(vis);
     return cnt;
 }
+
+/* Gap-decode a sorted key array from the device's delta wire format
+ * (ops/deltas.py): small-width deltas (uint8 when width==1, uint16 when
+ * width==2) with escaped positions patched from an ascending (position,
+ * true delta) exception table.  out[i] = sum of patched deltas 0..i
+ * (d[0] carries the absolute first key, so the cumsum needs no base).
+ * Returns 0 when every exception was consumed at its position, -1
+ * otherwise (caller falls back to the raw transfer). */
+long kmerio_delta_decode(const void *d, int width, long n,
+                         const int64_t *exc, long n_exc, int64_t *out) {
+    int64_t acc = 0;
+    long e = 0;
+    if (width == 1) {
+        const uint8_t *p = (const uint8_t *)d;
+        for (long i = 0; i < n; i++) {
+            int64_t dv = p[i];
+            if (e < n_exc && exc[2 * e] == i) { dv = exc[2 * e + 1]; e++; }
+            acc += dv;
+            out[i] = acc;
+        }
+    } else {
+        const uint16_t *p = (const uint16_t *)d;
+        for (long i = 0; i < n; i++) {
+            int64_t dv = p[i];
+            if (e < n_exc && exc[2 * e] == i) { dv = exc[2 * e + 1]; e++; }
+            acc += dv;
+            out[i] = acc;
+        }
+    }
+    return e == n_exc ? 0 : -1;
+}

@@ -147,3 +147,28 @@ def test_frag_validity_device_count_parity(monkeypatch):
     host = KmerCounter.from_reads(k, reads, canonical=True)
     np.testing.assert_array_equal(dev.kmers, host.kmers)
     np.testing.assert_array_equal(dev.counts, host.counts)
+
+
+def test_native_delta_decode_matches_numpy_and_rejects_bad_exc():
+    from kmerset_tpu.core import native
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(23)
+    gaps = rng.integers(1, 200, size=10_000).astype(np.int64)
+    big = rng.choice(10_000, size=40, replace=False)
+    gaps[big] += 5_000
+    vals = np.cumsum(gaps)
+    d = np.minimum(gaps, 255).astype(np.uint8)
+    idx = np.sort(np.flatnonzero(gaps >= 255))
+    exc = np.stack([idx, gaps[idx]], axis=1).astype(np.int64)
+    out = native.delta_decode(d, exc, exc.shape[0])
+    np.testing.assert_array_equal(out, vals)
+    # u16 width
+    d16 = np.minimum(gaps, 65535).astype(np.uint16)
+    out16 = native.delta_decode(d16, exc[:0], 0)
+    np.testing.assert_array_equal(out16, vals)
+    # Out-of-order exception positions: decoder must refuse.
+    if exc.shape[0] >= 2:
+        bad = exc[::-1].copy()
+        assert native.delta_decode(d, bad, bad.shape[0]) is None
