@@ -367,11 +367,12 @@ def enable_compile_cache() -> None:
 
 
 def _staged_windows_u8(codes: np.ndarray, offsets: np.ndarray, k: int):
-    """Slim staging for the frag-validity count entry: uint8 codes padded
-    to the sort size class (1 B/base up the link) + the pow2-padded int32
-    boundary array + the unpadded length (count_kmers_frag computes the
-    window-validity mask on device from these).  Returns
-    (codes_u8, bounds_i32, total) or None for inputs under one window."""
+    """Slim staging for the frag-validity count entries: 2-bit packed
+    codes (0.25 B/base up the link) + the pow2-padded int32 boundary
+    array + the unpadded length + the static unpacked code count
+    (count_kmers_frag unpacks and computes the window-validity mask on
+    device).  Returns (packed, bounds_i32, total, L) or None for inputs
+    under one window."""
     from .count import good_sort_size
 
     total = codes.shape[0]
@@ -390,7 +391,14 @@ def _staged_windows_u8(codes: np.ndarray, offsets: np.ndarray, k: int):
         bounds = np.concatenate(
             [bounds, np.full(bp - bounds.shape[0], total, np.int64)]
         )
-    return codes, bounds.astype(np.int32), total
+    from ..core import native
+
+    return (
+        native.pack2(np.ascontiguousarray(codes)),
+        bounds.astype(np.int32),
+        total,
+        codes.shape[0],
+    )
 
 
 def device_unique(
@@ -408,9 +416,9 @@ def device_unique(
         staged = _staged_windows_u8(codes, offsets, k)
         if staged is None:
             return None
-        codes_u8, bounds, total = staged
+        packed, bounds, total, L = staged
         uniq, n_kept, _ = count_to_set_frag(
-            codes_u8, bounds, total, k, canonical, 1
+            packed, bounds, total, L, k, canonical, 1
         )
         return np.asarray(uniq[: int(n_kept)])
     except Exception as e:  # noqa: BLE001
@@ -500,8 +508,8 @@ def _count_dispatch(codes, offsets, k, canonical):
     staged = _staged_windows_u8(codes, offsets, k)
     if staged is None:
         return None
-    codes_u8, bounds, total = staged
-    return count_kmers_frag(codes_u8, bounds, total, k, canonical)
+    packed, bounds, total, L = staged
+    return count_kmers_frag(packed, bounds, total, L, k, canonical)
 
 
 def _count_fetch(t) -> Tuple[np.ndarray, np.ndarray]:
@@ -516,8 +524,8 @@ def _unique_dispatch(codes, offsets, k, canonical):
     staged = _staged_windows_u8(codes, offsets, k)
     if staged is None:
         return None
-    codes_u8, bounds, total = staged
-    uniq, n_kept, _ = count_to_set_frag(codes_u8, bounds, total, k, canonical, 1)
+    packed, bounds, total, L = staged
+    uniq, n_kept, _ = count_to_set_frag(packed, bounds, total, L, k, canonical, 1)
     return uniq, n_kept
 
 
@@ -615,9 +623,9 @@ def device_count(
         staged = _staged_windows_u8(codes, offsets, k)
         if staged is None:
             return None
-        codes_u8, bounds, total = staged
+        packed, bounds, total, L = staged
         uniq, counts, n_unique = count_kmers_frag(
-            codes_u8, bounds, total, k, canonical
+            packed, bounds, total, L, k, canonical
         )
         n = int(n_unique)
         handle = None

@@ -387,6 +387,18 @@ def count_kmers(codes: jnp.ndarray, valid: jnp.ndarray, k: int, canonical: bool)
     return _count_impl(codes, valid, k, canonical)
 
 
+def _unpack2(packed, L: int):
+    """(ceil(L/4),) uint8 with 4 codes/byte (low bits first — the
+    kmerio_pack2 layout) -> (L,) int32 base codes.  The 2-bit wire
+    format quarters the codes upload; XLA lowers the stack+reshape to
+    one relayout pass."""
+    b = packed.astype(jnp.int32)
+    four = jnp.stack(
+        [b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3], axis=1
+    )
+    return four.reshape(-1)[:L]
+
+
 def _frag_window_validity(bounds, total, L: int, k: int):
     """Traced window validity from fragment boundaries: a window starting
     at s is valid iff no boundary lies in (s, s+k-1] and it is fully
@@ -403,14 +415,17 @@ def _frag_window_validity(bounds, total, L: int, k: int):
     return (nxt > pos + (k - 1)) & (pos < jnp.asarray(total, jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("k", "canonical"))
-def count_kmers_frag(codes, bounds, total, k: int, canonical: bool):
-    """count_kmers with on-device validity: codes (L,) uint8 (cast to the
-    lane width in-trace), bounds (B,) int32 sorted fragment boundaries
-    (offsets[1:], padded by repeating the total length), total the traced
-    unpadded length.  Uploads 1 B/base instead of the 4 B/base int32
-    codes + 1 B/base bool mask of the count_kmers staging."""
-    valid = _frag_window_validity(bounds, total, codes.shape[0], k)
+@partial(jax.jit, static_argnames=("L", "k", "canonical"))
+def count_kmers_frag(packed, bounds, total, L: int, k: int, canonical: bool):
+    """count_kmers with the slim wire format: packed (ceil(L/4),) uint8
+    2-bit codes (kmerio_pack2 layout), bounds (B,) int32 sorted fragment
+    boundaries (offsets[1:], padded by repeating the total length),
+    total the traced unpadded length, L the static unpacked code count.
+    Uploads 0.25 B/base instead of the 4 B/base int32 codes + 1 B/base
+    bool mask of the count_kmers staging; window validity is computed on
+    device (_frag_window_validity)."""
+    codes = _unpack2(packed, L)
+    valid = _frag_window_validity(bounds, total, L, k)
     return _count_impl(codes, valid, k, canonical)
 
 
@@ -445,11 +460,14 @@ def count_to_set(codes, valid, k: int, canonical: bool, cutoff: int):
     return uniq, n_kept, n_unique - n_kept
 
 
-@partial(jax.jit, static_argnames=("k", "canonical", "cutoff"))
-def count_to_set_frag(codes, bounds, total, k: int, canonical: bool, cutoff: int):
+@partial(jax.jit, static_argnames=("L", "k", "canonical", "cutoff"))
+def count_to_set_frag(
+    packed, bounds, total, L: int, k: int, canonical: bool, cutoff: int
+):
     """count_to_set with the slim upload format of count_kmers_frag
-    (uint8 codes + boundary array; validity computed on device)."""
-    valid = _frag_window_validity(bounds, total, codes.shape[0], k)
+    (2-bit packed codes + boundary array; validity computed on device)."""
+    codes = _unpack2(packed, L)
+    valid = _frag_window_validity(bounds, total, L, k)
     return count_to_set(codes, valid, k, canonical, cutoff)
 
 
