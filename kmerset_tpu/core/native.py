@@ -707,6 +707,28 @@ def canonical_windows32(
     return out[:m]
 
 
+_scratch_u64: dict = {}
+
+
+def _zeroed_u64(logcap: int, slot: int = 0) -> np.ndarray:
+    """Zeroed uint64 fp-table scratch.  Large tables (>= 8 MB) reuse a
+    persistent per-slot buffer: a fresh np.zeros at multi-hundred-MB
+    sizes pays an mmap + first-touch fault storm on the virtualized eval
+    host (and the VMA churn the round-3 soak surfaced); an explicit fill
+    of a resident buffer streams at memory bandwidth instead.  Slots
+    separate tables that are live at the same time (overlap_edges uses
+    two)."""
+    if logcap < 20:
+        return np.zeros(1 << logcap, dtype=np.uint64)
+    buf = _scratch_u64.get(slot)
+    if buf is None or buf.shape[0] != (1 << logcap):
+        buf = np.zeros(1 << logcap, dtype=np.uint64)
+        _scratch_u64[slot] = buf
+    else:
+        buf.fill(0)
+    return buf
+
+
 def succ_from_sides(
     A: np.ndarray, sides: np.ndarray, k: int
 ) -> Optional[np.ndarray]:
@@ -745,7 +767,7 @@ def succ_from_sides(
     if sides.shape[0] != n or n > (np.iinfo(np.int32).max >> 1):
         return None  # fp slots carry int32 indices; 2n must fit int32s
     logcap = max(4, int(n * 2 - 1).bit_length())
-    table = np.zeros(1 << logcap, dtype=np.uint64)
+    table = _zeroed_u64(logcap)
     succ = np.empty(2 * n, dtype=np.int64)
     rc = lib.kmerio_succ_from_sides(
         A.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -795,7 +817,7 @@ def dedup_edges(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
     if a.min() < 0 or b.min() < 0 or a.max() >= 1 << 32 or b.max() >= 1 << 32:
         return None
     logcap = max(4, int(m * 2 - 1).bit_length())
-    table = np.zeros(1 << logcap, dtype=np.uint64)
+    table = _zeroed_u64(logcap)
     idx = np.empty(m, dtype=np.int64)
     i64p = ctypes.POINTER(ctypes.c_int64)
     cnt = lib.kmerio_dedup_edges(
@@ -863,8 +885,8 @@ def overlap_edges(P: np.ndarray, S: np.ndarray, k: int):
     logcap = max(4, int(max(n, 1) * 2 - 1).bit_length())
     # fp tables are uint64 zero-initialized; the legacy two-pass API
     # reuses the same buffers as int64 filled with -1 (same byte layout).
-    ptab = np.zeros(1 << logcap, dtype=np.uint64)
-    stab = np.zeros(1 << logcap, dtype=np.uint64)
+    ptab = _zeroed_u64(logcap, slot=0)
+    stab = _zeroed_u64(logcap, slot=1)
     i64p = ctypes.POINTER(ctypes.c_int64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     args = (
