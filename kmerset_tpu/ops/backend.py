@@ -628,6 +628,17 @@ def device_count(
             packed, bounds, total, L, k, canonical
         )
         n = int(n_unique)
+        # Gap-encoded key download (1-2 B/k-mer instead of 4-8,
+        # ops/deltas.py): the encode is DISPATCHED before any other
+        # device work so the wire arrays exist early and their DMA can
+        # overlap the side-code prefetch's compute — queued after it,
+        # the fetch would wait out that whole jit first (measured
+        # +1.7 s at 16.5M keys).
+        delta_pending = None
+        if _slow_link() and n >= DELTA_MIN_KEYS:
+            from .deltas import dispatch_delta, fetch_delta
+
+            delta_pending = dispatch_delta(uniq, n, k, canonical)
         handle = None
         if resident:
             # Dispatch the resident shrink BEFORE the blocking downloads
@@ -647,16 +658,11 @@ def device_count(
                 # A build follows on a slow link: the graph phase will
                 # consume side codes (the 1-byte wire format needs the
                 # native succ rebuild) — dispatch their jit now so its
-                # device compute overlaps the downloads below.
+                # device compute overlaps the key download below.
                 handle.prefetch_sides()
         uniq_h = None
-        if _slow_link() and n >= DELTA_MIN_KEYS:
-            # Gap-encoded key download: 1-2 B/k-mer instead of 4-8
-            # (ops/deltas.py); falls back to the raw transfer on any
-            # format overflow or integrity mismatch.
-            from .deltas import device_delta_download
-
-            uniq_h = device_delta_download(uniq, n, k, canonical)
+        if delta_pending is not None:
+            uniq_h = fetch_delta(delta_pending, n)
         if uniq_h is None:
             uniq_n = uniq[:n]
             if value_max and k <= 15:

@@ -101,10 +101,13 @@ def expected_escape(n: int, k: int, canonical: bool) -> Optional[int]:
     return None
 
 
-def device_delta_download(uniq, n: int, k: int, canonical: bool):
-    """Downloads uniq[:n] (device int64, sorted) via gap encoding;
-    returns the reconstructed int64 host array, or None when the format
-    does not fit (caller downloads raw).  Never raises."""
+def dispatch_delta(uniq, n: int, k: int, canonical: bool):
+    """Dispatches the gap encode (async) and returns the on-device
+    (deltas, exceptions) pair for fetch_delta, or None when the density
+    heuristic rejects the format.  Splitting dispatch from fetch lets
+    the caller queue more device work (the side-code prefetch) behind
+    the encode so its compute overlaps the download DMA — dispatched
+    the other way round, the fetch would wait out that compute first."""
     global _encode
     try:
         esc = expected_escape(n, k, canonical)
@@ -113,7 +116,20 @@ def device_delta_download(uniq, n: int, k: int, canonical: bool):
         if _encode is None:
             _encode = _build_encode()
         dsmall, exc = _encode(uniq, n, esc)
-        d_h = np.asarray(dsmall[:n])
+        return dsmall[:n], exc
+    except Exception as e:  # noqa: BLE001 - fall back to raw download
+        from .backend import _note_fallback
+
+        _note_fallback("delta_dispatch", e)
+        return None
+
+
+def fetch_delta(pending, n: int):
+    """Collects a dispatch_delta result: downloads the two wire arrays
+    and reconstructs the int64 keys, or returns None (raw fallback)."""
+    try:
+        dsmall, exc = pending
+        d_h = np.asarray(dsmall)
         exc_h = np.asarray(exc)
         # The table has min(P, CAP) exception rows + 1 tail row (the
         # device slice key[:CAP] shrinks when the padded array is
@@ -146,3 +162,12 @@ def device_delta_download(uniq, n: int, k: int, canonical: bool):
 
         _note_fallback("delta_download", e)
         return None
+
+
+def device_delta_download(uniq, n: int, k: int, canonical: bool):
+    """One-call dispatch + fetch (see dispatch_delta/fetch_delta);
+    returns the reconstructed int64 uniq[:n], or None.  Never raises."""
+    pending = dispatch_delta(uniq, n, k, canonical)
+    if pending is None:
+        return None
+    return fetch_delta(pending, n)
