@@ -87,18 +87,54 @@ class KmerCounter:
         # set by the device counting path; carried into the KmerSet by
         # to_kmer_set so the SPSS graph phase skips its upload.
         self._device = None
+        # Lazy-fetch recovery: (codes, offsets) retained while a
+        # deferred counts transfer is outstanding, so a post-count
+        # device failure degrades to a host recount instead of losing
+        # the counts (see _recount_host).
+        self._recover = None
+        self._canonical = True
 
     @property
     def counts(self) -> np.ndarray:
         if self._counts is None:
-            fetch, self._counts_fetch = self._counts_fetch, None
-            self._counts = np.asarray(fetch(), dtype=np.int64)
+            try:
+                self._counts = np.asarray(self._counts_fetch(), dtype=np.int64)
+            except Exception as e:  # noqa: BLE001 - device died post-count
+                # The deferred device transfer failed (e.g. the tunnel
+                # dropped between counting and the first counts read).
+                # Recount on the host from the retained codes — the
+                # same fallback the eager path had inside device_count.
+                from ..utils.log import get_logger
+
+                get_logger().warning(
+                    "deferred counts transfer failed (%r); recounting on host", e
+                )
+                self._counts = self._recount_host()
+            self._counts_fetch = None
+            self._recover = None
         return self._counts
 
     @counts.setter
     def counts(self, value) -> None:
         self._counts_fetch = None
         self._counts = np.asarray(value, dtype=np.int64)
+
+    def _recount_host(self) -> np.ndarray:
+        """Host recount aligned to self.kmers (lazy-fetch disaster path;
+        raises if the recount disagrees with the device keys rather than
+        returning silently wrong counts)."""
+        if self._recover is None:
+            raise RuntimeError(
+                "deferred counts lost and no codes retained to recount"
+            )
+        codes, offsets = self._recover
+        kmers = extract_kmers(codes, offsets, self.k, self._canonical)
+        uniq, counts = arrays.sorted_unique_counts(kmers)
+        if uniq.shape[0] != self.kmers.shape[0] or not np.array_equal(
+            uniq, self.kmers
+        ):
+            raise RuntimeError("host recount disagrees with device keys")
+        return np.minimum(counts, self.value_max).astype(np.int64)
 
     # -- construction (reference: lib/core/kmer_counter.h:62-209) ----------
 
@@ -190,6 +226,9 @@ class KmerCounter:
                     if not callable(counts):
                         counts = np.minimum(counts, value_max)
                     counter = cls(k, uniq, counts, value_max)
+                    if callable(counts):
+                        counter._recover = (codes, offsets)
+                        counter._canonical = canonical
                     # Keep the sorted set on-device so the SPSS graph
                     # phase skips its re-upload (ops/resident.py).
                     counter._device = handle

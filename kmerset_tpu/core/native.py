@@ -707,7 +707,7 @@ def canonical_windows32(
     return out[:m]
 
 
-_scratch_u64: dict = {}
+_scratch_tls = threading.local()
 
 
 def _zeroed_u64(logcap: int, slot: int = 0) -> np.ndarray:
@@ -717,13 +717,17 @@ def _zeroed_u64(logcap: int, slot: int = 0) -> np.ndarray:
     host (and the VMA churn the round-3 soak surfaced); an explicit fill
     of a resident buffer streams at memory bandwidth instead.  Slots
     separate tables that are live at the same time (overlap_edges uses
-    two)."""
+    two); the cache is thread-local so concurrent builds never share a
+    buffer."""
     if logcap < 20:
         return np.zeros(1 << logcap, dtype=np.uint64)
-    buf = _scratch_u64.get(slot)
+    cache = getattr(_scratch_tls, "bufs", None)
+    if cache is None:
+        cache = _scratch_tls.bufs = {}
+    buf = cache.get(slot)
     if buf is None or buf.shape[0] != (1 << logcap):
         buf = np.zeros(1 << logcap, dtype=np.uint64)
-        _scratch_u64[slot] = buf
+        cache[slot] = buf
     else:
         buf.fill(0)
     return buf

@@ -386,7 +386,11 @@ def _staged_windows_u8(codes: np.ndarray, offsets: np.ndarray, k: int):
             [codes, np.zeros(target - n_keys, np.uint8)]
         )
     bounds = np.asarray(offsets, dtype=np.int64)[1:]
-    bp = 1 << max(4, int(bounds.shape[0] - 1).bit_length())
+    # Floor the pad class at 4096: the boundary count is a second jit
+    # compilation dimension, and one class covering every input up to
+    # 4096 fragments (16 KB of upload) avoids a fresh multi-second
+    # compile of the fused count pipeline per fragment-count pow2 class.
+    bp = 1 << max(12, int(bounds.shape[0] - 1).bit_length())
     if bp > bounds.shape[0]:
         bounds = np.concatenate(
             [bounds, np.full(bp - bounds.shape[0], total, np.int64)]
@@ -677,17 +681,21 @@ def device_count(
                 counts_n = jnp.minimum(counts_n, value_max)
                 if value_max <= 255:
                     counts_n = counts_n.astype(np.uint8)
-            return np.asarray(counts_n).astype(np.int64, copy=False)
+            return counts_n
 
         if lazy_counts:
             # The build flow (cutoff <= 1) never reads counts: defer the
-            # trim ops AND the transfer behind a closure the counter
-            # materializes on first host access (KmerCounter.counts),
-            # keeping the raw device array alive until then (and off the
-            # count phase's dispatch critical path entirely).
-            counts_h = _trim_counts
+            # transfer behind a closure the counter materializes on first
+            # host access (KmerCounter.counts).  The trim itself is
+            # dispatched NOW (async) so only the saturated uint8 array
+            # (1 B/key) stays pinned in HBM through the graph phase, not
+            # the padded int32 count buffer.
+            trimmed = _trim_counts()
+
+            def counts_h():
+                return np.asarray(trimmed).astype(np.int64, copy=False)
         else:
-            counts_h = _trim_counts()
+            counts_h = np.asarray(_trim_counts()).astype(np.int64, copy=False)
         if not resident:
             return uniq_h, counts_h
         if handle is not None:

@@ -172,3 +172,51 @@ def test_native_delta_decode_matches_numpy_and_rejects_bad_exc():
     if exc.shape[0] >= 2:
         bad = exc[::-1].copy()
         assert native.delta_decode(d, bad, bad.shape[0]) is None
+
+
+def test_lazy_counts_failure_recovers_via_host_recount(monkeypatch):
+    """A deferred counts transfer that fails (device died post-count)
+    degrades to a host recount aligned to the device keys — same values
+    the eager path would have produced — instead of crashing or losing
+    the counts permanently."""
+    from kmerset_tpu.core.kmer_counter import KmerCounter
+    from kmerset_tpu.utils.random import get_random_read
+
+    k = 15
+    rng = np.random.default_rng(31)
+    reads = [get_random_read(k, rng) for _ in range(40)]
+    reads = reads + reads[::3]
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    counter = KmerCounter.from_reads(k, reads, canonical=True, spss_ahead=True)
+    assert counter._counts_fetch is not None and counter._recover is not None
+
+    def boom():
+        raise RuntimeError("synthetic transfer failure")
+
+    counter._counts_fetch = boom
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    host = KmerCounter.from_reads(k, reads, canonical=True)
+    np.testing.assert_array_equal(counter.counts, host.counts)  # recounted
+    assert counter._recover is None  # recovery state released
+
+
+def test_zeroed_scratch_is_thread_local():
+    from kmerset_tpu.core import native
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    import threading
+
+    bufs = {}
+
+    def grab(name):
+        bufs[name] = native._zeroed_u64(20, slot=0)
+
+    t = threading.Thread(target=grab, args=("other",))
+    t.start()
+    t.join()
+    grab("main")
+    assert bufs["main"] is not bufs["other"]
+    # Same thread, same slot: reused and re-zeroed.
+    b = native._zeroed_u64(20, slot=0)
+    assert b is bufs["main"] and int(b[123]) == 0
