@@ -90,7 +90,10 @@ def main(argv=None) -> None:
 
     if args.out:
         try:
-            kss.dump(args.out, args.compressor, args.extension)
+            kss.dump(
+                args.out, args.compressor, args.extension,
+                workers=args.workers,
+            )
         except Exception as e:  # noqa: BLE001
             logger.error("failed to dump kmer_set_set: %s", e)
             sys.exit(1)

@@ -355,7 +355,15 @@ class KmerSetSet:
 
     # -- persistence (reference: kmer_set_set.h:456-615) -------------------
 
-    def dump(self, directory: str, compressor: str, extension: str) -> None:
+    def dump(
+        self, directory: str, compressor: str, extension: str,
+        workers: int = 1,
+    ) -> None:
+        """Writes meta + one file per compact set; with workers > 1 the
+        per-set dumps run as parallel tasks like the reference's
+        one-task-per-file pool (reference: kmer_set_set.h:494-528; the
+        first dump failure is re-raised after the pool drains, matching
+        its collect-then-fail error handling)."""
         os.makedirs(directory, exist_ok=True)
         meta = [
             serialize_adjacency_list(self.children_),
@@ -364,8 +372,20 @@ class KmerSetSet:
         core_io.write_lines(
             os.path.join(directory, f"meta.{extension}"), compressor, meta
         )
-        for i, s in enumerate(self.kmer_sets_compact_):
-            s.dump(os.path.join(directory, f"{i}.{extension}"), compressor)
+
+        def _dump_one(i: int) -> None:
+            self.kmer_sets_compact_[i].dump(
+                os.path.join(directory, f"{i}.{extension}"), compressor
+            )
+
+        if workers > 1 and len(self.kmer_sets_compact_) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(_dump_one, range(len(self.kmer_sets_compact_))))
+        else:
+            for i in range(len(self.kmer_sets_compact_)):
+                _dump_one(i)
 
     def dump_graph(self, file_name: str) -> None:
         """DOT format (reference: kmer_set_set.h:532-547)."""

@@ -1258,7 +1258,8 @@ def delta_decode(
     (ops/deltas.py wire format; kmerio_delta_decode).  d: (n,) uint8 or
     uint16 deltas; exc: (m, 2) int64 ascending (position, true delta)
     rows, first n_exc rows live.  Returns the int64 keys, or None
-    (unbuilt lib / stale build / positions out of order)."""
+    (unbuilt lib / stale build / positions out of order / decoded
+    sequence not strictly increasing — positional corruption)."""
     lib = get_lib()
     if lib is None:
         return None

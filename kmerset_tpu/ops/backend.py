@@ -59,6 +59,56 @@ def _threshold() -> int:
     return _env_int("KMERSET_TPU_MIN_DEVICE_WINDOWS", DEFAULT_MIN_DEVICE_WINDOWS)
 
 
+class _StageTimer:
+    """Per-call stage timestamps, printed to stderr when
+    KMERSET_TPU_TIMING is set (the dispatch-gap probe; zero cost when
+    off).  Each tick records the wall time since the previous tick, so
+    the printout is a contiguous accounting of the call."""
+
+    __slots__ = ("t0", "prev", "items", "name")
+
+    def __init__(self, name: str):
+        import time as _time
+
+        self.name = name
+        self.t0 = self.prev = _time.perf_counter()
+        self.items = []
+
+    def tick(self, label: str) -> None:
+        import time as _time
+
+        now = _time.perf_counter()
+        self.items.append((label, now - self.prev))
+        self.prev = now
+
+    def done(self) -> None:
+        import sys as _sys
+        import time as _time
+
+        total = _time.perf_counter() - self.t0
+        parts = " ".join(f"{l}={dt:.3f}" for l, dt in self.items)
+        print(f"[timing] {self.name}: {parts} total={total:.3f}", file=_sys.stderr)
+
+
+class _NullTimer:
+    __slots__ = ()
+
+    def tick(self, label: str) -> None:
+        pass
+
+    def done(self) -> None:
+        pass
+
+
+_NULL_TIMER = _NullTimer()
+
+
+def _stage_timer(name: str):
+    if os.environ.get("KMERSET_TPU_TIMING"):
+        return _StageTimer(name)
+    return _NULL_TIMER
+
+
 def _graph_threshold() -> int:
     return _env_int("KMERSET_TPU_MIN_DEVICE_GRAPH", DEFAULT_MIN_DEVICE_GRAPH)
 
@@ -623,15 +673,19 @@ def device_count(
         from .count import count_kmers_frag
     except Exception:  # noqa: BLE001 - any jax failure => host fallback
         return None
+    tm = _stage_timer("device_count")
     try:
         staged = _staged_windows_u8(codes, offsets, k)
         if staged is None:
             return None
         packed, bounds, total, L = staged
+        tm.tick("stage")
         uniq, counts, n_unique = count_kmers_frag(
             packed, bounds, total, L, k, canonical
         )
+        tm.tick("dispatch")
         n = int(n_unique)
+        tm.tick("sync_n")
         # Gap-encoded key download (1-2 B/k-mer instead of 4-8,
         # ops/deltas.py): the encode is DISPATCHED before any other
         # device work so the wire arrays exist early and their DMA can
@@ -643,6 +697,7 @@ def device_count(
             from .deltas import dispatch_delta, fetch_delta
 
             delta_pending = dispatch_delta(uniq, n, k, canonical)
+            tm.tick("delta_dispatch")
         handle = None
         if resident:
             # Dispatch the resident shrink BEFORE the blocking downloads
@@ -652,6 +707,7 @@ def device_count(
             handle = DeviceKmers.from_count_outputs(
                 uniq, counts, n, k, canonical
             )
+            tm.tick("shrink_dispatch")
             if (
                 handle is not None
                 and spss_ahead
@@ -664,15 +720,18 @@ def device_count(
                 # native succ rebuild) — dispatch their jit now so its
                 # device compute overlaps the key download below.
                 handle.prefetch_sides()
+                tm.tick("sides_dispatch")
         uniq_h = None
         if delta_pending is not None:
             uniq_h = fetch_delta(delta_pending, n)
+            tm.tick("delta_fetch")
         if uniq_h is None:
             uniq_n = uniq[:n]
             if value_max and k <= 15:
                 # 2k <= 30-bit keys: convert on-device, download 4 B/key.
                 uniq_n = uniq_n.astype(np.int32)
             uniq_h = np.asarray(uniq_n).astype(np.int64, copy=False)
+            tm.tick("raw_fetch")
         def _trim_counts():
             counts_n = counts[:n]
             if value_max:
@@ -696,7 +755,9 @@ def device_count(
                 return np.asarray(trimmed).astype(np.int64, copy=False)
         else:
             counts_h = np.asarray(_trim_counts()).astype(np.int64, copy=False)
+        tm.tick("counts")
         if not resident:
+            tm.done()
             return uniq_h, counts_h
         if handle is not None:
             handle = handle.with_endpoints(uniq_h)
@@ -705,6 +766,8 @@ def device_count(
                 # prefetched side codes cross the now-idle link while
                 # the host works toward the SPSS phase.
                 handle.start_sides_download()
+        tm.tick("endpoints")
+        tm.done()
         return uniq_h, counts_h, handle
     except Exception as e:  # noqa: BLE001
         _note_fallback("device_count", e)

@@ -84,18 +84,34 @@ _encode = None
 
 def expected_escape(n: int, k: int, canonical: bool) -> Optional[int]:
     """ESC width whose expected exception count fits CAP with margin, or
-    None when even uint16 deltas would overflow too often.  Gaps of a
-    near-uniform n-subset of the keyspace are ~geometric with mean
-    space/n; expected overflows = n * exp(-esc * n / space).  Real sets
-    are less uniform, so require an 8x margin — the decoder's overflow
-    check keeps correctness either way."""
-    space = float(4**k) / (2.0 if canonical else 1.0)
+    None when even uint16 deltas would overflow too often.
+
+    Non-canonical keys are ~uniform over [0, 4^k): gaps are ~geometric
+    with mean space/n, so expected overflows = n * exp(-esc * n / space).
+
+    Canonical keys min(x, rc(x)) are NOT uniform: a key u is canonical
+    iff u <= rc(u), so the density falls ~linearly across the keyspace,
+    f(u) ~ (2/S)(1 - u/S) — the upper range is sparse and its gaps are
+    huge.  Integrating the local geometric overflow probability over
+    that density gives expected overflows = 2n(1 - e^-a(1+a)) / a^2
+    with a = 2*esc*n/S.  The uniform model underestimates this ~80x
+    (k=15, n=16.5M: 535k real overflows vs 6.5k predicted), which made
+    every production build silently fall back to the raw download.
+
+    The decoder's overflow check keeps correctness either way; an 8x
+    margin absorbs model error."""
     if n <= 0:
         return None
     import math
 
+    space = float(4**k)
     for esc in (255, 65535):
-        expected = n * math.exp(-esc * n / space)
+        a = esc * n / space
+        if canonical:
+            a *= 2.0
+            expected = 2.0 * n * (1.0 - math.exp(-a) * (1.0 + a)) / (a * a)
+        else:
+            expected = n * math.exp(-a)
         if expected <= CAP / 8:
             return esc
     return None
@@ -137,16 +153,31 @@ def fetch_delta(pending, n: int):
         cap_eff = exc_h.shape[0] - 1
         n_over, last = int(exc_h[-1, 0]), int(exc_h[-1, 1])
         if n_over > cap_eff:
+            from .backend import _note_fallback
+
+            _note_fallback(
+                "delta_download",
+                RuntimeError(
+                    f"{n_over} gap overflows exceed the {cap_eff}-slot "
+                    "exception table (raw download fallback)"
+                ),
+            )
             return None
         from ..core import native
 
         out = native.delta_decode(d_h, exc_h, n_over)
         if out is None:
             # NumPy fallback: widen, patch, cumsum (2 full int64 passes
-            # vs the C routine's single streaming pass).
+            # vs the C routine's single streaming pass).  Same
+            # monotonicity guard as the C decode: patched deltas past
+            # position 0 must be positive or the keys are corrupt.
             d64 = d_h.astype(np.int64)
             idx = exc_h[:n_over, 0]
             d64[idx] = exc_h[:n_over, 1]
+            if d64.shape[0] and (
+                d64[0] < 0 or (d64.shape[0] > 1 and int(d64[1:].min()) <= 0)
+            ):
+                return None
             out = np.cumsum(d64)
         if n and int(out[-1]) != last:
             from .backend import _note_fallback

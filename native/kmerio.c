@@ -1805,8 +1805,13 @@ long kmerio_cycle_leaders(const int64_t *succ, long n, int oriented,
  * width==2) with escaped positions patched from an ascending (position,
  * true delta) exception table.  out[i] = sum of patched deltas 0..i
  * (d[0] carries the absolute first key, so the cumsum needs no base).
- * Returns 0 when every exception was consumed at its position, -1
- * otherwise (caller falls back to the raw transfer). */
+ * Validates strict monotonicity as it goes: every patched delta past
+ * position 0 must be positive (sorted unique keys), and the first key
+ * non-negative — which catches positional transfer corruption the
+ * final-key integrity check alone would miss (a corrupt delta pair
+ * whose sum cancels).  Returns 0 when every exception was consumed at
+ * its position and the sequence is strictly increasing, -1 otherwise
+ * (caller falls back to the raw transfer). */
 long kmerio_delta_decode(const void *d, int width, long n,
                          const int64_t *exc, long n_exc, int64_t *out) {
     int64_t acc = 0;
@@ -1816,6 +1821,7 @@ long kmerio_delta_decode(const void *d, int width, long n,
         for (long i = 0; i < n; i++) {
             int64_t dv = p[i];
             if (e < n_exc && exc[2 * e] == i) { dv = exc[2 * e + 1]; e++; }
+            if (i ? (dv <= 0) : (dv < 0)) return -1;
             acc += dv;
             out[i] = acc;
         }
@@ -1824,6 +1830,7 @@ long kmerio_delta_decode(const void *d, int width, long n,
         for (long i = 0; i < n; i++) {
             int64_t dv = p[i];
             if (e < n_exc && exc[2 * e] == i) { dv = exc[2 * e + 1]; e++; }
+            if (i ? (dv <= 0) : (dv < 0)) return -1;
             acc += dv;
             out[i] = acc;
         }

@@ -27,13 +27,21 @@ def _device_sorted(values: np.ndarray, pad_to: int | None = None):
 
 
 def test_expected_escape_density_tiers():
-    # Dense canonical k=15 set: one byte suffices.
-    assert deltas.expected_escape(16_500_000, 15, True) == 255
-    # Medium density: escapes too frequent for u8, fine for u16.
+    # Canonical keys fall off linearly across the keyspace (density
+    # (2/S)(1-u/S)), so even a dense k=15 set has ~500k gaps over 255
+    # (measured 535k at n=16.5M) — uint8 would overflow the exception
+    # table; the model must pick uint16.  (The old uniform model chose
+    # 255 here and every production build silently fell back to the raw
+    # download.)
+    assert deltas.expected_escape(16_500_000, 15, True) == 65535
+    # Medium density: still uint16.
     assert deltas.expected_escape(4_000_000, 15, True) == 65535
     # Sparse k=23 set: mean gap >> u16 range.
     assert deltas.expected_escape(1_000_000, 23, True) is None
     assert deltas.expected_escape(0, 15, True) is None
+    # NON-canonical keys really are uniform: a very dense k=15 set
+    # (mean gap ~11 << 255) fits u8.
+    assert deltas.expected_escape(100_000_000, 15, False) == 255
 
 
 @pytest.mark.parametrize("esc_case", ["dense", "escapes", "big_first"])

@@ -80,6 +80,28 @@ def test_dump_load_reader(tmp_path):
         assert reader.get(i).equals(orig)
 
 
+def test_dump_parallel_workers_byte_identical(tmp_path):
+    """dump(workers=4) writes byte-identical files to the sequential
+    dump (reference's one-task-per-file pool, kmer_set_set.h:494-528)."""
+    rng = np.random.default_rng(21)
+    originals = _related_sets(4, rng)
+    compacts = [KmerSetCompact.from_kmer_set(s, True) for s in originals]
+    kss = KmerSetSet(compacts, True, CFG, seed=3)
+
+    d_seq = str(tmp_path / "seq")
+    d_par = str(tmp_path / "par")
+    kss.dump(d_seq, "", "txt")
+    kss.dump(d_par, "", "txt", workers=4)
+    import os
+
+    names = sorted(os.listdir(d_seq))
+    assert names == sorted(os.listdir(d_par))
+    for name in names:
+        a = open(os.path.join(d_seq, name), "rb").read()
+        b = open(os.path.join(d_par, name), "rb").read()
+        assert a == b, name
+
+
 def test_dump_graph(tmp_path):
     rng = np.random.default_rng(9)
     originals = _related_sets(3, rng)

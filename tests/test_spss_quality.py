@@ -82,16 +82,24 @@ def _brute_best_glues(n: int, pa: np.ndarray, pb: np.ndarray) -> int:
     return best
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", range(48))
 def test_fast_cover_optimal_on_small_graphs(seed):
+    # Generate TO the brute-force budget (<= 13 candidate edges, <= 40
+    # unitigs): start from a random target size and shrink until the
+    # graph fits, so every trial asserts instead of skipping (round-4
+    # verdict: the size guard used to discard 23/40 draws).
     rng = np.random.default_rng(2000 + seed)
     n_target = int(rng.integers(20, 120))
-    s = get_random_kmer_set(K, n_target, True, rng)
-    unitigs = spss.get_unitigs_canonical(s)
-    n = len(unitigs)
-    pa, pb = spss._candidate_port_edges_canonical(unitigs, K)
-    if len(pa) > 13 or n > 40:
-        pytest.skip("graph too large for brute force")
+    for _ in range(16):
+        s = get_random_kmer_set(K, n_target, True, rng)
+        unitigs = spss.get_unitigs_canonical(s)
+        n = len(unitigs)
+        pa, pb = spss._candidate_port_edges_canonical(unitigs, K)
+        if len(pa) <= 13 and n <= 40:
+            break
+        n_target = max(4, (n_target * 2) // 3)
+    else:
+        pytest.fail(f"could not shrink to brute-force budget (seed {seed})")
     out = spss.get_spss_canonical_from_unitigs(unitigs, K, fast=True)
     d = unitigs.weight() - out.weight()
     assert d % (K - 1) == 0  # weight identity: every glue elides k-1 bases
