@@ -27,11 +27,14 @@ from .strings import PackedStrings
 
 
 class KmerSetCompact:
-    __slots__ = ("k", "_spss", "_pending", "_kmers_cache", "_cache_canonical")
+    __slots__ = (
+        "k", "_spss", "_spss2", "_pending", "_kmers_cache", "_cache_canonical"
+    )
 
     def __init__(self, k: int, spss: Optional[PackedStrings]):
         self.k = k
         self._spss = spss
+        self._spss2 = None  # 2-bit packed resident form (pack_in_memory)
         self._pending = None
         self._kmers_cache: Optional[np.ndarray] = None
         self._cache_canonical: Optional[bool] = None
@@ -41,7 +44,11 @@ class KmerSetCompact:
         """The SPSS strings; built on first consumption for lazily
         constructed sets (see from_kmer_set).  Construction is a pure
         function of the k-mer array, so deferring it changes nothing
-        observable — only when the work happens."""
+        observable — only when the work happens.  Sets packed in memory
+        (pack_in_memory) unpack fresh per access — deliberately
+        uncached, so resident multi-set state stays at 2 bits/base."""
+        if self._spss is None and self._spss2 is not None:
+            return self._spss2.unpack()
         if self._spss is None:
             kmers, canonical, fast, dev = self._pending
             ks = KmerSet(self.k, kmers, _sorted=True)
@@ -62,10 +69,25 @@ class KmerSetCompact:
     @spss.setter
     def spss(self, value: PackedStrings) -> None:
         self._spss = value
+        self._spss2 = None
         self._pending = None
         # The cached decode belonged to the previous strings.
         self._kmers_cache = None
         self._cache_canonical = None
+
+    def pack_in_memory(self) -> None:
+        """Converts the resident string form to 2 bits/base (the
+        reference's in-memory density, lib/core/kmer_set_compact.h:
+        339-347): ~4x less RSS per resident set, which is what bounds
+        the 100+-set multi-compress configs.  Lazy (unbuilt) sets are
+        left alone — packing would force the deferred SPSS build.
+        Consumers transparently unpack per phase via the spss
+        property."""
+        if self._spss is not None:
+            from .strings import Packed2Strings
+
+            self._spss2 = Packed2Strings.from_packed_strings(self._spss)
+            self._spss = None
 
     # -- conversions (reference: kmer_set_compact.h:36-55) -----------------
 
@@ -127,10 +149,14 @@ class KmerSetCompact:
         answers without forcing a deferred build."""
         if self._spss is None and self._kmers_cache is not None:
             return int(self._kmers_cache.shape[0])
+        if self._spss is None and self._spss2 is not None:
+            return self._spss2.size_kmers(self.k)
         return self.spss.size_kmers(self.k)
 
     def weight(self) -> int:
         """Sum of string lengths (pre-compression byte estimate)."""
+        if self._spss is None and self._spss2 is not None:
+            return self._spss2.weight()  # offsets only; no unpack
         return self.spss.weight()
 
     # -- similarity sketch (reference: kmer_set_compact.h:117-203) ---------

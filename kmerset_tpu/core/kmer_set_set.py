@@ -239,6 +239,11 @@ class KmerSetSet:
         sampled: List[np.ndarray] = [
             s.sampled_kmers(cfg, bucket_ids, canonical) for s in sets
         ]
+        # Input sets stay resident through the whole loop: hold their
+        # strings 2-bit packed (the reference's in-memory density,
+        # kmer_set_compact.h:339-347) — consumers unpack per phase.
+        for s in sets:
+            s.pack_in_memory()
         oracle = _make_weight_oracle(sampled, n_inputs, cfg.k)
 
         all_pairs = [
@@ -258,9 +263,14 @@ class KmerSetSet:
         heap = [(-w, p) for p, w in weights.items()]
         heapq.heapify(heap)
 
-        # Stopping rule (reference: kmer_set_set.h:240-302).
+        # Stopping rule (reference: kmer_set_set.h:240-302).  The sweep
+        # forces deferred SPSS builds; freshly built strings are packed
+        # to 2 bits/base right after (weight then reads offsets only).
         def total_spss_weight() -> int:
-            return sum(s.weight() for s in sets)
+            w = sum(s.weight() for s in sets)
+            for s in sets:
+                s.pack_in_memory()
+            return w
 
         total_weight = total_spss_weight()
         interval = n_inputs // 8 + 1

@@ -709,6 +709,11 @@ def canonical_windows32(
 
 _scratch_tls = threading.local()
 
+# Partitioned succ rebuild engages above this size (below it the fp
+# table is cache-resident and the partition passes are pure overhead);
+# parity tests lower it to force the partitioned path on small inputs.
+_SUCC_PART_MIN = 1 << 20
+
 
 def _zeroed_u64(logcap: int, slot: int = 0) -> np.ndarray:
     """Zeroed uint64 fp-table scratch.  Large tables (>= 8 MB) reuse a
@@ -739,9 +744,13 @@ def succ_from_sides(
     """Oriented successor array rebuilt from device-shipped per-entity
     side codes (the 1-byte/k-mer wire format of the count->graph fusion;
     see ops/unitigs.device_unitig_sides and kmerio_succ_from_sides).
-    One fp probe per non-terminal side.  Returns succ (2n,) int64 with
-    -1 at terminal exits, or None (unbuilt lib / stale build / probe
-    miss on corrupt sides / oversized input)."""
+    One fp probe per non-terminal side.  Large inputs route to the
+    cache-blocked partitioned edition (kmerio_succ_from_sides_part,
+    bit-identical output; the fp edition's random probes measure
+    ~1.3-1.7 s at 16.5M k-mers on the eval host, almost all latency),
+    sharing the grow-only partition scratch with side_tables.  Returns
+    succ (2n,) int64 with -1 at terminal exits, or None (unbuilt lib /
+    stale build / probe miss on corrupt sides / oversized input)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -760,6 +769,26 @@ def succ_from_sides(
             lib._sfs = True
         except AttributeError:  # stale build without the export
             lib._sfs = False
+        try:
+            lib.kmerio_succ_part_scratch.restype = ctypes.c_long
+            lib.kmerio_succ_part_scratch.argtypes = [
+                ctypes.c_long, ctypes.c_int
+            ]
+            lib.kmerio_succ_from_sides_part.restype = ctypes.c_long
+            lib.kmerio_succ_from_sides_part.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_long,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib._sfs_part = True
+        except AttributeError:
+            lib._sfs_part = False
         lib._sfs_ready = True
     if not lib._sfs:
         return None
@@ -773,14 +802,33 @@ def succ_from_sides(
     logcap = max(4, int(n * 2 - 1).bit_length())
     table = _zeroed_u64(logcap)
     succ = np.empty(2 * n, dtype=np.int64)
+    a_ptr = A.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    s_ptr = sides.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    t_ptr = table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+    o_ptr = succ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    if (
+        lib._sfs_part
+        and n >= _SUCC_PART_MIN
+        and not os.environ.get("KMERSET_TPU_NO_PART")
+    ):
+        sbytes = int(lib.kmerio_succ_part_scratch(n, logcap))
+        with _part_lock:
+            global _part_scratch
+            if _part_scratch is None or _part_scratch.nbytes < sbytes:
+                _part_scratch = np.empty(sbytes, dtype=np.uint8)
+            scratch = _part_scratch
+            rc = lib.kmerio_succ_from_sides_part(
+                a_ptr, n, k, s_ptr, t_ptr, logcap,
+                scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                scratch.nbytes, o_ptr,
+            )
+        if rc == 0:
+            return succ
+        if rc == -1:
+            return None  # genuine probe miss: corrupt sides
+        table[:] = 0  # scratch-shape failure: retry with the fp edition
     rc = lib.kmerio_succ_from_sides(
-        A.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n,
-        k,
-        sides.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        logcap,
-        succ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        a_ptr, n, k, s_ptr, t_ptr, logcap, o_ptr,
     )
     if rc != 0:
         return None
@@ -868,10 +916,60 @@ def count_hash(codes: np.ndarray, k: int) -> Optional[int]:
     )
 
 
+# Partitioned overlap join engages above this unitig count (same
+# rationale as _SUCC_PART_MIN); parity tests lower it.
+_OVERLAP_PART_MIN = 1 << 19
+
+
+def _overlap_edges_part(lib, P, S, n, k, ptab, stab, logcap):
+    """Partitioned overlap probe + discovery-order restore; returns
+    (a_ports, b_ports) or None (cap overflow / scratch shape — caller
+    falls back to the fp edition)."""
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    sbytes = int(lib.kmerio_overlap_part_scratch(n, logcap))
+    cap = 8 * n + 1024
+    hits = np.empty(cap, dtype=np.int64)
+    with _part_lock:
+        global _part_scratch
+        if _part_scratch is None or _part_scratch.nbytes < sbytes:
+            _part_scratch = np.empty(sbytes, dtype=np.uint8)
+        scratch = _part_scratch
+        m = int(lib.kmerio_overlap_edges_part(
+            P.ctypes.data_as(i64p), S.ctypes.data_as(i64p), n, k,
+            ptab.ctypes.data_as(u64p), stab.ctypes.data_as(u64p), logcap,
+            scratch.ctypes.data_as(u8p), scratch.nbytes, cap,
+            hits.ctypes.data_as(i64p),
+        ))
+    if m < 0:
+        return None
+    h = hits[:m]
+    h.sort(kind="stable")  # rank-major, j-minor == fp discovery order
+    rank = (h >> 32).astype(np.int64)
+    j = h & 0xFFFFFFFF
+    p = rank // n
+    i = rank - p * n
+    right = p < 8
+    a = np.where(right, 2 * i, 2 * i + 1)
+    # bit: right passes alternate ptab(1)/stab(0); left passes
+    # alternate stab(0)/ptab(1) — even/odd of the pass index.
+    q = np.where(right, p, p - 8)
+    bit = np.where(right, 1 - (q & 1), q & 1)
+    b = 2 * j + bit
+    return a, b
+
+
 def overlap_edges(P: np.ndarray, S: np.ndarray, k: int):
     """Native unitig overlap-edge discovery (reference hash multimaps,
     lib/core/spss.h:619-695); returns (a_ports, b_ports) in discovery
-    order (pre-dedup) or None."""
+    order (pre-dedup) or None.
+
+    Large inputs route to the cache-blocked partitioned probe edition
+    (kmerio_overlap_edges_part): hits come back as packed
+    (rank << 32 | j) in arbitrary order and one np.sort restores the fp
+    edition's exact discovery order — rank is pass-major/i-minor, and
+    within one probe the fp multimap walks ascending j."""
     lib = get_lib()
     if lib is None:
         return None
@@ -882,6 +980,22 @@ def overlap_edges(P: np.ndarray, S: np.ndarray, k: int):
             i64p, i64p, ctypes.c_long, ctypes.c_int,
             i64p, i64p, ctypes.c_int, ctypes.c_int, i64p,
         ]
+        try:
+            u64p_ = ctypes.POINTER(ctypes.c_uint64)
+            lib.kmerio_overlap_part_scratch.restype = ctypes.c_long
+            lib.kmerio_overlap_part_scratch.argtypes = [
+                ctypes.c_long, ctypes.c_int
+            ]
+            lib.kmerio_overlap_edges_part.restype = ctypes.c_long
+            lib.kmerio_overlap_edges_part.argtypes = [
+                i64p, i64p, ctypes.c_long, ctypes.c_int,
+                u64p_, u64p_, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_long, i64p,
+            ]
+            lib._oe_part = True
+        except AttributeError:
+            lib._oe_part = False
         lib._oe_ready = True
     P = np.ascontiguousarray(P, dtype=np.int64)
     S = np.ascontiguousarray(S, dtype=np.int64)
@@ -897,6 +1011,19 @@ def overlap_edges(P: np.ndarray, S: np.ndarray, k: int):
         P.ctypes.data_as(i64p), S.ctypes.data_as(i64p), n, k,
         ptab.ctypes.data_as(i64p), stab.ctypes.data_as(i64p), logcap,
     )
+    if (
+        getattr(lib, "_oe_part", False)
+        and n >= _OVERLAP_PART_MIN
+        and 16 * n < (1 << 31)
+        and not os.environ.get("KMERSET_TPU_NO_PART")
+    ):
+        res = _overlap_edges_part(lib, P, S, n, k, ptab, stab, logcap)
+        if res is not None:
+            return res
+        # overflow/shape failure: the tables may be part-filled — reset
+        # for the fp edition below.
+        ptab.fill(0)
+        stab.fill(0)
     # Single pass with a generous capacity (8 candidate edges per
     # unitig covers non-degenerate graphs); highly repetitive inputs can
     # exceed any linear bound (edge counts are quadratic per signature

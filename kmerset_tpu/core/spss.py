@@ -582,11 +582,13 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
                 # 16M k-mers through the ~27 MB/s tunnel); the host
                 # rebuilds the identical succ with one fp probe per
                 # non-terminal side (native kmerio_succ_from_sides).
-                sides = dev_unitigs.device_unitig_sides(
-                    A, k, resident=res_handle
-                )
+                with _phase("unitigs: side-code fetch"):
+                    sides = dev_unitigs.device_unitig_sides(
+                        A, k, resident=res_handle
+                    )
                 if sides is not None:
-                    succ_b = native.succ_from_sides(A, sides, k)
+                    with _phase("unitigs: succ rebuild"):
+                        succ_b = native.succ_from_sides(A, sides, k)
                     if succ_b is not None:
                         term_r = (sides & 1).astype(bool)
                         term_l = (sides & 16).astype(bool)
@@ -761,8 +763,9 @@ def _candidate_port_edges_canonical(
     Returned deduplicated, ordered by first-discovery priority.
     """
     n = len(unitigs)
-    P = unitigs.first_kmers(k)
-    S = unitigs.last_kmers(k)
+    with _phase("spss: first/last kmers"):
+        P = unitigs.first_kmers(k)
+        S = unitigs.last_kmers(k)
 
     from ..parallel import driver as mesh_driver
 
@@ -771,10 +774,12 @@ def _candidate_port_edges_canonical(
         if res is not None:
             a, b = res
             return _dedup_port_edges(a, b, n)
-    res = native.overlap_edges(P, S, k)
+    with _phase("spss: overlap join"):
+        res = native.overlap_edges(P, S, k)
     if res is not None:
         a, b = res
-        return _dedup_port_edges(a, b, n)
+        with _phase("spss: edge dedup"):
+            return _dedup_port_edges(a, b, n)
 
     p_order = np.argsort(P, kind="stable")
     s_order = np.argsort(S, kind="stable")

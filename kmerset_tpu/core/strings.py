@@ -123,6 +123,48 @@ class PackedStrings:
         return extract_kmers(self.codes, self.offsets, k, canonical)
 
 
+class Packed2Strings:
+    """2-bit-packed resident form of a PackedStrings: 4 bases/byte plus
+    the offsets array — the in-memory density of the reference's
+    vector<bool> SPSS bits (reference: lib/core/kmer_set_compact.h:
+    339-347, which packs 2 bits/base + streamvbyte lengths).  Multi-set
+    compression keeps 100+ compact sets resident at once; storing them
+    packed cuts the string RSS ~4x.  Metrics (count/weight/lengths) are
+    answered from the offsets without unpacking; `unpack()` materializes
+    a fresh PackedStrings per consuming phase (deliberately uncached —
+    a cache would defeat the memory point)."""
+
+    __slots__ = ("codes2", "offsets")
+
+    def __init__(self, codes2: np.ndarray, offsets: np.ndarray):
+        self.codes2 = np.asarray(codes2, dtype=np.uint8)
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+
+    @classmethod
+    def from_packed_strings(cls, ps: PackedStrings) -> "Packed2Strings":
+        from . import native
+
+        return cls(native.pack2(np.ascontiguousarray(ps.codes)), ps.offsets)
+
+    def unpack(self) -> PackedStrings:
+        from . import native
+
+        n = int(self.offsets[-1])
+        return PackedStrings(native.unpack2(self.codes2, n), self.offsets)
+
+    def __len__(self) -> int:
+        return self.offsets.shape[0] - 1
+
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    def weight(self) -> int:
+        return int(self.offsets[-1])
+
+    def size_kmers(self, k: int) -> int:
+        return int(np.sum(np.maximum(self.lengths() - k + 1, 0)))
+
+
 def _pack(codes: np.ndarray, idx: np.ndarray, k: int) -> np.ndarray:
     vals = codes[idx].astype(np.int64)
     out = np.zeros(idx.shape[0], dtype=np.int64)

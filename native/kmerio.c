@@ -1255,6 +1255,170 @@ long kmerio_side_tables_part(const int64_t *A, long n, int k, int canonical,
     return 0;
 }
 
+/* Cache-blocked edition of kmerio_succ_from_sides: same contract and
+ * bit-identical output, but the ~2n fp probes stream through L2-resident
+ * table regions instead of random DRAM reads (the same partitioned-join
+ * trick as kmerio_side_tables_part; the fp edition above measures
+ * ~1.0-1.2 s at 16.5M k-mers on the 1-vCPU eval host, almost all of it
+ * probe latency).  Candidates are radix-partitioned by the high bits of
+ * their hash slot in one strided streaming pass, each region is probed
+ * while it sits in cache, and hits are re-partitioned by origin block so
+ * the succ write-back is cache-resident too.  Returns 0, -1 on any probe
+ * miss (caller falls back to the full host side tables), -3 when scratch
+ * is too small. */
+long kmerio_succ_part_scratch(long n, int logcap) {
+    long NB, pcb, bcb;
+    part_layout(n, logcap, &NB, &pcb, &bcb);
+    long pcap = NB * pcb, bcap = NB * bcb;
+    /* (qr 8 + org 4 + sc 1 + hidx 4) per probe slot, (bkey 8 + bidx 4)
+     * per build slot, counters, alignment slack */
+    return (8 + 4 + 1 + 4) * pcap + (8 + 4) * bcap
+           + (4096 + 4096 + 257) * 8 + 128;
+}
+
+long kmerio_succ_from_sides_part(const int64_t *A, long n, int k,
+                                 const uint8_t *sides,
+                                 uint64_t *tab, int logcap,
+                                 uint8_t *scratch, int64_t scratch_bytes,
+                                 int64_t *succ) {
+    if (n <= 0) return 0;
+    if (scratch_bytes < kmerio_succ_part_scratch(n, logcap)) return -3;
+    const uint64_t kmask = (1ULL << (2 * k)) - 1;
+    const uint64_t tmask = (1ULL << logcap) - 1;
+    const int wide = (2 * k) > 32;
+    long NB, pcb, bcb;
+    part_layout(n, logcap, &NB, &pcb, &bcb);
+    const int bshift = (logcap - __builtin_ctzl(NB) > 0)
+                           ? (logcap - __builtin_ctzl(NB)) : 0;
+    const long pcap = NB * pcb, bcap = NB * bcb;
+
+    long off = 0;
+    int64_t *qr = (int64_t *)(scratch + off); off += 8 * pcap;
+    int32_t *org = (int32_t *)(scratch + off); off += 4 * pcap;
+    int32_t *hidx = (int32_t *)(scratch + off); off += 4 * pcap;
+    uint8_t *sc = scratch + off; off = PART_ALIGN8(off + pcap);
+    /* origin re-partition reuses qr (free after the probes) */
+    int64_t *happ = qr;
+    int64_t *bkey = (int64_t *)(scratch + off); off += 8 * bcap;
+    int32_t *bidx = (int32_t *)(scratch + off); off = PART_ALIGN8(off + 4 * bcap);
+    int64_t *cur = (int64_t *)(scratch + off); off += 4096 * 8;
+    int64_t *hcnt = (int64_t *)(scratch + off); off += 4096 * 8;
+    int64_t *blkoff = (int64_t *)(scratch + off); off += 257 * 8;
+
+    double t0 = now_s();
+    /* --- partitioned table build (strided, single pass) --- */
+    for (long b = 0; b < NB; b++) cur[b] = b * bcb;
+    for (long i = 0; i < n; i++) {
+        long b = (long)((mix64((uint64_t)A[i]) & tmask) >> bshift);
+        long w = cur[b]++;
+        if (w >= (b + 1) * bcb) return -4;
+        bkey[w] = A[i]; bidx[w] = (int32_t)i;
+    }
+    for (long b = 0; b < NB; b++) {
+        for (long e = b * bcb; e < cur[b]; e++) {
+            uint64_t key = (uint64_t)bkey[e];
+            uint64_t h = mix64(key) & tmask;
+            while (tab[h]) h = (h + 1) & tmask;
+            tab[h] = (((uint64_t)(bidx[e] + 1)) << 32) | (uint32_t)key;
+        }
+    }
+    TLOG("succ_part: build: %.2fs\n", now_s() - t0);
+
+    memset(succ, 0xFF, (size_t)n * 2 * sizeof(int64_t)); /* all -1 */
+
+    /* --- candidate partition: one strided streaming pass, both sides.
+     * rc is algebraic off one per-k-mer reverse complement, computed
+     * lazily (only same-side candidates need it):
+     *   rc(next(a, c)) = ((3-c) << (2k-2)) | (rc(a) >> 2)
+     *   rc(prev(a, c)) = ((rc(a) << 2) & kmask) | (3-c)            --- */
+    t0 = now_s();
+    for (long b = 0; b < NB; b++) cur[b] = b * pcb;
+    for (long i = 0; i < n; i++) {
+        uint8_t s = sides[i];
+        if ((s & 1) && (s & 16)) continue;  /* both sides terminal */
+        uint64_t a = (uint64_t)A[i];
+        uint64_t r = ((s & 8) && !(s & 1)) || ((s & 128) && !(s & 16))
+                         ? rc_one(a, k) : 0;
+        if (!(s & 1)) {
+            int c = (s >> 1) & 3;
+            int same = (s >> 3) & 1;
+            uint64_t v = same
+                ? (((uint64_t)(3 - c) << (2 * (k - 1))) | (r >> 2))
+                : (((a << 2) | (uint64_t)c) & kmask);
+            long b = (long)((mix64(v) & tmask) >> bshift);
+            long w = cur[b]++;
+            if (w >= (b + 1) * pcb) return -4;
+            qr[w] = (int64_t)v; org[w] = (int32_t)i;
+            sc[w] = (uint8_t)same;  /* side 0: bit1 clear */
+        }
+        if (!(s & 16)) {
+            int c = (s >> 5) & 3;
+            int same = (s >> 7) & 1;
+            uint64_t v = same
+                ? (((r << 2) & kmask) | (uint64_t)(3 - c))
+                : ((a >> 2) | ((uint64_t)c << (2 * (k - 1))));
+            long b = (long)((mix64(v) & tmask) >> bshift);
+            long w = cur[b]++;
+            if (w >= (b + 1) * pcb) return -4;
+            qr[w] = (int64_t)v; org[w] = (int32_t)i;
+            sc[w] = (uint8_t)(2 | same);  /* side 1: bit1 set */
+        }
+    }
+    TLOG("succ_part: partition: %.2fs\n", now_s() - t0);
+
+    /* --- cache-resident probes; hits compact in place per bucket --- */
+    t0 = now_s();
+    long bad = 0;
+    #pragma omp parallel for schedule(dynamic, 1) reduction(+:bad)
+    for (long b = 0; b < NB; b++) {
+        long w = b * pcb;
+        for (long e = b * pcb; e < cur[b]; e++) {
+            int32_t idx = fp_find(A, tab, tmask, wide, (uint64_t)qr[e]);
+            if (idx < 0) { bad++; continue; }
+            org[w] = org[e]; sc[w] = sc[e]; hidx[w] = idx; w++;
+        }
+        hcnt[b] = w - b * pcb;
+    }
+    TLOG("succ_part: probes: %.2fs\n", now_s() - t0);
+    if (bad) return -1;  /* stale/corrupt sides: never walk a wrong graph */
+
+    /* --- re-partition hits by origin block, then write succ ---
+     * packed entry: (slot << 32) | succ_val with slot = 2i+side < 2^32
+     * and succ_val = 2*idx + (side ? !same : same) < 2^32. */
+    t0 = now_s();
+    int blk_shift = 0;
+    while ((((2 * n - 1) >> blk_shift) + 1) > 256) blk_shift++;
+    const long NBLK = ((2 * n - 1) >> blk_shift) + 1; /* <= 256 */
+    memset(blkoff, 0, (NBLK + 1) * 8);
+    for (long b = 0; b < NB; b++)
+        for (long e = b * pcb; e < b * pcb + hcnt[b]; e++) {
+            long slot = 2 * (long)org[e] + ((sc[e] >> 1) & 1);
+            blkoff[1 + (slot >> blk_shift)]++;
+        }
+    for (long t = 0; t < NBLK; t++) blkoff[t + 1] += blkoff[t];
+    for (long b = 0; b < NB; b++)
+        for (long e = b * pcb; e < b * pcb + hcnt[b]; e++) {
+            int side = (sc[e] >> 1) & 1;
+            int same = sc[e] & 1;
+            long slot = 2 * (long)org[e] + side;
+            uint64_t sval = 2 * (uint64_t)(uint32_t)hidx[e]
+                            + (uint64_t)(side ? (same ^ 1) : same);
+            long w = blkoff[slot >> blk_shift]++;
+            happ[w] = (int64_t)(((uint64_t)slot << 32) | sval);
+        }
+    for (long t = NBLK; t > 0; t--) blkoff[t] = blkoff[t - 1];
+    blkoff[0] = 0;
+    #pragma omp parallel for schedule(dynamic, 1)
+    for (long t = 0; t < NBLK; t++) {
+        for (long e = blkoff[t]; e < blkoff[t + 1]; e++) {
+            uint64_t h = (uint64_t)happ[e];
+            succ[h >> 32] = (int64_t)(h & 0xFFFFFFFFULL);
+        }
+    }
+    TLOG("succ_part: apply: %.2fs\n", now_s() - t0);
+    return 0;
+}
+
 /* Reference-style canonical k-mer counter: rolling window + rolling
  * reverse complement + open-addressing hash count.  This reproduces the
  * reference's counting hot loop (lib/core/kmer_counter.h:80-133: per
@@ -1611,6 +1775,128 @@ long kmerio_overlap_edges_fp(const int64_t *P, const int64_t *S, long n,
     #undef EMIT
     TLOG("overlap_edges_fp: probes: %.2fs\n", now_s() - t0);
     return pos;
+}
+
+/* Overlap edges, cache-blocked partitioned edition.  The fp edition's
+ * 16n probes are random reads over two tables far larger than cache
+ * (measured 1.4-1.6 s at 1.65M unitigs on the eval host); here the
+ * probes are radix-partitioned by hash slot and each table region is
+ * probed while cache-resident (same trick as kmerio_side_tables_part).
+ * Emission order is restored by the CALLER: each hit is packed as
+ * (rank << 32) | j with rank = pass*n + i; sorting the packed hits
+ * ascending reproduces the fp edition's discovery order exactly,
+ * because multimap hits of one probe walk the fp table in ascending-j
+ * insertion order (fp_build inserts ascending) and pass/i-major is the
+ * fp edition's loop order.  Returns the hit count (caller derives
+ * (a_port, b_port) from rank/pass), -1 on cap overflow, -3 when the
+ * scratch is too small, -5 when 16n would overflow the 31-bit rank. */
+long kmerio_overlap_part_scratch(long n, int logcap) {
+    long NB, pcb_u, bcb_u;
+    part_layout(n, logcap, &NB, &pcb_u, &bcb_u);
+    long pcb = 16 * n / NB + (16 * n / NB) / 8 + 1024;
+    long pcap = NB * pcb;
+    return (8 + 4 + 4 + 1) * pcap + 4096 * 8 + 128;
+}
+
+long kmerio_overlap_edges_part(const int64_t *P, const int64_t *S, long n,
+                               int k, uint64_t *ptab, uint64_t *stab,
+                               int logcap, uint8_t *scratch,
+                               int64_t scratch_bytes, long cap,
+                               int64_t *hits) {
+    if (n <= 0) return 0;
+    if (16 * n >= (1L << 31)) return -5;
+    if (scratch_bytes < kmerio_overlap_part_scratch(n, logcap)) return -3;
+    const uint64_t kmask = (1ULL << (2 * k)) - 1;
+    const uint64_t tmask = (1ULL << logcap) - 1;
+    const int wide = (2 * k) > 32;
+    long NB, pcb_unused, bcb_unused;
+    part_layout(n, logcap, &NB, &pcb_unused, &bcb_unused);
+    const int bshift = (logcap - __builtin_ctzl(NB) > 0)
+                           ? (logcap - __builtin_ctzl(NB)) : 0;
+    const long pcb = 16 * n / NB + (16 * n / NB) / 8 + 1024;
+    const long pcap = NB * pcb;
+    if (scratch_bytes < (8 + 4 + 4 + 1) * pcap + 4096 * 8 + 128) return -3;
+
+    long off = 0;
+    int64_t *qr = (int64_t *)(scratch + off); off += 8 * pcap;
+    int32_t *rank = (int32_t *)(scratch + off); off += 4 * pcap;
+    int32_t *org = (int32_t *)(scratch + off); off += 4 * pcap;
+    uint8_t *sc = scratch + off; off = PART_ALIGN8(off + pcap);
+    int64_t *cur = (int64_t *)(scratch + off); off += 4096 * 8;
+
+    double t0 = now_s();
+    fp_build(P, n, ptab, logcap);
+    fp_build(S, n, stab, logcap);
+    TLOG("overlap_part: build: %.2fs\n", now_s() - t0);
+
+    /* --- candidate partition: i-major (P[i]/S[i] loaded once), rank
+     * encodes the fp edition's pass-major order --- */
+    t0 = now_s();
+    for (long b = 0; b < NB; b++) cur[b] = b * pcb;
+    for (long i = 0; i < n; i++) {
+        uint64_t s = (uint64_t)S[i], p = (uint64_t)P[i];
+        for (int c = 0; c < 4; c++) {
+            /* pass 2c: right(i) -> prefix table, bit 1 */
+            uint64_t q0 = ((s << 2) | (uint64_t)c) & kmask;
+            /* pass 2c+1: right(i) -> suffix table via rc, bit 0 */
+            uint64_t q1 = rc_one(q0, k);
+            /* pass 8+2c: left(i) -> suffix table, bit 0 */
+            uint64_t q2 = (p >> 2) | ((uint64_t)c << (2 * (k - 1)));
+            /* pass 8+2c+1: left(i) -> prefix table via rc, bit 1 */
+            uint64_t q3 = rc_one(q2, k);
+            const uint64_t qs[4] = {q0, q1, q2, q3};
+            /* sc: bit0 = table (0 ptab / 1 stab) */
+            static const uint8_t tsel[4] = {0, 1, 1, 0};
+            const int pass[4] = {2 * c, 2 * c + 1, 8 + 2 * c, 9 + 2 * c};
+            for (int v = 0; v < 4; v++) {
+                long b = (long)((mix64(qs[v]) & tmask) >> bshift);
+                long w = cur[b]++;
+                if (w >= (b + 1) * pcb) return -4;
+                qr[w] = (int64_t)qs[v];
+                rank[w] = (int32_t)(pass[v] * n + i);
+                org[w] = (int32_t)i;
+                sc[w] = tsel[v];
+            }
+        }
+    }
+    TLOG("overlap_part: partition: %.2fs\n", now_s() - t0);
+
+    /* --- cache-resident multimap probes; hits append atomically (order
+     * restored by the caller's sort) --- */
+    t0 = now_s();
+    long pos = 0;
+    int overflow = 0;
+    #pragma omp parallel for schedule(dynamic, 1)
+    for (long b = 0; b < NB; b++) {
+        if (overflow) continue;
+        for (long e = b * pcb; e < cur[b]; e++) {
+            const uint64_t q = (uint64_t)qr[e];
+            const uint64_t *tab = (sc[e] & 1) ? stab : ptab;
+            const int64_t *keys = (sc[e] & 1) ? S : P;
+            const long skip_id = org[e];
+            uint32_t fp = (uint32_t)q;
+            uint64_t h = mix64(q) & tmask;
+            for (;;) {
+                uint64_t t = tab[h];
+                if (!t) break;
+                if ((uint32_t)t == fp) {
+                    long j = (long)(t >> 32) - 1;
+                    if (j != skip_id && (!wide || keys[j] == (int64_t)q)) {
+                        long w;
+                        #pragma omp atomic capture
+                        w = pos++;
+                        if (w >= cap) { overflow = 1; break; }
+                        hits[w] = (int64_t)(((uint64_t)(uint32_t)rank[e]
+                                             << 32) | (uint32_t)j);
+                    }
+                }
+                h = (h + 1) & tmask;
+            }
+            if (overflow) break;  /* inner scan only; omp loop sees the flag */
+        }
+    }
+    TLOG("overlap_part: probes: %.2fs\n", now_s() - t0);
+    return overflow ? -1 : pos;
 }
 
 /* One-pass set algebra over sorted-unique arrays: fills intersection,

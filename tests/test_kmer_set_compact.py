@@ -32,6 +32,42 @@ def test_dump_load(tmp_path, compressor, decompressor):
     assert loaded.weight() == compact.weight()
 
 
+@pytest.mark.parametrize("canonical", [True, False])
+def test_pack_in_memory_byte_identical(tmp_path, canonical):
+    """2-bit packed resident form (pack_in_memory): dumps, metrics, and
+    decoded sets are byte/bit-identical to the unpacked form, and the
+    packed bytes really are ~4x smaller than the code array."""
+    rng = np.random.default_rng(11 if canonical else 12)
+    s = get_random_kmer_set(K, 3000, canonical, rng)
+    compact = KmerSetCompact.from_kmer_set(s, canonical)
+    w, sz = compact.weight(), compact.size()
+    strings_before = compact.spss.to_strings()
+    n_code_bytes = compact.spss.codes.nbytes
+
+    compact.pack_in_memory()
+    assert compact._spss is None and compact._spss2 is not None
+    assert compact._spss2.codes2.nbytes <= n_code_bytes // 4 + 1
+    assert compact.weight() == w and compact.size() == sz
+    assert compact.spss.to_strings() == strings_before
+    assert compact.to_kmer_set(canonical).equals(s)
+
+    p1 = str(tmp_path / "packed.txt")
+    compact.dump(p1)
+    compact2 = KmerSetCompact.from_kmer_set(s, canonical)
+    p2 = str(tmp_path / "plain.txt")
+    compact2.dump(p2)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_pack_in_memory_leaves_lazy_sets():
+    rng = np.random.default_rng(13)
+    s = get_random_kmer_set(K, 500, True, rng)
+    compact = KmerSetCompact.from_kmer_set(s, True, lazy=True)
+    compact.pack_in_memory()  # must NOT force the deferred build
+    assert compact._pending is not None and compact._spss2 is None
+    assert compact.to_kmer_set(True).equals(s)
+
+
 def test_dump_format_is_plain_strings(tmp_path):
     # Byte-compat with the reference: one ACGT string per line.
     rng = np.random.default_rng(3)

@@ -160,6 +160,36 @@ def test_native_overlap_edges_match_numpy():
     np.testing.assert_array_equal(cb, nb)
 
 
+@pytest.mark.parametrize("k", [9, 15, 19])
+def test_overlap_edges_part_order_identical(monkeypatch, k):
+    """The cache-blocked partitioned overlap probe must reproduce the fp
+    edition's exact discovery order (the packed-hit sort restores
+    pass-major rank order and ascending-j multimap order)."""
+    from kmerset_tpu.core import kmer as kc
+    from kmerset_tpu.core import spss as S
+    from kmerset_tpu.core.kmer_set import KmerSet
+
+    lib = native.get_lib()
+    if not getattr(lib, "_oe_part", False):
+        # Binding state may predate the part probe: force a re-probe.
+        if hasattr(lib, "_oe_ready"):
+            del lib._oe_ready
+    rng = np.random.default_rng(50 + k)
+    codes = rng.integers(0, 4, 60_000).astype(np.int64)
+    A = np.unique(kc.canonical(kc.kmers_from_codes(codes, k), k))
+    unitigs = S.get_unitigs_canonical(KmerSet(k, A, _sorted=True))
+    P = unitigs.first_kmers(k)
+    Sk = unitigs.last_kmers(k)
+
+    fa, fb = native.overlap_edges(P, Sk, k)  # fp edition (below min)
+    monkeypatch.setattr(native, "_OVERLAP_PART_MIN", 1)
+    if not getattr(native.get_lib(), "_oe_part", False):
+        pytest.skip("partitioned edition not in this build")
+    pa, pb = native.overlap_edges(P, Sk, k)
+    np.testing.assert_array_equal(pa, fa)
+    np.testing.assert_array_equal(pb, fb)
+
+
 def test_native_sorted_algebra():
     rng = np.random.default_rng(4)
     for na, nb in [(0, 5), (5, 0), (0, 0), (500, 700), (1, 1)]:

@@ -43,6 +43,33 @@ def test_sides_succ_bit_identical(monkeypatch, k):
     )
 
 
+@pytest.mark.parametrize("k", [15, 19, 23])
+def test_succ_part_edition_bit_identical(monkeypatch, k):
+    """The cache-blocked partitioned succ rebuild
+    (kmerio_succ_from_sides_part) is bit-identical to the fp edition,
+    and refuses corrupt streams the same way."""
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    rng = np.random.default_rng(60 + k)
+    s = get_random_kmer_set(k, 6000, True, rng)
+    A = s.kmers
+    sides = du.device_unitig_sides(A, k)
+    assert sides is not None
+    succ_fp = native.succ_from_sides(A, sides, k)
+    assert succ_fp is not None
+    monkeypatch.setattr(native, "_SUCC_PART_MIN", 1)
+    lib = native.get_lib()
+    if not getattr(lib, "_sfs_part", False):
+        pytest.skip("partitioned edition not in this build")
+    succ_part = native.succ_from_sides(A, sides, k)
+    assert succ_part is not None
+    np.testing.assert_array_equal(succ_part, succ_fp)
+    # Corrupt stream: the partitioned probe must also refuse.
+    nt = np.flatnonzero((sides & 1) == 0)
+    bad = sides.copy()
+    bad[nt[0]] ^= 0b110
+    assert native.succ_from_sides(A, bad, k) is None
+
+
 def test_sides_terminal_bits_mask_payload():
     """Terminal sides carry zeroed base/same bits (deterministic wire)."""
     k = 15
