@@ -333,5 +333,9 @@ class KmerCounter:
         ):
             dh = self._device.filtered(cutoff, self.value_max)
             if dh is not None and dh.n == ks.size():
-                ks.device = dh.with_endpoints(ks.kmers)
+                # Verified stamp: the host array came from an independent
+                # host-side filter, so the device endpoints are read back
+                # and compared (a same-cardinality divergence must drop
+                # the handle, not validate it).
+                ks.device = dh.with_verified_endpoints(ks.kmers)
         return ks, n_cut

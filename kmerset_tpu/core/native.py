@@ -880,6 +880,8 @@ def dedup_edges(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
         logcap,
         idx.ctypes.data_as(i64p),
     )
+    if cnt < 0:
+        return None  # (0,0) edge would alias the empty marker: numpy path
     return idx[:cnt]
 
 

@@ -127,6 +127,18 @@ def _side_tables(A: np.ndarray, k: int, canonical: bool, resident=None):
     fusion; see get_unitigs_canonical)."""
     from ..ops import backend
 
+    if resident is not None:
+        # The handle only skips the upload when its lane layout matches
+        # this call's consumer (int32 handles are canonical-k<=15 only).
+        # A mismatched handle must not open the resident gate: the
+        # device path would silently re-stage A — paying on a slow link
+        # exactly the upload the gate's resident arm assumes away.
+        want = np.int32 if (canonical and k <= 15) else np.int64
+        try:
+            if resident.graph_input().dtype != want:
+                resident = None
+        except Exception:  # noqa: BLE001 - dead handle: ignore it
+            resident = None
     if backend.should_use_device_graph(
         A.shape[0], resident=resident is not None
     ):

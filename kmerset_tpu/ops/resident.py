@@ -213,9 +213,43 @@ class DeviceKmers:
             return None
 
     def with_endpoints(self, kmers: np.ndarray) -> Optional["DeviceKmers"]:
-        """Stamps host endpoint checksums from the authoritative filtered
-        host array (lengths must already agree)."""
+        """Stamps host endpoint checksums from the authoritative host
+        array (lengths must already agree).  Only valid when the host
+        array was itself materialized FROM this device array (the count
+        download path) — for independently derived arrays (the host-side
+        cutoff filter) use with_verified_endpoints instead, which
+        actually reads the device endpoints back."""
         if self.n != kmers.shape[0] or self.n == 0:
+            return None
+        self.first = int(kmers[0])
+        self.last = int(kmers[-1])
+        return self
+
+    def with_verified_endpoints(
+        self, kmers: np.ndarray
+    ) -> Optional["DeviceKmers"]:
+        """Fetches this handle's actual device endpoints and compares
+        them against the independently computed host array: a filtered
+        device copy that diverged from the host filter while keeping the
+        same cardinality must NOT be stamped as valid (the SPSS phase
+        would silently consume wrong device keys).  One tiny gather
+        (2 values); returns None on any mismatch."""
+        if self.n != kmers.shape[0] or self.n == 0:
+            return None
+        try:
+            ends = np.asarray(self.arr[np.array([0, self.n - 1])])
+        except Exception as e:  # noqa: BLE001 - device died: drop the hint
+            from .backend import _note_fallback
+
+            _note_fallback("device_resident_endpoints", e)
+            return None
+        if int(ends[0]) != int(kmers[0]) or int(ends[1]) != int(kmers[-1]):
+            from .backend import _note_fallback
+
+            _note_fallback(
+                "device_resident_endpoints",
+                RuntimeError("device/host endpoint mismatch after filter"),
+            )
             return None
         self.first = int(kmers[0])
         self.last = int(kmers[-1])

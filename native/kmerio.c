@@ -977,6 +977,11 @@ long kmerio_dedup_edges(const int64_t *a, const int64_t *b, long m,
         }
         uint64_t la = (uint64_t)a[i], lb = (uint64_t)b[i];
         uint64_t key = la < lb ? (la << 32) | lb : (lb << 32) | la;
+        /* key == 0 (the edge (0,0)) would alias the empty-slot marker
+         * and be emitted once per occurrence.  Current callers filter
+         * self-edges so it cannot happen, but that precondition lives
+         * at the call sites — refuse instead of deduping wrongly. */
+        if (key == 0) return -1;
         uint64_t h = mix64(key) & tmask;
         for (;;) {
             uint64_t e = tab[h];

@@ -59,6 +59,43 @@ def test_resident_cutoff_filter_matches_host(monkeypatch, cutoff):
     np.testing.assert_array_equal(arr, ks.kmers)
 
 
+def test_filtered_endpoint_check_reads_device(monkeypatch):
+    """with_verified_endpoints must read the device array's actual
+    endpoints: a host array with the same cardinality but different
+    values (a diverged filter) must drop the handle, not validate it
+    (round-4 advisor finding: the old stamp made the check vacuous)."""
+    k = 15
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
+    reads = _reads(k, seed=19, n_reads=30)
+    reads = reads + reads[::2]
+    counter = KmerCounter.from_reads(k, reads, canonical=True)
+    dh = counter._device.filtered(2, 255)
+    assert dh is not None and dh.n > 1
+    true_keys = np.asarray(dh.graph_input())[: dh.n].astype(np.int64)
+    ok = dh.with_verified_endpoints(true_keys)
+    assert ok is not None and ok.valid_for(true_keys, k)
+    # Same cardinality, diverged values: must refuse.
+    wrong = true_keys.copy()
+    wrong[0] += 1
+    dh2 = counter._device.filtered(2, 255)
+    assert dh2.with_verified_endpoints(wrong) is None
+
+
+def test_dedup_edges_zero_zero_edge_refused():
+    from kmerset_tpu.core import native
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    a = np.array([0, 2, 0], dtype=np.int64)
+    b = np.array([0, 3, 0], dtype=np.int64)
+    # The (0,0) edge's packed key aliases the empty-slot marker: the C
+    # pass must refuse (None) so the numpy dedup handles it.
+    assert native.dedup_edges(a, b) is None
+    # Sanity: without the aliasing edge the C pass works.
+    idx = native.dedup_edges(np.array([1, 2, 1]), np.array([0, 3, 0]))
+    assert idx is not None and idx.tolist() == [0, 1]
+
+
 def test_resident_value_max_saturation(monkeypatch):
     """The on-device filter saturates counts at value_max exactly like
     the host AddWithMax semantics (reference: lib/core/kmer_counter.h:28-38):

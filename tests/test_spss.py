@@ -55,6 +55,30 @@ def test_spss_canonical_fast_random(seed):
     _check_spss_invariants(s, out, canonical=True)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("backend_name", ["host", "device", "mesh"])
+def test_spss_canonical_reference_scale_random(monkeypatch, backend_name):
+    """Round-trip property at the reference's randomized-size ceiling
+    (n up to 2^16, test/spss.cc:15-23) across backends: the large-n
+    regime is where the mesh/native/doubling paths could diverge, and
+    the small-n tiers never reach it.  All backends must produce sets
+    that reconstruct exactly; host vs forced backends must agree
+    byte-for-byte on the emitted strings."""
+    rng = np.random.default_rng(4242)
+    s = get_random_kmer_set(K, 1 << 16, True, rng)
+    assert s.size() > (1 << 14)  # genuinely large after dedup
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "host")
+    want = spss.get_spss_canonical(s, fast=True)
+    _check_spss_invariants(s, want, canonical=True)
+    if backend_name == "host":
+        return
+    monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", backend_name)
+    got = spss.get_spss_canonical(s, fast=True)
+    _check_spss_invariants(s, got, canonical=True)
+    np.testing.assert_array_equal(got.codes, want.codes)
+    np.testing.assert_array_equal(got.offsets, want.offsets)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_spss_canonical_slow_random(seed):
     rng = np.random.default_rng(300 + seed)
