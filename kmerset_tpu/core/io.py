@@ -53,6 +53,51 @@ def read_lines(file_name: str, decompressor: str = "") -> List[str]:
     return data.split("\n")
 
 
+def read_file_bytes(file_name: str, decompressor: str = "") -> bytes:
+    """Raw bytes of a (possibly piped) file — the vectorized fast path
+    behind PackedStrings.from_lines_bytes; same subprocess semantics and
+    error strings as read_lines."""
+    if not decompressor:
+        try:
+            with open(file_name, "rb") as f:
+                return f.read()
+        except OSError as e:
+            raise IOError_(f"failed to open file: {file_name}") from e
+    import shlex
+
+    proc = subprocess.run(
+        f"{decompressor} < {shlex.quote(file_name)}",
+        shell=True,
+        capture_output=True,
+    )
+    if proc.returncode != 0:
+        raise IOError_(
+            f"process failed with non-zero exit code: {proc.returncode}"
+        )
+    return proc.stdout
+
+
+def write_file_bytes(file_name: str, compressor: str, data: bytes) -> None:
+    """Byte-blob twin of write_lines (same pipe trick, same errors);
+    `data` must already carry its trailing newlines."""
+    if not compressor:
+        try:
+            with open(file_name, "wb") as f:
+                f.write(data)
+        except OSError as e:
+            raise IOError_(f"failed to open file: {file_name}") from e
+        return
+    import shlex
+
+    proc = subprocess.run(
+        f"{compressor} > {shlex.quote(file_name)}",
+        shell=True,
+        input=data,
+    )
+    if proc.returncode != 0:
+        raise IOError_(f"process failed with non-zero exit code: {proc.returncode}")
+
+
 def write_lines(file_name: str, compressor: str, lines) -> None:
     """Writes lines; pipes through `compressor > file` if non-empty
     (reference: lib/core/io.h:75-126)."""

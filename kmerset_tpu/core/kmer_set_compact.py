@@ -130,14 +130,16 @@ class KmerSetCompact:
     # -- persistence (reference: kmer_set_compact.h:57-87) -----------------
 
     def dump(self, file_name: str, compressor: str = "") -> None:
-        core_io.write_lines(file_name, compressor, self.spss.to_strings())
+        # One vectorized blob instead of a per-string Python list
+        # (byte-identical output; ~1 s -> ~0.1 s at 19M bases).
+        core_io.write_file_bytes(
+            file_name, compressor, self.spss.to_lines_bytes()
+        )
 
     @classmethod
     def load(cls, k: int, file_name: str, decompressor: str = "") -> "KmerSetCompact":
-        lines = core_io.read_lines(file_name, decompressor)
-        if lines == [""]:
-            lines = []
-        return cls(k, PackedStrings.from_strings(lines))
+        data = core_io.read_file_bytes(file_name, decompressor)
+        return cls(k, PackedStrings.from_lines_bytes(data))
 
     # -- metrics (reference: kmer_set_compact.h:89-115) --------------------
 

@@ -946,14 +946,16 @@ def _overlap_edges_part(lib, P, S, n, k, ptab, stab, logcap):
         ))
     if m < 0:
         return None
-    h = hits[:m]
-    h.sort(kind="stable")  # rank-major, j-minor == fp discovery order
-    rank = (h >> 32).astype(np.int64)
-    j = h & 0xFFFFFFFF
-    p = rank // n
-    i = rank - p * n
+    # Packed (pass << 60 | i << 32 | j): an UNSIGNED ascending sort is
+    # exactly the fp edition's discovery order, and the unpack is pure
+    # shifts (no 6M-wide division by n).
+    h = hits[:m].view(np.uint64)
+    h.sort(kind="stable")
+    p = (h >> np.uint64(60)).astype(np.int64)
+    i = ((h >> np.uint64(32)) & np.uint64(0x0FFFFFFF)).astype(np.int64)
+    j = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
     right = p < 8
-    a = np.where(right, 2 * i, 2 * i + 1)
+    a = 2 * i + ~right
     # bit: right passes alternate ptab(1)/stab(0); left passes
     # alternate stab(0)/ptab(1) — even/odd of the pass index.
     q = np.where(right, p, p - 8)

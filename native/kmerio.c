@@ -1788,13 +1788,14 @@ long kmerio_overlap_edges_fp(const int64_t *P, const int64_t *S, long n,
  * probes are radix-partitioned by hash slot and each table region is
  * probed while cache-resident (same trick as kmerio_side_tables_part).
  * Emission order is restored by the CALLER: each hit is packed as
- * (rank << 32) | j with rank = pass*n + i; sorting the packed hits
- * ascending reproduces the fp edition's discovery order exactly,
- * because multimap hits of one probe walk the fp table in ascending-j
- * insertion order (fp_build inserts ascending) and pass/i-major is the
- * fp edition's loop order.  Returns the hit count (caller derives
- * (a_port, b_port) from rank/pass), -1 on cap overflow, -3 when the
- * scratch is too small, -5 when 16n would overflow the 31-bit rank. */
+ * (pass << 60) | (i << 28+32-28...) — concretely ((pass << 28 | i)
+ * << 32) | j — so an UNSIGNED ascending sort of the packed hits
+ * reproduces the fp edition's discovery order exactly (pass-major,
+ * i-minor, j-last: multimap hits of one probe walk the fp table in
+ * ascending-j insertion order because fp_build inserts ascending), and
+ * the caller unpacks pass/i/j with shifts alone (no division by n).
+ * Returns the hit count, -1 on cap overflow, -3 when the scratch is
+ * too small, -5 when i would overflow its 28-bit field. */
 long kmerio_overlap_part_scratch(long n, int logcap) {
     long NB, pcb_u, bcb_u;
     part_layout(n, logcap, &NB, &pcb_u, &bcb_u);
@@ -1858,7 +1859,8 @@ long kmerio_overlap_edges_part(const int64_t *P, const int64_t *S, long n,
                 long w = cur[b]++;
                 if (w >= (b + 1) * pcb) return -4;
                 qr[w] = (int64_t)qs[v];
-                rank[w] = (int32_t)(pass[v] * n + i);
+                rank[w] = (int32_t)(((uint32_t)pass[v] << 28)
+                                    | (uint32_t)i);
                 org[w] = (int32_t)i;
                 sc[w] = tsel[v];
             }

@@ -59,6 +59,28 @@ def test_pack_in_memory_byte_identical(tmp_path, canonical):
     assert open(p1, "rb").read() == open(p2, "rb").read()
 
 
+def test_lines_bytes_blob_matches_string_path(tmp_path):
+    """to_lines_bytes/from_lines_bytes (the vectorized dump/load blob)
+    must be byte-identical to the join/split string path, including the
+    empty-dump convention."""
+    from kmerset_tpu.core.strings import PackedStrings
+
+    rng = np.random.default_rng(17)
+    s = get_random_kmer_set(K, 1200, True, rng)
+    compact = KmerSetCompact.from_kmer_set(s, True)
+    ps = compact.spss
+    blob = ps.to_lines_bytes()
+    want = "".join(line + "\n" for line in ps.to_strings()).encode()
+    assert blob == want
+    back = PackedStrings.from_lines_bytes(blob)
+    assert back.to_strings() == ps.to_strings()
+    # Empty conventions (read_lines maps "" and "\n" to no strings).
+    assert len(PackedStrings.from_lines_bytes(b"")) == 0
+    assert len(PackedStrings.from_lines_bytes(b"\n")) == 0
+    with pytest.raises(ValueError):
+        PackedStrings.from_lines_bytes(b"ACGX\n")
+
+
 def test_pack_in_memory_leaves_lazy_sets():
     rng = np.random.default_rng(13)
     s = get_random_kmer_set(K, 500, True, rng)
