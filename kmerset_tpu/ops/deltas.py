@@ -46,10 +46,12 @@ def _build_encode():
 
     jax.config.update("jax_enable_x64", True)
 
-    @partial(jax.jit, static_argnames=("esc",))
-    def encode(uniq, n, esc: int):
+    @partial(jax.jit, static_argnames=("esc", "cap", "narrow"))
+    def encode(uniq, n, esc: int, cap: int, narrow: bool):
         """uniq: (P,) int64 sorted ascending on [0, n), arbitrary tail.
-        Returns (dsmall (P,) uint8|uint16, exc (CAP+1, 2) int64)."""
+        Returns (dsmall (P,) uint8|uint16, exc (cap+1, 2) int64 — or
+        int32 when `narrow`, for keys/deltas under 2^31 (k <= 15): half
+        the exception wire)."""
         P = uniq.shape[0]
         prev = jnp.concatenate([jnp.zeros((1,), uniq.dtype), uniq[:-1]])
         d = uniq - prev  # d[0] = uniq[0]
@@ -63,7 +65,7 @@ def _build_encode():
         # position; the sort just compacts them past the sentinels).
         key = jnp.where(over, pos, jnp.int32(_IDX_SENTINEL))
         (key,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
-        exc_idx = key[:CAP]
+        exc_idx = key[:cap]
         safe = jnp.clip(exc_idx, 0, P - 1)
         exc_val = jnp.where(exc_idx < P, d[safe], 0)
         n_over = jnp.sum(over, dtype=jnp.int64)
@@ -74,6 +76,8 @@ def _build_encode():
                 jnp.stack([n_over, last]).reshape(1, 2),
             ]
         )
+        if narrow:
+            exc = exc.astype(jnp.int32)
         return dsmall, exc
 
     return encode
@@ -100,11 +104,34 @@ def expected_escape(n: int, k: int, canonical: bool) -> Optional[int]:
 
     The decoder's overflow check keeps correctness either way; an 8x
     margin absorbs model error."""
+    plan = plan_escape(n, k, canonical)
+    return plan[0] if plan is not None else None
+
+
+CAP_MAX = 1 << 21  # adaptive exception slots are capped here
+
+
+def plan_escape(n: int, k: int, canonical: bool):
+    """(esc, cap, narrow) minimizing estimated wire bytes, or None.
+
+    cap is the exception capacity: 1.4x the model's expected overflow
+    count (the density model measured within 1% on the bench genome;
+    the decoder's overflow check falls back to the raw download if a
+    real set beats the margin), floored at CAP and rounded up to a
+    {2^p, 3*2^(p-1)} size class so the encode jit compiles per class,
+    not per build.  `narrow` marks int32 exception rows (valid when
+    keys < 2^31, i.e. k <= 15 — half the row bytes).  The wire
+    estimate per candidate width:
+        bytes = n * width + cap * row_bytes
+    uint8 with a large adaptive table beats uint16 for dense canonical
+    k=15 sets (16.5M keys: 16.5 MB + ~6 MB of int32 rows vs 33 MB),
+    while sparse sets still pick uint16 or reject the format."""
     if n <= 0:
         return None
     import math
 
     space = float(4**k)
+    best = None
     for esc in (255, 65535):
         a = esc * n / space
         if canonical:
@@ -112,9 +139,29 @@ def expected_escape(n: int, k: int, canonical: bool) -> Optional[int]:
             expected = 2.0 * n * (1.0 - math.exp(-a) * (1.0 + a)) / (a * a)
         else:
             expected = n * math.exp(-a)
-        if expected <= CAP / 8:
-            return esc
-    return None
+        cap = _cap_class(max(CAP, int(1.4 * expected) + 1))
+        if cap > CAP_MAX:
+            continue  # expected overflows beyond any sensible table
+        narrow = k <= 15
+        row = 8 if narrow else 16
+        width = 1 if esc == 255 else 2
+        wire = n * width + cap * row
+        if wire >= 8 * n:  # raw int64 download would be no worse
+            continue
+        if best is None or wire < best[0]:
+            best = (wire, esc, cap, narrow)
+    if best is None:
+        return None
+    return best[1], best[2], best[3]
+
+
+def _cap_class(c: int) -> int:
+    """Smallest {2^p, 3*2^(p-1)} class >= c (one jit compile per class)."""
+    p = max(0, (c - 1).bit_length())
+    three = 3 << max(0, p - 2)
+    if three >= c and three < (1 << p):
+        return three
+    return 1 << p
 
 
 def dispatch_delta(uniq, n: int, k: int, canonical: bool):
@@ -126,12 +173,13 @@ def dispatch_delta(uniq, n: int, k: int, canonical: bool):
     the other way round, the fetch would wait out that compute first."""
     global _encode
     try:
-        esc = expected_escape(n, k, canonical)
-        if esc is None:
+        plan = plan_escape(n, k, canonical)
+        if plan is None:
             return None
+        esc, cap, narrow = plan
         if _encode is None:
             _encode = _build_encode()
-        dsmall, exc = _encode(uniq, n, esc)
+        dsmall, exc = _encode(uniq, n, esc, cap, narrow)
         return dsmall[:n], exc
     except Exception as e:  # noqa: BLE001 - fall back to raw download
         from .backend import _note_fallback

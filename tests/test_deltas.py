@@ -26,22 +26,37 @@ def _device_sorted(values: np.ndarray, pad_to: int | None = None):
     return jnp.asarray(a)
 
 
-def test_expected_escape_density_tiers():
+def test_plan_escape_density_tiers():
     # Canonical keys fall off linearly across the keyspace (density
-    # (2/S)(1-u/S)), so even a dense k=15 set has ~500k gaps over 255
-    # (measured 535k at n=16.5M) — uint8 would overflow the exception
-    # table; the model must pick uint16.  (The old uniform model chose
-    # 255 here and every production build silently fell back to the raw
-    # download.)
-    assert deltas.expected_escape(16_500_000, 15, True) == 65535
-    # Medium density: still uint16.
-    assert deltas.expected_escape(4_000_000, 15, True) == 65535
-    # Sparse k=23 set: mean gap >> u16 range.
-    assert deltas.expected_escape(1_000_000, 23, True) is None
-    assert deltas.expected_escape(0, 15, True) is None
+    # (2/S)(1-u/S)), so a dense k=15 set has ~535k gaps over 255
+    # (measured at n=16.5M; the old uniform model predicted 6.5k and
+    # every production build silently fell back to the raw download).
+    # uint8 still wins there — but only with an adaptive exception
+    # table sized from the density model, in int32 rows.
+    esc, cap, narrow = deltas.plan_escape(16_500_000, 15, True)
+    assert esc == 255 and narrow
+    assert cap >= 535_000 * 1.3  # room for the measured overflow count
+    # Medium density: the u8 exception table would outgrow its saving;
+    # u16 with the base table wins.
+    esc, cap, narrow = deltas.plan_escape(4_000_000, 15, True)
+    assert esc == 65535 and cap == deltas.CAP
+    # Sparse k=23 set: mean gap >> u16 range; nothing beats raw.
+    assert deltas.plan_escape(1_000_000, 23, True) is None
+    assert deltas.plan_escape(0, 15, True) is None
     # NON-canonical keys really are uniform: a very dense k=15 set
-    # (mean gap ~11 << 255) fits u8.
-    assert deltas.expected_escape(100_000_000, 15, False) == 255
+    # (mean gap ~11 << 255) fits u8 with the base table.
+    esc, cap, narrow = deltas.plan_escape(100_000_000, 15, False)
+    assert esc == 255 and cap == deltas.CAP
+    # expected_escape (width-only view) delegates to the plan.
+    assert deltas.expected_escape(4_000_000, 15, True) == 65535
+
+
+def test_cap_class_rounding():
+    assert deltas._cap_class(1) == 1
+    assert deltas._cap_class(65536) == 65536
+    assert deltas._cap_class(65537) == 3 << 15
+    assert deltas._cap_class((3 << 15) + 1) == 1 << 17
+    assert deltas._cap_class(749_000) == 3 << 18
 
 
 @pytest.mark.parametrize("esc_case", ["dense", "escapes", "big_first"])
@@ -62,9 +77,26 @@ def test_delta_roundtrip_exact(monkeypatch, esc_case):
     n = vals.shape[0]
     uniq = _device_sorted(vals, pad_to=1 << 16 if n < (1 << 16) else None)
     monkeypatch.setattr(
-        deltas, "expected_escape", lambda *a, **kw: 255
+        deltas, "plan_escape", lambda *a, **kw: (255, deltas.CAP, False)
     )
     out = deltas.device_delta_download(uniq, n, 15, True)
+    assert out is not None
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_delta_narrow_int32_exceptions_roundtrip(monkeypatch):
+    """uint8 deltas + int32 exception rows (the adaptive-table plan for
+    dense canonical k<=15 sets) reconstruct byte-exactly."""
+    rng = np.random.default_rng(41)
+    gaps = rng.integers(1, 60, size=40_000).astype(np.int64)
+    gaps[rng.integers(0, 40_000, size=900)] += 500_000
+    vals = np.cumsum(gaps)
+    assert vals[-1] < (1 << 31)  # narrow row validity domain
+    uniq = _device_sorted(vals)
+    monkeypatch.setattr(
+        deltas, "plan_escape", lambda *a, **kw: (255, 1 << 10, True)
+    )
+    out = deltas.device_delta_download(uniq, vals.shape[0], 15, True)
     assert out is not None
     np.testing.assert_array_equal(out, vals)
 
@@ -75,7 +107,9 @@ def test_delta_u16_roundtrip(monkeypatch):
     gaps[rng.integers(0, 50_000, size=200)] += 1 << 20
     vals = np.cumsum(gaps)
     uniq = _device_sorted(vals)
-    monkeypatch.setattr(deltas, "expected_escape", lambda *a, **kw: 65535)
+    monkeypatch.setattr(
+        deltas, "plan_escape", lambda *a, **kw: (65535, deltas.CAP, False)
+    )
     out = deltas.device_delta_download(uniq, vals.shape[0], 19, True)
     assert out is not None
     np.testing.assert_array_equal(out, vals)
@@ -86,7 +120,9 @@ def test_delta_overflow_falls_back(monkeypatch):
     n = deltas.CAP + 1024
     vals = np.arange(n, dtype=np.int64) * 1000 + 5
     uniq = _device_sorted(vals)
-    monkeypatch.setattr(deltas, "expected_escape", lambda *a, **kw: 255)
+    monkeypatch.setattr(
+        deltas, "plan_escape", lambda *a, **kw: (255, deltas.CAP, False)
+    )
     assert deltas.device_delta_download(uniq, n, 15, True) is None
 
 
