@@ -77,7 +77,10 @@ def main(argv=None) -> None:
 
     logger.info("constructing kmer_set_set")
     with flag_util.trace_context(args):  # --trace captures the hot phase
-        kss = KmerSetSet(compacts, args.canonical, cfg, seed=args.seed)
+        kss = KmerSetSet(
+            compacts, args.canonical, cfg, seed=args.seed,
+            workers=max(1, args.workers),
+        )
     logger.info("constructed kmer_set_set")
 
     if args.out_graph:

@@ -204,8 +204,15 @@ class KmerSetSet:
         canonical: bool,
         config: KConfig,
         seed: int = 0,
+        workers: int = 1,
         _children: AdjacencyList | None = None,
     ):
+        """workers > 1 parallelizes the stopping-rule weight sweeps'
+        deferred SPSS builds (measured 80% of the compress wall at 8
+        related 3.9M-kmer sets — each build is an independent pure
+        function of its k-mer array, so the pool changes only when the
+        work happens; output is byte-identical).  The reference runs
+        its whole greedy loop on one thread (kmer_set_set.h:109-427)."""
         self.config = config
         self.canonical = canonical
         if _children is not None:
@@ -214,11 +221,11 @@ class KmerSetSet:
             return
         self.children_ = {}
         self.kmer_sets_compact_ = list(kmer_sets_compact)
-        self._compress(canonical, seed)
+        self._compress(canonical, seed, workers)
 
     # -- the greedy factor loop (reference: kmer_set_set.h:109-427) --------
 
-    def _compress(self, canonical: bool, seed: int) -> None:
+    def _compress(self, canonical: bool, seed: int, workers: int = 1) -> None:
         cfg = self.config
         sets = self.kmer_sets_compact_
         n_inputs = len(sets)
@@ -264,9 +271,17 @@ class KmerSetSet:
         heapq.heapify(heap)
 
         # Stopping rule (reference: kmer_set_set.h:240-302).  The sweep
-        # forces deferred SPSS builds; freshly built strings are packed
-        # to 2 bits/base right after (weight then reads offsets only).
+        # forces deferred SPSS builds — under workers > 1 in a thread
+        # pool (independent builds; native inner loops release the
+        # GIL) — and freshly built strings are packed to 2 bits/base
+        # right after (weight then reads offsets only).
         def total_spss_weight() -> int:
+            pending = [s for s in sets if s._pending is not None]
+            if workers > 1 and len(pending) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    list(ex.map(lambda s: s.spss, pending))
             w = sum(s.weight() for s in sets)
             for s in sets:
                 s.pack_in_memory()

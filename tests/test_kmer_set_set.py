@@ -80,6 +80,30 @@ def test_dump_load_reader(tmp_path):
         assert reader.get(i).equals(orig)
 
 
+def test_compress_workers_byte_identical(tmp_path):
+    """KmerSetSet(workers=4) — parallel weight-sweep builds — produces
+    the identical DAG and byte-identical dump to the serial loop."""
+    rng = np.random.default_rng(33)
+    originals = _related_sets(4, rng)
+
+    def build(workers):
+        compacts = [KmerSetCompact.from_kmer_set(s, True) for s in originals]
+        return KmerSetSet(compacts, True, CFG, seed=5, workers=workers)
+
+    a, b = build(1), build(4)
+    assert a.children_ == b.children_
+    d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w4")
+    a.dump(d1, "", "txt")
+    b.dump(d2, "", "txt")
+    import os
+
+    for name in sorted(os.listdir(d1)):
+        assert (
+            open(os.path.join(d1, name), "rb").read()
+            == open(os.path.join(d2, name), "rb").read()
+        ), name
+
+
 def test_dump_parallel_workers_byte_identical(tmp_path):
     """dump(workers=4) writes byte-identical files to the sequential
     dump (reference's one-task-per-file pool, kmer_set_set.h:494-528)."""
