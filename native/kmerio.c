@@ -1906,6 +1906,43 @@ long kmerio_overlap_edges_part(const int64_t *P, const int64_t *S, long n,
     return overflow ? -1 : pos;
 }
 
+/* Sorts partitioned-overlap hits into discovery order and unpacks them
+ * to (a_port, b_port) — replacing the wrapper's np.sort + shift passes
+ * (measured ~0.5 s at 6M hits on the eval host).  hits are the packed
+ * (pass << 60 | i << 32 | j) uint64 keys of kmerio_overlap_edges_part;
+ * an unsigned LSD radix (8 byte passes, scratch: m uint64) gives the
+ * exact discovery order, then one pass derives
+ *   right passes (pass < 8):  a = 2i,   bit = 1 - (pass & 1)
+ *   left passes  (pass >= 8): a = 2i+1, bit = (pass - 8) & 1
+ *   b = 2j + bit
+ * Scratch must hold m uint64. */
+void kmerio_overlap_sort_unpack(uint64_t *hits, long m, uint64_t *scratch,
+                                int64_t *out_a, int64_t *out_b) {
+    uint64_t *src = hits, *dst = scratch;
+    long cnt[256], off[256];
+    for (int byte = 0; byte < 8; byte++) {
+        int sh = 8 * byte;
+        memset(cnt, 0, sizeof(cnt));
+        for (long i = 0; i < m; i++) cnt[(src[i] >> sh) & 255]++;
+        if (cnt[(src[0] >> sh) & 255] == m) continue; /* all equal: skip */
+        long acc = 0;
+        for (int b = 0; b < 256; b++) { off[b] = acc; acc += cnt[b]; }
+        for (long i = 0; i < m; i++) dst[off[(src[i] >> sh) & 255]++] = src[i];
+        uint64_t *t = src; src = dst; dst = t;
+    }
+    for (long i = 0; i < m; i++) {
+        uint64_t h = src[i];
+        long pass = (long)(h >> 60);
+        long ii = (long)((h >> 32) & 0x0FFFFFFF);
+        long j = (long)(h & 0xFFFFFFFF);
+        int rightp = pass < 8;
+        long q = rightp ? pass : pass - 8;
+        long bit = rightp ? 1 - (q & 1) : (q & 1);
+        out_a[i] = 2 * ii + (rightp ? 0 : 1);
+        out_b[i] = 2 * j + bit;
+    }
+}
+
 /* One-pass set algebra over sorted-unique arrays: fills intersection,
  * a-only, and b-only in a single merge (the reference's bucket-local
  * Add/Sub/Intersection, lib/core/kmer_set.h:164-219,286-305; numpy's
