@@ -799,18 +799,26 @@ def succ_from_sides(
         return np.empty(0, dtype=np.int64)
     if sides.shape[0] != n or n > (np.iinfo(np.int32).max >> 1):
         return None  # fp slots carry int32 indices; 2n must fit int32s
-    logcap = max(4, int(n * 2 - 1).bit_length())
+    use_part = (
+        lib._sfs_part
+        and n >= _SUCC_PART_MIN
+        and not os.environ.get("KMERSET_TPU_NO_PART")
+    )
+    # The fp edition wants a low load factor (every extra probe is a
+    # DRAM miss); the partitioned edition probes cache-resident regions,
+    # so a ~50% load halves the table fill + build traffic for ~free.
+    logcap = max(
+        4,
+        int(n + (n >> 1)).bit_length() if use_part
+        else int(n * 2 - 1).bit_length(),
+    )
     table = _zeroed_u64(logcap)
     succ = np.empty(2 * n, dtype=np.int64)
     a_ptr = A.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     s_ptr = sides.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     t_ptr = table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
     o_ptr = succ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
-    if (
-        lib._sfs_part
-        and n >= _SUCC_PART_MIN
-        and not os.environ.get("KMERSET_TPU_NO_PART")
-    ):
+    if use_part:
         sbytes = int(lib.kmerio_succ_part_scratch(n, logcap))
         with _part_lock:
             global _part_scratch
