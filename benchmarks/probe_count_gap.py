@@ -13,8 +13,6 @@ import time
 
 os.environ.setdefault("KMERSET_TPU_TIMING", "1")
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 K = 15
@@ -24,7 +22,6 @@ N_BASES = 1 << 24
 def main():
     import tempfile
 
-    sys.path.insert(0, "/root/repo")
     from bench import _make_genome_fasta
     from kmerset_tpu.ops import backend
 

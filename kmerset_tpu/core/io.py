@@ -25,27 +25,15 @@ def read_lines(file_name: str, decompressor: str = "") -> List[str]:
     """Reads lines; pipes through `decompressor < file` if non-empty
     (reference: lib/core/io.h:20-73)."""
     if not decompressor:
+        # Text mode (newline translation) — the byte helper below is
+        # binary; plain-file line reads keep the text-mode contract.
         try:
             with open(file_name, "r") as f:
                 data = f.read()
         except OSError as e:
             raise IOError_(f"failed to open file: {file_name}") from e
     else:
-        # The command string stays user-controlled (reference parity:
-        # popen(cmd), lib/core/io.h:39), but the PATH is quoted so file
-        # names with spaces/metacharacters are data, not shell syntax.
-        import shlex
-
-        proc = subprocess.run(
-            f"{decompressor} < {shlex.quote(file_name)}",
-            shell=True,
-            capture_output=True,
-        )
-        if proc.returncode != 0:
-            raise IOError_(
-                f"process failed with non-zero exit code: {proc.returncode}"
-            )
-        data = proc.stdout.decode()
+        data = read_file_bytes(file_name, decompressor).decode()
     if data.endswith("\n"):
         data = data[:-1]
     if data == "":
@@ -63,6 +51,9 @@ def read_file_bytes(file_name: str, decompressor: str = "") -> bytes:
                 return f.read()
         except OSError as e:
             raise IOError_(f"failed to open file: {file_name}") from e
+    # The command string stays user-controlled (reference parity:
+    # popen(cmd), lib/core/io.h:39), but the PATH is quoted so file
+    # names with spaces/metacharacters are data, not shell syntax.
     import shlex
 
     proc = subprocess.run(
@@ -101,23 +92,11 @@ def write_file_bytes(file_name: str, compressor: str, data: bytes) -> None:
 def write_lines(file_name: str, compressor: str, lines) -> None:
     """Writes lines; pipes through `compressor > file` if non-empty
     (reference: lib/core/io.h:75-126)."""
-    data = "".join(line + "\n" for line in lines)
-    if not compressor:
-        try:
-            with open(file_name, "w") as f:
-                f.write(data)
-        except OSError as e:
-            raise IOError_(f"failed to open file: {file_name}") from e
-        return
-    import shlex
-
-    proc = subprocess.run(
-        f"{compressor} > {shlex.quote(file_name)}",
-        shell=True,
-        input=data.encode(),
+    write_file_bytes(
+        file_name,
+        compressor,
+        "".join(line + "\n" for line in lines).encode(),
     )
-    if proc.returncode != 0:
-        raise IOError_(f"process failed with non-zero exit code: {proc.returncode}")
 
 
 def parse_fasta_lines(lines: List[str]) -> List[str]:

@@ -228,27 +228,31 @@ class DeviceKmers:
     def with_verified_endpoints(
         self, kmers: np.ndarray
     ) -> Optional["DeviceKmers"]:
-        """Fetches this handle's actual device endpoints and compares
-        them against the independently computed host array: a filtered
-        device copy that diverged from the host filter while keeping the
-        same cardinality must NOT be stamped as valid (the SPSS phase
-        would silently consume wrong device keys).  One tiny gather
-        (2 values); returns None on any mismatch."""
+        """Fetches a spaced sample of this handle's actual device values
+        (both endpoints + 14 evenly spaced interior positions) and
+        compares them against the independently computed host array: a
+        filtered device copy that diverged from the host filter — even
+        one keeping the same cardinality AND endpoints — must NOT be
+        stamped as valid (the SPSS phase would silently consume wrong
+        device keys).  One tiny gather; returns None on any mismatch."""
         if self.n != kmers.shape[0] or self.n == 0:
             return None
+        idx = np.unique(
+            np.linspace(0, self.n - 1, num=min(self.n, 16), dtype=np.int64)
+        )
         try:
-            ends = np.asarray(self.arr[np.array([0, self.n - 1])])
+            sample = np.asarray(self.arr[idx]).astype(np.int64)
         except Exception as e:  # noqa: BLE001 - device died: drop the hint
             from .backend import _note_fallback
 
             _note_fallback("device_resident_endpoints", e)
             return None
-        if int(ends[0]) != int(kmers[0]) or int(ends[1]) != int(kmers[-1]):
+        if not np.array_equal(sample, kmers[idx]):
             from .backend import _note_fallback
 
             _note_fallback(
                 "device_resident_endpoints",
-                RuntimeError("device/host endpoint mismatch after filter"),
+                RuntimeError("device/host sample mismatch after filter"),
             )
             return None
         self.first = int(kmers[0])

@@ -1875,7 +1875,10 @@ long kmerio_overlap_edges_part(const int64_t *P, const int64_t *S, long n,
     int overflow = 0;
     #pragma omp parallel for schedule(dynamic, 1)
     for (long b = 0; b < NB; b++) {
-        if (overflow) continue;
+        int ov_seen;
+        #pragma omp atomic read
+        ov_seen = overflow;
+        if (ov_seen) continue;
         for (long e = b * pcb; e < cur[b]; e++) {
             const uint64_t q = (uint64_t)qr[e];
             const uint64_t *tab = (sc[e] & 1) ? stab : ptab;
@@ -1892,14 +1895,20 @@ long kmerio_overlap_edges_part(const int64_t *P, const int64_t *S, long n,
                         long w;
                         #pragma omp atomic capture
                         w = pos++;
-                        if (w >= cap) { overflow = 1; break; }
+                        if (w >= cap) {
+                            #pragma omp atomic write
+                            overflow = 1;
+                            break;
+                        }
                         hits[w] = (int64_t)(((uint64_t)(uint32_t)rank[e]
                                              << 32) | (uint32_t)j);
                     }
                 }
                 h = (h + 1) & tmask;
             }
-            if (overflow) break;  /* inner scan only; omp loop sees the flag */
+            #pragma omp atomic read
+            ov_seen = overflow;
+            if (ov_seen) break;
         }
     }
     TLOG("overlap_part: probes: %.2fs\n", now_s() - t0);
