@@ -211,7 +211,9 @@ class KmerCounter:
                 if result is not None:
                     uniq, counts = result
                     return cls(k, uniq, np.minimum(counts, value_max), value_max)
-            if backend.should_use_device(n_windows, spss_ahead):
+            if backend.should_use_device(
+                n_windows, spss_ahead, k=k, canonical=canonical
+            ):
                 backend.enable_compile_cache()
                 result = backend.device_count(
                     codes, offsets, k, canonical, resident=True,

@@ -317,14 +317,25 @@ def should_use_device_chunked(n_windows: int) -> bool:
     return not _slow_link()
 
 
-def should_use_device(n_windows: int, spss_ahead: bool = False) -> bool:
+def should_use_device(
+    n_windows: int, spss_ahead: bool = False,
+    k: int | None = None, canonical: bool = True,
+) -> bool:
     """`spss_ahead` marks a count whose result feeds an SPSS build in the
     same process (kmerset-build, KmerSetCompact round trips): the count
     then leaves a device-resident handle (ops/resident.py) that lets the
     graph phase skip its upload AND replaces the host side-table cost —
     so on a slow link the gate opens at the graph threshold (~8M) instead
     of the counting slow-link factor (~128M), amortizing the link over
-    both phases."""
+    both phases.
+
+    When `k` is given, the slow-link spss_ahead arm additionally
+    requires the key download to have a compact wire format for the
+    worst-case key count (every window unique): for sparse keyspaces
+    (k = 19/23) the delta plan rejects and the download would be the
+    raw 8 B/key — measured 6.5 s for 16.7M keys at k=23 against a
+    1.8-4 s host count, a 2-4x regression the old gate silently took.
+    Small inputs pass regardless (raw is cheap there)."""
     force = _force()
     if force == "host":
         return False
@@ -339,7 +350,14 @@ def should_use_device(n_windows: int, spss_ahead: bool = False) -> bool:
         return False
     if not _slow_link() or n_windows >= _threshold() * _SLOW_LINK_FACTOR:
         return True
-    return spss_ahead and n_windows >= _graph_threshold()
+    if not (spss_ahead and n_windows >= _graph_threshold()):
+        return False
+    if k is not None and n_windows * 8 > (32 << 20):
+        from .deltas import plan_escape
+
+        if plan_escape(n_windows, k, canonical) is None:
+            return False  # raw-download wire would eat the offload win
+    return True
 
 
 # Upper cap for the graph-side joins: lookup_join32/lookup_join_pair

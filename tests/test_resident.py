@@ -202,6 +202,34 @@ def test_spss_ahead_opens_slow_link_count_gate(monkeypatch):
     )
 
 
+def test_slow_link_gate_is_wire_aware(monkeypatch):
+    """On a slow link the spss_ahead arm only opens when the key
+    download has a compact wire format for the worst-case key count:
+    sparse keyspaces (k=23) would pay the raw 8 B/key transfer —
+    measured 6.5 s vs a 1.8-4 s host count at 16.7M keys — so the gate
+    must refuse them while still opening for k=15 (delta-compressible)
+    and for inputs small enough that raw is cheap."""
+    from kmerset_tpu.ops import backend
+
+    monkeypatch.delenv("KMERSET_TPU_FORCE_BACKEND", raising=False)
+    monkeypatch.setattr(backend, "_link_slow", True)
+    monkeypatch.setattr(backend, "_cpu_backend", lambda: False)
+    monkeypatch.setattr(backend, "_backend_alive", lambda: True)
+    n = 16_700_000
+    assert n >= backend._graph_threshold()
+    assert backend.should_use_device(n, spss_ahead=True, k=15)
+    assert not backend.should_use_device(n, spss_ahead=True, k=23)
+    # k=19 stays open: its keyspace is dense enough for uint16 deltas
+    # (~46 MB wire at this n — the plan itself decides, not the k).
+    assert backend.should_use_device(n, spss_ahead=True, k=19)
+    # Small inputs: raw download is cheap, any k passes.
+    small = backend._graph_threshold()
+    if small * 8 <= (32 << 20):
+        assert backend.should_use_device(small, spss_ahead=True, k=23)
+    # Without the k hint: previous behavior (callers that cannot know).
+    assert backend.should_use_device(n, spss_ahead=True)
+
+
 @pytest.mark.parametrize("k", [15, 19])
 def test_prefetched_sides_match_and_skip_recompute(monkeypatch, k):
     """prefetch_sides (the count-phase async dispatch) yields the exact
