@@ -211,7 +211,7 @@ def spss_and_build_rates(k: int, n_bases: int):
     return rates
 
 
-def multiset_rates(k: int, n_sets: int = 8, n_bases: int = 4 << 20):
+def multiset_rates(k: int, n_sets: int = 8, n_bases: int = 2 << 20):
     """Flagship multi-set compression arm (the reference's core
     contribution, lib/core/kmer_set_set.h:109-427): N related sets
     (mutated strains of one genome), compress + dump, reader-decompress
