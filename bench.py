@@ -277,9 +277,9 @@ def multiset_rates(k: int, n_sets: int = 8, n_bases: int = 2 << 20):
     kss.dump(d, "", "txt", workers=1)
     reader = KmerSetSetReader.from_directory(cfg, d, "txt", "", True)
     t0 = time.perf_counter()
-    for i in range(n_sets):
-        got = reader.get(i)
-        assert got.size() == arrays[i].shape[0]
+    for i, got in reader.get_all():
+        if i < n_sets:  # user-visible originals; the rest are children
+            assert got.size() == arrays[i].shape[0]
     decompress_s = time.perf_counter() - t0
     print(
         f"multiset: {n_sets} sets x {n_bases/1e6:.0f} Mbase, compress "

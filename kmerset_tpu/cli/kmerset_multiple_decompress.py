@@ -49,16 +49,20 @@ def main(argv=None) -> None:
     logger.info("kmer_set_set_reader.Size() = %d", reader.size())
 
     with flag_util.trace_context(args):  # --trace captures the hot phase
-        for i in range(reader.size()):
-            logger.info("constructing kmer_set: i = %d", i)
-            try:
-                kmer_set = reader.get(i, workers=args.workers)
-            except Exception as e:  # noqa: BLE001
-                logger.error("failed to construct kmer_set: %s", e)
-                sys.exit(1)
-            logger.info("constructed kmer_set: i = %d", i)
-            logger.info("kmer_set.Hash() = %d", kmer_set.hash())
-            logger.info("kmer_set.Size() = %d", kmer_set.size())
+        # get_all decodes each shared child file once across the sweep
+        # (the reference re-loads per set, kmer_set_set.h:704-745);
+        # output lines are identical to per-set get() calls.
+        try:
+            it = reader.get_all(workers=args.workers)
+            for i in range(reader.size()):
+                logger.info("constructing kmer_set: i = %d", i)
+                _, kmer_set = next(it)
+                logger.info("constructed kmer_set: i = %d", i)
+                logger.info("kmer_set.Hash() = %d", kmer_set.hash())
+                logger.info("kmer_set.Size() = %d", kmer_set.size())
+        except Exception as e:  # noqa: BLE001
+            logger.error("failed to construct kmer_set: %s", e)
+            sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -510,3 +510,53 @@ class KmerSetSetReader:
         return KmerSet(
             self.config.k, sorted_unique(np.concatenate(parts)), _sorted=True
         )
+
+    def get_all(self, workers: int = 1):
+        """Yields (i, KmerSet) for every managed original set, loading
+        and decoding each reachable child file exactly ONCE across the
+        whole sweep.  The reference's Reader re-loads shared children on
+        every Get (kmer_set_set.h:704-745) — quadratic re-decode when
+        one shared core feeds every original; here cached child arrays
+        are released as soon as no later original needs them, so peak
+        memory is bounded by the live shared cores.  Each yielded set is
+        identical to get(i)."""
+        from .arrays import sorted_unique
+
+        n = self._size
+        reach = [reachable_ids(self.children_, i) for i in range(n)]
+        uses: Dict[int, int] = {}
+        for ids in reach:
+            for j in ids:
+                uses[j] = uses.get(j, 0) + 1
+
+        def _load(idx: int) -> np.ndarray:
+            s = KmerSetCompact.load(
+                self.config.k,
+                os.path.join(self.directory, f"{idx}.{self.extension}"),
+                self.decompressor,
+            )
+            return s.kmers(self.canonical)
+
+        cache: Dict[int, np.ndarray] = {}
+        for i in range(n):
+            ids = reach[i]
+            missing = [j for j in ids if j not in cache]
+            if workers > 1 and len(missing) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    for j, arr in zip(missing, ex.map(_load, missing)):
+                        cache[j] = arr
+            else:
+                for j in missing:
+                    cache[j] = _load(j)
+            parts = [cache[j] for j in ids]
+            for j in ids:
+                uses[j] -= 1
+                if uses[j] == 0:
+                    del cache[j]
+            yield i, KmerSet(
+                self.config.k,
+                sorted_unique(np.concatenate(parts)),
+                _sorted=True,
+            )

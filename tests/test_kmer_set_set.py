@@ -126,6 +126,25 @@ def test_dump_parallel_workers_byte_identical(tmp_path):
         assert a == b, name
 
 
+def test_reader_get_all_matches_get(tmp_path):
+    """get_all (one decode per shared child across the sweep) yields
+    exactly the sets get(i) returns, in order."""
+    rng = np.random.default_rng(27)
+    originals = _related_sets(4, rng)
+    compacts = [KmerSetCompact.from_kmer_set(s, True) for s in originals]
+    kss = KmerSetSet(compacts, True, CFG, seed=3)
+    d = str(tmp_path / "out")
+    kss.dump(d, "", "txt")
+    reader = KmerSetSetReader.from_directory(CFG, d, "txt", "", True)
+    seen = 0
+    for i, got in reader.get_all(workers=2):
+        assert got.equals(reader.get(i))
+        if i < len(originals):  # user-visible sets; the rest are children
+            assert got.equals(originals[i])
+        seen += 1
+    assert seen == reader.size()
+
+
 def test_dump_graph(tmp_path):
     rng = np.random.default_rng(9)
     originals = _related_sets(3, rng)
