@@ -429,18 +429,29 @@ class KmerSetSet:
         decompressor: str,
         extension: str,
         canonical: bool,
+        workers: int = 1,
     ) -> "KmerSetSet":
+        """workers > 1 loads the per-set files as parallel tasks like
+        the reference's one-task-per-file Load pool
+        (kmer_set_set.h:583-607)."""
         meta = core_io.read_lines(
             os.path.join(directory, f"meta.{extension}"), decompressor
         )
         children = deserialize_adjacency_list(meta[0])
         n = int(meta[1])
-        sets = [
-            KmerSetCompact.load(
+
+        def _load_one(i: int) -> KmerSetCompact:
+            return KmerSetCompact.load(
                 config.k, os.path.join(directory, f"{i}.{extension}"), decompressor
             )
-            for i in range(n)
-        ]
+
+        if workers > 1 and n > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                sets = list(ex.map(_load_one, range(n)))
+        else:
+            sets = [_load_one(i) for i in range(n)]
         return cls(sets, canonical, config, _children=children)
 
 

@@ -73,6 +73,10 @@ def test_dump_load_reader(tmp_path):
     loaded = KmerSetSet.load(CFG, d, "", "txt", True)
     for i, orig in enumerate(originals):
         assert loaded.get(i, True).equals(orig)
+    # Parallel load (reference's one-task-per-file pool): same sets.
+    loaded_p = KmerSetSet.load(CFG, d, "", "txt", True, workers=4)
+    for i, orig in enumerate(originals):
+        assert loaded_p.get(i, True).equals(orig)
 
     reader = KmerSetSetReader.from_directory(CFG, d, "txt", "", True)
     assert reader.size() == kss.size()
