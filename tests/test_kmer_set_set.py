@@ -130,6 +130,30 @@ def test_dump_parallel_workers_byte_identical(tmp_path):
         assert a == b, name
 
 
+def test_subset_input_empty_residual_roundtrip(tmp_path):
+    """An input that is a strict subset of another factors to an EMPTY
+    residual; empty compact sets must dump/load/decompress cleanly
+    through the directory format and get_all."""
+    rng = np.random.default_rng(55)
+    big = _related_sets(1, rng)[0]
+    sub_kmers = big.kmers[: big.size() // 2]
+    from kmerset_tpu.core.kmer_set import KmerSet
+
+    sub = KmerSet(K, sub_kmers, _sorted=True)
+    compacts = [
+        KmerSetCompact.from_kmer_set(big, True),
+        KmerSetCompact.from_kmer_set(sub, True),
+    ]
+    kss = KmerSetSet(compacts, True, CFG, seed=9)
+    d = str(tmp_path / "out")
+    kss.dump(d, "", "txt")
+    reader = KmerSetSetReader.from_directory(CFG, d, "txt", "", True)
+    for i, got in reader.get_all():
+        assert got.equals(reader.get(i))
+    assert reader.get(0).equals(big)
+    assert reader.get(1).equals(sub)
+
+
 def test_reader_get_all_matches_get(tmp_path):
     """get_all (one decode per shared child across the sweep) yields
     exactly the sets get(i) returns, in order."""
