@@ -137,14 +137,16 @@ def test_subset_input_empty_residual_roundtrip(tmp_path):
     rng = np.random.default_rng(55)
     big = _related_sets(1, rng)[0]
     sub_kmers = big.kmers[: big.size() // 2]
-    from kmerset_tpu.core.kmer_set import KmerSet
-
     sub = KmerSet(K, sub_kmers, _sorted=True)
     compacts = [
         KmerSetCompact.from_kmer_set(big, True),
         KmerSetCompact.from_kmer_set(sub, True),
     ]
     kss = KmerSetSet(compacts, True, CFG, seed=9)
+    # The point of the fixture: factoring must actually have produced an
+    # empty residual (sub was a strict subset) — otherwise this test
+    # decays into a plain round-trip.
+    assert any(c.size() == 0 for c in kss.kmer_sets_compact_)
     d = str(tmp_path / "out")
     kss.dump(d, "", "txt")
     reader = KmerSetSetReader.from_directory(CFG, d, "txt", "", True)
