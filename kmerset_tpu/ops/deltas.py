@@ -4,16 +4,19 @@ The count pipeline's dominant link cost is downloading the sorted unique
 key array (4-8 B/k-mer; ~66 MB at 16.5M keys through a ~30 MB/s tunnel).
 Sorted keys are gap-encoded instead: consecutive deltas of a dense
 canonical set are small (mean gap = keyspace / n), so nearly all fit one
-byte (k <= 15) or two (larger k), and the rare overflows ride a
-fixed-capacity exception table.  The wire format is 1-2 B/k-mer — a
-4-8x cut of the big transfer.
+byte (k <= 15) or two (larger k), and the overflows ride an exception
+table whose capacity is sized from the canonical-density model
+(plan_escape: {2^p, 3*2^(p-1)} classes, int32 rows when keys fit 31
+bits).  The wire format is 1-2 B/k-mer plus the table — a 3-6x cut of
+the big transfer.
 
 Encoding (on device, one jit per size class):
   d[i] = uniq[i] - uniq[i-1]  (d[0] = uniq[0], so decode is a plain
   cumsum from 0 — the first key needs no separate channel)
   dsmall[i] = min(d[i], ESC) as uint8/uint16 (ESC = dtype max)
   exceptions: positions with d >= ESC, in ascending order, as
-  (position, true delta) int64 rows; capacity CAP, sentinel-padded.
+  (position, true delta) rows (int64, or int32 when keys fit 31
+  bits); capacity from plan_escape, sentinel-padded.
   The last exception row carries (n_overflow, uniq[n-1]) — the
   overflow count decides raw fallback and the last key is an
   end-to-end integrity check on the decode.
