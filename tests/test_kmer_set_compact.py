@@ -81,6 +81,22 @@ def test_lines_bytes_blob_matches_string_path(tmp_path):
         PackedStrings.from_lines_bytes(b"ACGX\n")
 
 
+def test_packed2strings_metrics_match_unpacked():
+    """Packed2Strings answers len/lengths/weight/size_kmers from its
+    offsets alone — values must match the unpacked form (these back the
+    KmerSetCompact fast paths that avoid unpacking for metrics)."""
+    from kmerset_tpu.core.strings import Packed2Strings
+
+    rng = np.random.default_rng(14)
+    s = get_random_kmer_set(K, 800, True, rng)
+    ps = KmerSetCompact.from_kmer_set(s, True).spss
+    p2 = Packed2Strings.from_packed_strings(ps)
+    assert len(p2) == len(ps)
+    np.testing.assert_array_equal(p2.lengths(), ps.lengths())
+    assert p2.weight() == ps.weight()
+    assert p2.size_kmers(K) == ps.size_kmers(K)
+
+
 def test_pack_in_memory_leaves_lazy_sets():
     rng = np.random.default_rng(13)
     s = get_random_kmer_set(K, 500, True, rng)
