@@ -76,13 +76,18 @@ class KmerSetCompact:
         self._cache_canonical = None
 
     def pack_in_memory(self) -> None:
-        """Converts the resident string form to 2 bits/base (the
-        reference's in-memory density, lib/core/kmer_set_compact.h:
-        339-347): ~4x less RSS per resident set, which is what bounds
-        the 100+-set multi-compress configs.  Lazy (unbuilt) sets are
-        left alone — packing would force the deferred SPSS build.
-        Consumers transparently unpack per phase via the spss
-        property."""
+        """Converts the resident STRING form to 2 bits/base (the
+        reference's in-memory density for SPSS bits,
+        lib/core/kmer_set_compact.h:339-347): ~4x less RSS on the
+        string codes.  The decoded-kmers cache (_kmers_cache, 8 B/kmer)
+        deliberately stays resident: it is the multi-set greedy loop's
+        working set, and keeping it is this framework's speed-for-memory
+        trade against the reference, which re-decodes ToKmerSet from the
+        packed bits every factoring round (kmer_set_set.h:332-343) —
+        so total resident state is bounded by the caches, not the
+        strings.  Lazy (unbuilt) sets are left alone — packing would
+        force the deferred SPSS build.  Consumers transparently unpack
+        per phase via the spss property."""
         if self._spss is not None:
             from .strings import Packed2Strings
 
@@ -139,6 +144,10 @@ class KmerSetCompact:
     @classmethod
     def load(cls, k: int, file_name: str, decompressor: str = "") -> "KmerSetCompact":
         data = core_io.read_file_bytes(file_name, decompressor)
+        if b"\r" in data:
+            # Universal-newline parity with the old text-mode reader: a
+            # CRLF (or classic-Mac) dump must keep loading.
+            data = data.replace(b"\r\n", b"\n").replace(b"\r", b"\n")
         return cls(k, PackedStrings.from_lines_bytes(data))
 
     # -- metrics (reference: kmer_set_compact.h:89-115) --------------------

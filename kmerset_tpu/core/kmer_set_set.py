@@ -172,6 +172,20 @@ def _make_weight_oracle(sketches: List[np.ndarray], n_inputs: int, k: int):
     return _HostWeightOracle(sketches)
 
 
+def _parallel_map(fn, items, workers: int) -> list:
+    """ex.map-or-sequential over independent items — the one-task-per-
+    item pool shape the reference uses for its file/build fan-outs
+    (kmer_set_set.h:494-528,583-607,704-745).  Results in item order;
+    the first exception propagates either way."""
+    items = list(items)
+    if workers > 1 and len(items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            return list(ex.map(fn, items))
+    return [fn(it) for it in items]
+
+
 def serialize_adjacency_list(adj: AdjacencyList) -> str:
     """Exact reference format: "size key count children ..."
     (reference: kmer_set_set.h:45-56).  Keys emitted in sorted order (the
@@ -276,12 +290,11 @@ class KmerSetSet:
         # GIL) — and freshly built strings are packed to 2 bits/base
         # right after (weight then reads offsets only).
         def total_spss_weight() -> int:
-            pending = [s for s in sets if s._pending is not None]
-            if workers > 1 and len(pending) > 1:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(max_workers=workers) as ex:
-                    list(ex.map(lambda s: s.spss, pending))
+            _parallel_map(
+                lambda s: s.spss,
+                [s for s in sets if s._pending is not None],
+                workers,
+            )
             w = sum(s.weight() for s in sets)
             for s in sets:
                 s.pack_in_memory()
@@ -403,14 +416,7 @@ class KmerSetSet:
                 os.path.join(directory, f"{i}.{extension}"), compressor
             )
 
-        if workers > 1 and len(self.kmer_sets_compact_) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                list(ex.map(_dump_one, range(len(self.kmer_sets_compact_))))
-        else:
-            for i in range(len(self.kmer_sets_compact_)):
-                _dump_one(i)
+        _parallel_map(_dump_one, range(len(self.kmer_sets_compact_)), workers)
 
     def dump_graph(self, file_name: str) -> None:
         """DOT format (reference: kmer_set_set.h:532-547)."""
@@ -445,13 +451,7 @@ class KmerSetSet:
                 config.k, os.path.join(directory, f"{i}.{extension}"), decompressor
             )
 
-        if workers > 1 and n > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                sets = list(ex.map(_load_one, range(n)))
-        else:
-            sets = [_load_one(i) for i in range(n)]
+        sets = _parallel_map(_load_one, range(n), workers)
         return cls(sets, canonical, config, _children=children)
 
 
@@ -507,15 +507,9 @@ class KmerSetSetReader:
             )
             return s.kmers(self.canonical)
 
-        if workers > 1 and len(ids) > 1:
-            # Parallel load of the reachable files (reference grows a worker
-            # pool per reachable id, kmer_set_set.h:704-745).
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                parts = list(ex.map(_load, ids))
-        else:
-            parts = [_load(idx) for idx in ids]
+        # Parallel load of the reachable files (reference grows a worker
+        # pool per reachable id, kmer_set_set.h:704-745).
+        parts = _parallel_map(_load, ids, workers)
         from .arrays import sorted_unique
 
         return KmerSet(
@@ -552,15 +546,8 @@ class KmerSetSetReader:
         for i in range(n):
             ids = reach[i]
             missing = [j for j in ids if j not in cache]
-            if workers > 1 and len(missing) > 1:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(max_workers=workers) as ex:
-                    for j, arr in zip(missing, ex.map(_load, missing)):
-                        cache[j] = arr
-            else:
-                for j in missing:
-                    cache[j] = _load(j)
+            for j, arr in zip(missing, _parallel_map(_load, missing, workers)):
+                cache[j] = arr
             parts = [cache[j] for j in ids]
             for j in ids:
                 uses[j] -= 1

@@ -103,8 +103,10 @@ class PackedStrings:
     def from_lines_bytes(cls, data: bytes) -> "PackedStrings":
         """Inverse of to_lines_bytes: parses a newline-separated ACGT
         blob (with or without a trailing newline) in vectorized passes.
-        Raises ValueError on any non-ACGT/newline byte — callers fall
-        back to the strict line path for its exact error semantics."""
+        Raises ValueError on any non-ACGT/newline byte — the same error
+        the from_strings path raises for invalid dumps.  Callers wanting
+        universal-newline tolerance normalize \\r first (see
+        KmerSetCompact.load)."""
         if data in (b"", b"\n"):
             # read_lines parity: one trailing newline of an empty dump
             # strips to nothing (KmerSetCompact.load maps [""] to []).

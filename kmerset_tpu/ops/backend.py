@@ -356,7 +356,17 @@ def should_use_device(
         from .deltas import plan_escape
 
         if plan_escape(n_windows, k, canonical) is None:
-            return False  # raw-download wire would eat the offload win
+            # Raw-download wire would eat the offload win.  This is the
+            # worst-case (every window unique) model: a high-coverage
+            # input whose real key count is far below n_windows loses
+            # the offload here — conservative by design, and logged so
+            # the refusal is not silent.
+            _log.debug(
+                "slow-link count gate closed for k=%d at %d windows: "
+                "no compact key wire format at worst-case density",
+                k, n_windows,
+            )
+            return False
     return True
 
 

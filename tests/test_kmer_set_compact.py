@@ -81,6 +81,23 @@ def test_lines_bytes_blob_matches_string_path(tmp_path):
         PackedStrings.from_lines_bytes(b"ACGX\n")
 
 
+def test_load_tolerates_crlf_dumps(tmp_path):
+    """A dump rewritten with CRLF line endings (hand-copied/Windows)
+    must load like the old text-mode reader did (universal newlines)."""
+    rng = np.random.default_rng(19)
+    s = get_random_kmer_set(K, 600, True, rng)
+    compact = KmerSetCompact.from_kmer_set(s, True)
+    path = str(tmp_path / "unix.txt")
+    compact.dump(path)
+    crlf = str(tmp_path / "crlf.txt")
+    with open(path, "rb") as f:
+        blob = f.read()
+    with open(crlf, "wb") as f:
+        f.write(blob.replace(b"\n", b"\r\n"))
+    loaded = KmerSetCompact.load(K, crlf)
+    assert loaded.to_kmer_set(True).equals(s)
+
+
 def test_packed2strings_metrics_match_unpacked():
     """Packed2Strings answers len/lengths/weight/size_kmers from its
     offsets alone — values must match the unpacked form (these back the
