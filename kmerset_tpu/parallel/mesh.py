@@ -164,9 +164,15 @@ def _route_queries(
 
     Q: (m,) per-device query keys, ascending-owner partitionable by
     `edges_inner` ((n_dev-1,) split points, same dtype).  Sentinel
-    queries are allowed — they route to the last owner and must yield a
-    'miss' answer — so every slot round-trips exactly once and the final
-    slot-keyed sort realigns answers without any scatter.
+    queries are allowed but NEVER cross the wire: they sort to the tail,
+    are excluded from every lane, and their answer slots are filled
+    LOCALLY with hard 0 of the lane dtype — answer_fn is never consulted
+    for them.  Callers whose miss encoding is nonzero (e.g. a 1<<40
+    marker) MUST therefore gate sentinel slots on their own aliveness
+    mask rather than relying on the answer value (sharded_matching_fn's
+    'alive' gate is the pattern).  Every slot appears exactly once in
+    the final slot-keyed realign sort — routed real slots from the back
+    lanes, sentinel slots from the local fill — so no scatter is needed.
     answer_fn(recv_flat) -> answers aligned with its input; any integer
     dtype — pointer doubling and matching return packed int64 answers
     and unpack the halves (do NOT narrow the answer lane to int32).
@@ -204,8 +210,11 @@ def _route_queries(
     send_s = jnp.where(in_range, slot_s[clip], jnp.int32(-1))
     dropped = jnp.sum(jnp.maximum(hi - lo - qcap, 0))
 
+    # The slot lane is NOT exchanged at all: the owner never reads it
+    # (answers align positionally), and the return path reconstructs
+    # alignment from the sender's own send_s (see below) — so the slot
+    # lane costs zero collectives in either direction.
     recv_q = jax.lax.all_to_all(send_q, AXIS, 0, 0, tiled=False)
-    recv_s = jax.lax.all_to_all(send_s, AXIS, 0, 0, tiled=False)
     if values is None:
         raw = answer_fn(recv_q.reshape(-1))
     else:
@@ -224,9 +233,10 @@ def _route_queries(
     ]
     # The slot lane needs no return trip: all_to_all is a transpose
     # across (device, row), so applying it twice is the identity — the
-    # sender's own send_s already equals all_to_all(recv_s) row for row,
-    # aligned with the back lanes.  (Verified bit-identical; saves one
-    # of the collectives in every owner-routed exchange.)
+    # sender's own send_s already equals what a returned slot lane would
+    # carry, row for row, aligned with the back lanes.  (Verified
+    # bit-identical; the slot lane thus costs no collective in either
+    # direction.)
     bs = send_s.reshape(-1)
     # Local miss lanes for the unrouted sentinel slots (answers read as
     # 0 of the lane dtype); every slot then appears exactly once in the
