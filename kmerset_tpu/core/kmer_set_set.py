@@ -161,7 +161,12 @@ def _make_weight_oracle(sketches: List[np.ndarray], n_inputs: int, k: int):
             # Visible, especially under an explicit force: a silently
             # degraded oracle looks like a mesh perf regression.
             logger.warning("mesh weight oracle unavailable (%r); host path", e)
-    if backend.should_use_device(work):
+    # `work` is a merge-work proxy, not a device-resident window count:
+    # should_use_device's MAX_DEVICE_WINDOWS ceiling models the counting
+    # sort's HBM footprint and must not veto the sketch oracle for the
+    # largest multi-set runs (the oracle's memory is the sketch table,
+    # bounded separately), so clamp the proxy below the ceiling.
+    if backend.should_use_device(min(work, backend.MAX_DEVICE_WINDOWS)):
         try:
             backend.enable_compile_cache()
             return _DeviceWeightOracle(sketches)

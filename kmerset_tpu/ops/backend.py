@@ -196,6 +196,19 @@ def _slow_link() -> bool:
             _link_slow = True
             return _link_slow
         try:
+            import jax as _jax
+
+            # Never PERSIST a verdict measured against an in-process CPU
+            # backend: the env-var cache key cannot distinguish it from
+            # a real-device process (JAX_PLATFORMS unset in both), so a
+            # CPU probe's tens-of-GB/s "fast" would open every slow-link
+            # gate of a later tunneled-TPU process on this machine for
+            # 24h.  The in-process verdict above still applies.
+            if _jax.default_backend() == "cpu":
+                return _link_slow
+        except Exception:  # noqa: BLE001 - can't tell: don't persist
+            return _link_slow
+        try:
             os.makedirs(os.path.dirname(_link_cache_path()), exist_ok=True)
             with open(_link_cache_path(), "w") as f:
                 f.write(f"{cache_key}:{'slow' if _link_slow else 'fast'}")
@@ -495,14 +508,12 @@ def device_unique(
     except Exception:  # noqa: BLE001
         return None
     try:
-        staged = _staged_windows_u8(codes, offsets, k)
-        if staged is None:
+        # Same dispatch/trim pair the chunked path drives — one
+        # implementation of the staging and slicing, not two.
+        t = _unique_dispatch(codes, offsets, k, canonical)
+        if t is None:
             return None
-        packed, bounds, total, L = staged
-        uniq, n_kept, _ = count_to_set_frag(
-            packed, bounds, total, L, k, canonical, 1
-        )
-        return np.asarray(uniq[: int(n_kept)])
+        return _unique_fetch(t)
     except Exception as e:  # noqa: BLE001
         _note_fallback("device_unique", e)
         return None
@@ -721,7 +732,9 @@ def device_count(
         # the fetch would wait out that whole jit first (measured
         # +1.7 s at 16.5M keys).
         delta_pending = None
-        if _slow_link() and n >= DELTA_MIN_KEYS:
+        # Size first: small counts must not trigger the 8 MB link probe
+        # (and its disk-cache write) for a branch already known dead.
+        if n >= DELTA_MIN_KEYS and _slow_link():
             from .deltas import dispatch_delta, fetch_delta
 
             delta_pending = dispatch_delta(uniq, n, k, canonical)
@@ -739,7 +752,12 @@ def device_count(
             if (
                 handle is not None
                 and spss_ahead
-                and n <= MAX_DEVICE_GRAPH_KMERS
+                # Mirror should_use_device_graph's bounds: below the
+                # graph threshold the SPSS phase will route host-side
+                # and the prefetched side-code jit (a multi-second cold
+                # compile), its compute, and its download would all be
+                # discarded.
+                and _graph_threshold() <= n <= MAX_DEVICE_GRAPH_KMERS
                 and _slow_link()
                 and _have_native()
             ):

@@ -290,6 +290,10 @@ def test_slow_link_build_uses_prefetched_sides(monkeypatch):
 
     monkeypatch.setenv("KMERSET_TPU_FORCE_BACKEND", "device")
     monkeypatch.setattr(backend, "_link_slow", True)
+    # The prefetch mirrors should_use_device_graph's lower bound (below
+    # it the SPSS phase routes host-side and the prefetch would be
+    # wasted); open the gate at this fixture's size.
+    monkeypatch.setenv("KMERSET_TPU_MIN_DEVICE_GRAPH", "1")
     k = 15
     reads = _reads(k, seed=13)
     counter = KmerCounter.from_reads(k, reads, canonical=True, spss_ahead=True)
