@@ -332,8 +332,23 @@ def main() -> None:
             file=sys.stderr,
         )
         sys.exit(3)
+    import os
+
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
+    if dev.platform == "cpu" and "cpu" not in os.environ.get(
+        "JAX_PLATFORMS", "cpu"
+    ):
+        # An accelerator was selected but jax resolved to CPU — the
+        # plugin wedged/fell back (seen during axon outages).  A "device"
+        # rate measured here would silently be a CPU rate; refuse like
+        # the unreachable-transport case so the recorded history stays
+        # honest.
+        print(
+            "accelerator plugin resolved to CPU fallback; no benchmark result",
+            file=sys.stderr,
+        )
+        sys.exit(3)
 
     @jax.jit
     def gen(key):
