@@ -37,7 +37,10 @@ def _mesh_env_capacity() -> Optional[int]:
     if not v:
         return None
     try:
-        return int(v)
+        cap = int(v)
+        if cap <= 0:
+            raise ValueError("capacity must be positive")
+        return cap
     except ValueError:
         _log.warning(
             "ignoring malformed KMERSET_TPU_MESH_CAPACITY=%r (using defaults)", v
@@ -208,7 +211,11 @@ def mesh_count(
         valid_in = _stride_global(mesh, valid_flat)
 
         capacity = _initial_capacity(W, n_dev)
-        for _attempt in range(8):
+        # 32 attempts (like the sibling loops): heavy key skew on large
+        # meshes — or a small capacity override — can need far more than
+        # the 8 doublings this loop once allowed before reaching the
+        # guaranteed-success capacity W.
+        for _attempt in range(32):
             fn = sharded_count_fn(mesh, k, canonical, capacity)
             uniq, counts, n_unique, tot, dropped = fn(codes_in, valid_in)
             n_dropped = int(np.asarray(jax.device_get(dropped))[0])
@@ -267,13 +274,20 @@ def mesh_unitig_succ(A: np.ndarray, k: int, mesh=None):
         if mesh is None:
             mesh = make_mesh()
         n_dev = int(mesh.devices.size)
-        narrow = k <= 15
+        # Same narrow/sentinel choice as the kernel's _side_tables_core
+        # (a literal 15 here could silently diverge from the kernel's
+        # padding convention if the constant ever moves).
+        from ..ops.count import SINGLE_MAX_K
+
+        narrow = k <= SINGLE_MAX_K
         sent = int(_S_SENT) if narrow else int(SENTINEL)
         dt = np.int32 if narrow else np.int64
         edges = _owner_edges(k, n_dev)
-        parts = [
-            A[(A >= edges[d]) & (A < edges[d + 1])] for d in range(n_dev)
-        ]
+        # A is sorted (the function's output alignment relies on
+        # concat(parts) == A), so the owner slices are two binary
+        # searches — not n_dev full boolean scans of an 8M+ array.
+        idx = np.searchsorted(A, edges)
+        parts = [A[idx[d] : idx[d + 1]] for d in range(n_dev)]
         biggest = max(max(p.shape[0] for p in parts), 2)
         cap = 1 << (2 * biggest - 1).bit_length()
         blocks = np.full((n_dev, cap), sent, dtype=dt)
@@ -403,7 +417,14 @@ def mesh_pointer_double(succ: np.ndarray, labels: np.ndarray | None = None, mesh
         sp = _pad_stride(n_dev, succ.astype(np.int32), -1, np.int32)
         lp = _pad_stride(
             n_dev,
-            (labels if labels is not None else np.zeros(n)).astype(np.int32),
+            (
+                labels.astype(np.int32)
+                if labels is not None
+                # int32 from the start: a bare np.zeros(n) is float64 —
+                # 8 GB transient at the 2^30 scales this path targets,
+                # feeding a lane the kernel ignores without labels.
+                else np.zeros(n, np.int32)
+            ),
             0,
             np.int32,
         )
