@@ -178,8 +178,18 @@ def _entity_flip(nodes: np.ndarray, oriented: bool) -> Tuple[np.ndarray, np.ndar
     return nodes, np.zeros(nodes.shape, dtype=bool)
 
 
+def _keep_rule(A: np.ndarray, firsts, lasts):
+    """The reference's canonical orientation tie-break: keep the chain
+    whose start k-mer is >= its end k-mer (lib/core/spss.h:511,555).
+    ONE definition for the native-callback, numpy-fallback, and mesh
+    paths — the byte-parity of every backend hangs on the three sites
+    applying the identical predicate.  Works elementwise on arrays and
+    on scalar node ids."""
+    return A[firsts >> 1] >= A[lasts >> 1]
+
+
 def _chains_grouped(
-    succ: np.ndarray, starts: np.ndarray
+    succ: np.ndarray, starts: np.ndarray, oriented: bool = False
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Groups the nodes of the chains led by `starts` contiguously in
     (chain, position) order; returns (nodes, group_starts).
@@ -189,13 +199,16 @@ def _chains_grouped(
     the reference's threaded walks, lib/core/spss.h:394-423).  Fallback:
     pointer doubling + lexsort (log-depth, used when the native library is
     unbuilt).  Group order may differ between the two paths; both are
-    valid chain groupings of the same chains.
+    valid chain groupings of the same chains.  `oriented` marks a
+    2-nodes-per-entity succ so the mesh gate compares ENTITY counts
+    (the convention every other phase uses).
     """
     if starts.size == 0:
         return np.empty(0, np.int64), np.zeros(1, np.int64)
     from ..parallel import driver as mesh_driver
 
-    if mesh_driver.should_use_mesh_graph(succ.shape[0]):
+    n_ents = succ.shape[0] >> 1 if oriented else succ.shape[0]
+    if mesh_driver.should_use_mesh_graph(n_ents):
         res = mesh_driver.mesh_chain_group(succ, starts)
         if res is not None:
             return res
@@ -247,7 +260,7 @@ def _kept_native_order(
     (keep, nodes_kept, groups_kept, order); order is None when fewer
     than two groups survive (nothing to reorder)."""
     firsts, lasts, nonempty = _group_endpoints(nodes, groups)
-    keep = nonempty & (A[firsts >> 1] >= A[lasts >> 1])
+    keep = nonempty & _keep_rule(A, firsts, lasts)
     nodes_k, groups_k = _filter_groups(nodes, groups, keep)
     if groups_k.shape[0] <= 1:
         return keep, nodes_k, groups_k, None
@@ -672,15 +685,15 @@ def get_unitigs_canonical(kmer_set: KmerSet) -> PackedStrings:
         if chains is None:
             if kept is None:
                 kept = native.chain_walk_kept(
-                    succ, starts, lambda s, e: A[s >> 1] >= A[e >> 1]
+                    succ, starts, lambda s, e: _keep_rule(A, s, e)
                 )
             if kept is not None:
                 nodes_kept, groups_kept = kept
                 nodes = nodes_kept  # kept chains cover the same entities
             else:
-                nodes, groups = _chains_grouped(succ, starts)
+                nodes, groups = _chains_grouped(succ, starts, oriented=True)
                 firsts, lasts, nonempty = _group_endpoints(nodes, groups)
-                keep = nonempty & (A[firsts >> 1] >= A[lasts >> 1])
+                keep = nonempty & _keep_rule(A, firsts, lasts)
                 nodes_kept, groups_kept = _filter_groups(nodes, groups, keep)
     with _phase("unitigs: emission + cycles"):
         if chains is None:
@@ -878,7 +891,12 @@ def _break_cycles(succ: np.ndarray, match: np.ndarray | None, oriented: bool) ->
     leaders = None
     from ..parallel import driver as mesh_driver
 
-    if mesh_driver.should_use_mesh_graph(succ.shape[0]):
+    # Gate on ENTITY count (2 nodes per entity when oriented) — the
+    # convention every other phase uses; gating on the oriented node
+    # count would open the mesh at half the measured crossover.
+    if mesh_driver.should_use_mesh_graph(
+        succ.shape[0] >> 1 if oriented else succ.shape[0]
+    ):
         # Distributed leader election: min-label pointer doubling over
         # the mesh (parallel/mesh.sharded_pointer_double_fn).
         ids = np.arange(succ.shape[0], dtype=np.int64)
@@ -995,7 +1013,7 @@ def _emit_matched_paths(
     starts_r = np.flatnonzero(~has_left & has_right) * 2
     starts_l = np.flatnonzero(~has_right & has_left) * 2 + 1
     starts = np.concatenate([starts_r, starts_l])
-    nodes, groups = _chains_grouped(succ, starts)
+    nodes, groups = _chains_grouped(succ, starts, oriented=True)
     firsts, lasts, nonempty = _group_endpoints(nodes, groups)
     keep = nonempty & ((firsts >> 1) <= (lasts >> 1))
     nodes_kept, groups_kept = _filter_groups(nodes, groups, keep)
