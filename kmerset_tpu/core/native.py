@@ -29,9 +29,24 @@ def _find_lib() -> Optional[str]:
     return None
 
 
+_GET_LIB_LOCK = threading.Lock()
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
+        return _LIB
+    with _GET_LIB_LOCK:
+        return _get_lib_locked()
+
+
+def _get_lib_locked() -> Optional[ctypes.CDLL]:
+    """First-use load/build under _GET_LIB_LOCK: without it, a thread
+    arriving during another's in-flight `make` (up to 300 s on a fresh
+    checkout) would see _TRIED=True with _LIB still None and silently
+    run a whole phase on the 10-50x slower numpy fallback."""
+    global _LIB, _TRIED
+    if _TRIED:  # the thread that held the lock finished the load
         return _LIB
     _TRIED = True
     # Fresh/stale checkouts: build the library on first use rather than
@@ -115,6 +130,10 @@ def parse_fasta_bytes(data: bytes) -> Optional[Tuple[np.ndarray, np.ndarray]]:
 def pack2(codes: np.ndarray) -> np.ndarray:
     """2-bit pack (4 bases/byte); numpy fallback when no native lib."""
     lib = get_lib()
+    # Coerce like every other wrapper: the C kernel reads raw uint8
+    # bytes, so a strided or wider-dtype caller array would silently
+    # pack garbage.
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
     n = codes.shape[0]
     out = np.zeros((n + 3) // 4, dtype=np.uint8)
     if lib is not None and n:
@@ -132,6 +151,7 @@ def pack2(codes: np.ndarray) -> np.ndarray:
 
 def unpack2(packed: np.ndarray, n: int) -> np.ndarray:
     lib = get_lib()
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
     out = np.empty(n, dtype=np.uint8)
     if lib is not None and n:
         lib.kmerio_unpack2(
@@ -154,17 +174,23 @@ def chain_walk(succ: np.ndarray, starts: np.ndarray):
     if lib is None:
         return None
     if not hasattr(lib, "_chain_walk_ready"):
-        lib.kmerio_chain_walk.restype = ctypes.c_long
-        lib.kmerio_chain_walk.argtypes = [
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_long,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_long,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
+        try:
+            lib.kmerio_chain_walk.restype = ctypes.c_long
+            lib.kmerio_chain_walk.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib._cw = True
+        except AttributeError:  # stale build: fall back, don't raise
+            lib._cw = False
         lib._chain_walk_ready = True
+    if not lib._cw:
+        return None
     succ = np.ascontiguousarray(succ, dtype=np.int64)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     n = succ.shape[0]
@@ -304,6 +330,8 @@ def greedy_match(
         lib._gm_ready = True
     pa = np.ascontiguousarray(pa, dtype=np.int64)
     pb = np.ascontiguousarray(pb, dtype=np.int64)
+    if pb.shape[0] != pa.shape[0]:
+        return None  # C reads pb[0..len(pa)): mismatched lengths would OOB
     match = np.full(n_ports, -1, dtype=np.int64)
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.kmerio_greedy_match(
@@ -498,7 +526,14 @@ def side_tables(A: np.ndarray, k: int, canonical: bool, impl: str = "auto"):
     fast = lib._st_fp or lib._st_merge
     table_slots = (1 << logcap) if (canonical or not fast) else 1
     if lib._st_fp:
-        table = np.zeros(table_slots, dtype=np.uint64)
+        # Persistent zeroed scratch (slot 0): a fresh np.zeros at the
+        # 2^25-slot / ~268 MB scale pays the first-touch fault storm per
+        # call — the repeated-build cost _zeroed_u64 exists to amortize.
+        table = (
+            _zeroed_u64(logcap)
+            if table_slots > 1
+            else np.zeros(1, dtype=np.uint64)
+        )
         tptr = table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
         fn = lib.kmerio_side_tables_fp
     else:
@@ -611,6 +646,8 @@ def seq_match(
         return None
     pa = np.ascontiguousarray(pa, dtype=np.int64)
     pb = np.ascontiguousarray(pb, dtype=np.int64)
+    if pb.shape[0] != pa.shape[0]:
+        return None  # C reads pb[0..len(pa)): mismatched lengths would OOB
     match = np.empty(2 * n_nodes, dtype=np.int64)
     i64p = ctypes.POINTER(ctypes.c_int64)
     rc = lib.kmerio_seq_match(
@@ -724,18 +761,28 @@ def _zeroed_u64(logcap: int, slot: int = 0) -> np.ndarray:
     separate tables that are live at the same time (overlap_edges uses
     two); the cache is thread-local so concurrent builds never share a
     buffer."""
+    size = 1 << logcap
     if logcap < 20:
-        return np.zeros(1 << logcap, dtype=np.uint64)
+        return np.zeros(size, dtype=np.uint64)
     cache = getattr(_scratch_tls, "bufs", None)
     if cache is None:
         cache = _scratch_tls.bufs = {}
     buf = cache.get(slot)
-    if buf is None or buf.shape[0] != (1 << logcap):
-        buf = np.zeros(1 << logcap, dtype=np.uint64)
+    if buf is None or buf.shape[0] < size:
+        # Grow-only: shrinking sets in the multi-set loop alternate
+        # logcaps, and replacing a larger cached buffer with a smaller
+        # fresh np.zeros would re-pay the first-touch fault storm per
+        # size class — the exact cost this cache exists to avoid.  A
+        # zeroed prefix view serves any smaller request.
+        buf = np.zeros(size, dtype=np.uint64)
         cache[slot] = buf
-    else:
+        return buf
+    if buf.shape[0] == size:
         buf.fill(0)
-    return buf
+        return buf
+    view = buf[:size]
+    view.fill(0)
+    return view
 
 
 def succ_from_sides(
@@ -998,9 +1045,12 @@ def overlap_edges(P: np.ndarray, S: np.ndarray, k: int):
 
     Large inputs route to the cache-blocked partitioned probe edition
     (kmerio_overlap_edges_part): hits come back as packed
-    (rank << 32 | j) in arbitrary order and one np.sort restores the fp
-    edition's exact discovery order — rank is pass-major/i-minor, and
-    within one probe the fp multimap walks ascending j."""
+    (pass << 60 | i << 32 | j) in arbitrary order — pass is 4 bits, i
+    28 (hence the 16*n < 2^31 guard), j 32 — and an UNSIGNED ascending
+    sort (native radix via kmerio_overlap_sort_unpack, np.sort
+    fallback) restores the fp edition's exact discovery order:
+    pass-major, i-minor, and within one probe the fp multimap walks
+    ascending j."""
     lib = get_lib()
     if lib is None:
         return None
@@ -1093,6 +1143,12 @@ def overlap_edges(P: np.ndarray, S: np.ndarray, k: int):
         if count >= 0:
             pairs = out[: 2 * count].reshape(-1, 2)
             return pairs[:, 0], pairs[:, 1]
+        ptab.fill(np.uint64(2**64 - 1))
+        stab.fill(np.uint64(2**64 - 1))
+    else:
+        # No fp/cap edition bound at all (nothing pre-filled the tables):
+        # the legacy two-pass kernel requires -1-filled tables — its
+        # insert loop spins forever on zeros.
         ptab.fill(np.uint64(2**64 - 1))
         stab.fill(np.uint64(2**64 - 1))
     count = lib.kmerio_overlap_edges(*args, 1, None)
