@@ -31,9 +31,14 @@ jax.config.update("jax_enable_x64", True)
 
 @partial(jax.jit, static_argnames=("n_groups",))
 def lookup_join(A: jnp.ndarray, Q: jnp.ndarray, n_groups: int = 1):
-    """Membership of every query in sorted-unique A.
+    """Membership of every query in sorted A.
 
-    A: (n,) sorted int array (int32 or int64, no duplicates, no sentinel).
+    A: (n,) sorted int array (int32 or int64).  Padding rows ARE allowed
+    — duplicated sentinel tails are how every production caller pads —
+    as long as no padding value can equal a query (the membership answer
+    for a padding value would be a true match).  Keys must also exceed
+    iinfo(dtype).min: that value seeds the cummax scan, so a query equal
+    to it would read as found even when absent.
     Q: (m,) queries, m a multiple of n_groups.
     Returns (found, idx): bool/int32 arrays shaped (n_groups, m // n_groups)
     where found[g, i] says Q[g * gsz + i] is in A and idx[g, i] is its
@@ -75,8 +80,10 @@ def lookup_join32(A: jnp.ndarray, Q: jnp.ndarray, n_groups: int = 1):
     Halves the sort bytes and replaces emulated 64-bit compares with
     native int32 ones: sort 1 carries (fused_key, slot) instead of
     (key64, tag, slot); sort 2 carries (tag<<30|slot, idx|found<<30)
-    instead of four lanes.  Requires n + m < 2^30 and A sorted unique
-    int32 (set padding rows must hold values no query can equal).
+    instead of four lanes.  Requires max(n, m) < 2^30 (slot and idx
+    pack independently — the check below enforces exactly this) and A
+    sorted int32 (set padding rows must hold values no query can
+    equal).
     """
     n, m = A.shape[0], Q.shape[0]
     # Slot/idx/found pack into bits [0,30) with the tag/found flag at
@@ -117,8 +124,10 @@ def lookup_join_pair(Ahi, Alo, Qhi, Qlo, n_groups: int = 1):
     bit 0 (2*klo <= 22 bits leaves headroom), so sort 1 carries three
     int32 lanes with num_keys=2 instead of (key64, tag, slot).  The
     found/idx scan packs (hi, lo) into int64 — scans are bandwidth-cheap;
-    only the sorts matter.  Requires n + m < 2^30 and A sorted unique
-    with padding rows no query can equal (all-T keys are non-canonical).
+    only the sorts matter.  Requires max(n, m) < 2^30 (slot and idx
+    pack independently; the check below enforces exactly this) and A
+    sorted with padding rows no query can equal (all-T keys are
+    non-canonical).
     """
     n, m = Ahi.shape[0], Qhi.shape[0]
     if max(n, m) >= (1 << 30):  # not assert: must survive python -O

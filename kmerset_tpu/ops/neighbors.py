@@ -155,7 +155,10 @@ def tables_traced(A, k: int, canonical: bool, with_base: bool = False):
     if use32:
         # canonical-only int32 path: PAD32 (all-T) can never equal a
         # canonical query, so set-padding rows cannot false-match.
-        assert canonical and k <= 15
+        if not (canonical and k <= 15):
+            # Not assert: must survive python -O — a directed caller on
+            # this path would silently get canonical-min candidates.
+            raise ValueError("int32 side tables are canonical-only, k <= 15")
         m30 = jnp.int32((1 << (2 * k)) - 1)
         for right in (True, False):
             for c in range(4):
